@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship ranked-OR BM25 query end-to-end on
+sf0.001; ``queries``/``oracle_sql`` expose each implemented operator
+from SURVEY.md §2 with a DuckDB-equivalent oracle.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from partitioned_ef_ans_spark import gate  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: exhaustive BM25 ranked-OR top-10 for the fixed
+    gate query set over /root/testdata/sf0.001 documents."""
+    return gate.q_ranked_or(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tokenize_tf": gate.q_tokenize_tf,
+        "term_dictionary": gate.q_term_dictionary,
+        "term_stats": gate.q_term_stats,
+        "doc_stats": gate.q_doc_stats,
+        "postings_flat": gate.q_postings_flat,
+        "bool_and": gate.q_bool_and,
+        "bool_or": gate.q_bool_or,
+        "ranked_or_top10": gate.q_ranked_or,
+        "ranked_and_top10": gate.q_ranked_and,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tokenize_tf": gate.sql_tokenize_tf(),
+        "term_dictionary": gate.sql_term_dictionary(),
+        "term_stats": gate.sql_term_stats(),
+        "doc_stats": gate.sql_doc_stats(),
+        "postings_flat": gate.sql_postings_flat(),
+        "bool_and": gate.sql_bool_and(),
+        "bool_or": gate.sql_bool_or(),
+        "ranked_or_top10": gate.sql_ranked_or(),
+        "ranked_and_top10": gate.sql_ranked_and(),
+    }

@@ -1,0 +1,288 @@
+"""Correctness-gate wiring: Spark queries + equivalent DuckDB oracle SQL.
+
+Every operator claimed in SURVEY.md §2 gets a named entry here; the
+driver runs the Spark side and the DuckDB SQL side-by-side on the same
+parquet tables and compares row counts, schemas and value hashes.
+
+The fulltext pipeline runs over the ``documents`` table (adapted to the
+engine's corpus shape) with a FIXED literal query set (GATE_QUERIES) so
+both sides see the identical workload.  All score comparisons round to
+``bm25.ROUND_DECIMALS`` BEFORE top-k selection (see operators/ranked.py
+for why).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from partitioned_ef_ans_spark.functions import bm25
+from partitioned_ef_ans_spark import tokenizer
+from partitioned_ef_ans_spark.operators import doc_stats as ds_mod
+from partitioned_ef_ans_spark.operators import postings as p_mod
+from partitioned_ef_ans_spark.operators import ranked as r_mod
+from partitioned_ef_ans_spark.operators.dictionary import build_term_dictionary
+
+# ---------------------------------------------------------------------------
+# Fixed query workload (reference query-set shape: test/test_data/queries —
+# short term lists, duplicates within a query, OOV terms; FIXTURES.md F2).
+# Terms come from the documents-table vocabulary.
+# ---------------------------------------------------------------------------
+GATE_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["spark", "join"]),
+    (1, ["the"]),
+    (2, ["group", "group", "window"]),  # duplicate term -> qtf=2
+    (3, ["hash", "merge", "sort"]),
+    (4, ["zzqq_missing"]),  # all-OOV -> no results
+    (5, ["customer", "zzqq_missing"]),  # partial OOV
+    (6, ["vector", "stream", "filter", "query"]),
+    (7, ["a", "the", "table"]),  # stopword-heavy (skew lists)
+    (8, ["scan"]),
+    (9, ["big", "small", "fast", "slow", "value", "data"]),
+    (10, ["dup"]),  # the one low-df term -> positive idf
+    (11, ["dup", "spark"]),  # mixed rare + stopword-like
+    (12, ["dup", "dup", "the"]),  # rare term with qtf=2
+]
+
+TOP_K = 10
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def gate_queries_df(spark: SparkSession) -> DataFrame:
+    return r_mod.queries_to_df(spark, GATE_QUERIES)
+
+
+# --------------------------------------------------------------- Spark side
+
+def build_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    tokens = tokenizer.tokenize(docs, doc_col="doc_id", text_col="text")
+    return tokenizer.term_frequencies(tokens)
+
+
+def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_tf(spark, sf_dir).select("doc_id", "term", "tf")
+
+
+def q_term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    tokens = tokenizer.tokenize(docs, doc_col="doc_id", text_col="text")
+    return build_term_dictionary(tokens).select("term", "term_id")
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = build_tf(spark, sf_dir)
+    return p_mod.term_doc_freqs(tf).select("term", "df", "cf")
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    tokens = tokenizer.tokenize(docs, doc_col="doc_id", text_col="text")
+    st = ds_mod.build_doc_stats(docs, tokens)
+    return st.select("doc_id", "doc_len", F.round("norm_len", 6).alias("norm_len"))
+
+
+def q_postings_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips the chunked posting-list build: build -> merge ->
+    explode back to (term, doc_id, tf).  Equality with the tf table
+    proves the salted chunked aggregation loses/duplicates nothing and
+    keeps docIDs strictly increasing."""
+    docs = load_documents(spark, sf_dir)
+    tf = build_tf(spark, sf_dir)
+    n_docs = docs.count()
+    postings = p_mod.build_postings(tf, num_docs=n_docs, chunk_postings=256)
+    merged = p_mod.merge_posting_chunks(postings)
+    return merged.select(
+        "term", F.explode(F.arrays_zip("doc_ids", "freqs")).alias("z")
+    ).select(
+        "term",
+        F.col("z.doc_ids").alias("doc_id"),
+        F.col("z.freqs").alias("tf"),
+    )
+
+
+def _ranked(spark: SparkSession, sf_dir: str, conjunctive: bool) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    tokens = tokenizer.tokenize(docs, doc_col="doc_id", text_col="text")
+    tf = tokenizer.term_frequencies(tokens)
+    stats = ds_mod.build_doc_stats(docs, tokens)
+    dfs = p_mod.term_doc_freqs(tf)
+    n_docs = docs.count()
+    qdf = gate_queries_df(spark)
+    return r_mod.ranked_query(
+        tf, stats, dfs, qdf, n_docs, k=TOP_K, conjunctive=conjunctive
+    )
+
+
+def q_ranked_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ranked(spark, sf_dir, conjunctive=False)
+
+
+def q_ranked_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ranked(spark, sf_dir, conjunctive=True)
+
+
+def _boolean(spark: SparkSession, sf_dir: str, conjunctive: bool) -> DataFrame:
+    tf = build_tf(spark, sf_dir)
+    qdf = gate_queries_df(spark)
+    return r_mod.boolean_query(tf, qdf, conjunctive=conjunctive)
+
+
+def q_bool_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _boolean(spark, sf_dir, True)
+
+
+def q_bool_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _boolean(spark, sf_dir, False)
+
+
+# -------------------------------------------------------------- DuckDB side
+
+def _values_queries() -> tuple[str, str]:
+    """(qrys, nq) VALUES clauses: per-(query,term) qtf multiplicities +
+    per-query distinct-term counts — query_freqs semantics
+    (queries.hpp:139-153)."""
+    rows = []
+    nrows = []
+    for qid, terms in GATE_QUERIES:
+        c = Counter(terms)
+        nrows.append(f"({qid}, {len(c)})")
+        for term, qtf in sorted(c.items()):
+            rows.append(f"({qid}, '{term}', {qtf})")
+    qrys = "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS q(query_id, term, qtf)"
+    nq = "SELECT * FROM (VALUES " + ", ".join(nrows) + ") AS n(query_id, n_terms)"
+    return qrys, nq
+
+
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '{tokenizer.DUCKDB_TOKEN_SPLIT}')) AS term
+    FROM documents
+  ) WHERE term <> ''
+)"""
+
+_TF_CTE = """
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM tok GROUP BY doc_id, term
+)"""
+
+_DFS_CTE = """
+dfs AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term
+)"""
+
+_ND_CTE = """
+nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS num_docs FROM documents
+)"""
+
+_DS_CTE = """
+lens AS (
+  SELECT d.doc_id, CAST(coalesce(t.c, 0) AS BIGINT) AS doc_len
+  FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id) t
+  USING (doc_id)
+),
+ds AS (
+  SELECT doc_id, doc_len,
+         CAST(doc_len AS DOUBLE) / (SELECT avg(doc_len) FROM lens) AS norm_len
+  FROM lens
+)"""
+
+
+def sql_tokenize_tf() -> str:
+    return f"WITH {_TOK_CTE}, {_TF_CTE} SELECT doc_id, term, tf FROM tf"
+
+
+def sql_term_dictionary() -> str:
+    return (
+        f"WITH {_TOK_CTE} SELECT term, "
+        "CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS term_id "
+        "FROM (SELECT DISTINCT term FROM tok)"
+    )
+
+
+def sql_term_stats() -> str:
+    return f"WITH {_TOK_CTE}, {_TF_CTE}, {_DFS_CTE} SELECT term, df, cf FROM dfs"
+
+
+def sql_doc_stats() -> str:
+    return (
+        f"WITH {_TOK_CTE}, {_DS_CTE} "
+        "SELECT doc_id, doc_len, round(norm_len, 6) AS norm_len FROM ds"
+    )
+
+
+def sql_postings_flat() -> str:
+    return f"WITH {_TOK_CTE}, {_TF_CTE} SELECT term, doc_id, tf FROM tf"
+
+
+def _sql_ranked(conjunctive: bool) -> str:
+    qrys, nq = _values_queries()
+    docw = bm25.duckdb_doc_term_weight(tf="tf.tf", norm_len="ds.norm_len")
+    qw = bm25.duckdb_query_term_weight(qtf="q.qtf", df="dfs.df", num_docs="nd.num_docs")
+    having = "HAVING count(*) = any_value(qn.n_terms)" if conjunctive else ""
+    return f"""
+WITH {_TOK_CTE}, {_TF_CTE}, {_DFS_CTE}, {_ND_CTE}, {_DS_CTE},
+qrys AS ({qrys}),
+nq AS ({nq}),
+qw AS (
+  SELECT q.query_id, q.term, {qw} AS q_weight
+  FROM qrys q JOIN dfs USING (term) CROSS JOIN nd
+),
+per_doc AS (
+  SELECT qw.query_id AS query_id, tf.doc_id AS doc_id,
+         round(sum(qw.q_weight * {docw}), {bm25.ROUND_DECIMALS}) AS score
+  FROM tf
+  JOIN qw ON tf.term = qw.term
+  JOIN ds ON tf.doc_id = ds.doc_id
+  JOIN nq qn ON qw.query_id = qn.query_id
+  GROUP BY qw.query_id, tf.doc_id
+  {having}
+)
+SELECT query_id, CAST(row_number() OVER w AS INT) AS "rank", doc_id, score
+FROM per_doc
+WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
+QUALIFY "rank" <= {TOP_K}
+ORDER BY query_id, "rank"
+"""
+
+
+def sql_ranked_or() -> str:
+    return _sql_ranked(False)
+
+
+def sql_ranked_and() -> str:
+    return _sql_ranked(True)
+
+
+def _sql_boolean(conjunctive: bool) -> str:
+    qrys, nq = _values_queries()
+    having = "HAVING count(*) = any_value(nq.n_terms)" if conjunctive else ""
+    return f"""
+WITH {_TOK_CTE}, {_TF_CTE},
+qrys AS ({qrys}),
+nq AS ({nq}),
+hits AS (
+  SELECT q.query_id AS query_id, tf.doc_id AS doc_id
+  FROM tf JOIN (SELECT DISTINCT query_id, term FROM qrys) q ON tf.term = q.term
+          JOIN nq ON q.query_id = nq.query_id
+  GROUP BY q.query_id, tf.doc_id
+  {having}
+)
+SELECT query_id, CAST(count(*) AS BIGINT) AS matches FROM hits GROUP BY query_id
+"""
+
+
+def sql_bool_and() -> str:
+    return _sql_boolean(True)
+
+
+def sql_bool_or() -> str:
+    return _sql_boolean(False)

@@ -1,0 +1,91 @@
+"""Tokenization: corpus text -> (doc_id, term) token stream.
+
+The reference consumes a *pre-tokenized* collection (README.md:79-101);
+its only text handling is the offline lowercase+stem query transformer
+(transform_queries.cpp:49-122).  Our engine owns tokenization, per
+BASELINE.json input_hint: vectorized (JVM or Arrow) — never per-row
+Python.
+
+Two equivalent tokenizers are provided:
+
+- :func:`tokenize` — pure Catalyst (``split`` + ``explode``), fully
+  JVM-side / whole-stage-codegen; the default and the one mirrored by
+  the DuckDB oracle SQL (``regexp_split_to_array``).
+- :func:`tokenize_arrow` — Arrow-batched pandas UDF producing the same
+  tokens, provided for code-aware extensions (identifier splitting);
+  used by tests to prove equivalence.
+
+Token rule (shared, deterministic): lowercase, split on any run of
+characters outside ``[a-z0-9_]``; empty tokens dropped.  ``_`` is kept
+word-internal because the corpus is source code (identifiers).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyarrow  # noqa: F401  (assert Arrow availability early)
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Splitting rule. Java and Python regex semantics agree for this class.
+TOKEN_SPLIT_RE = "[^a-z0-9_]+"
+
+#: Same rule as a DuckDB SQL fragment (used by oracle_sql()).
+DUCKDB_TOKEN_SPLIT = "[^a-z0-9_]+"
+
+
+def tokens_array(text: Column) -> Column:
+    """Column expression: text -> array<string> of tokens (JVM-side)."""
+    arr = F.split(F.lower(text), TOKEN_SPLIT_RE)
+    return F.filter(arr, lambda t: t != F.lit(""))
+
+
+def tokenize(corpus: DataFrame, doc_col: str = "doc_id", text_col: str = "content") -> DataFrame:
+    """Explode a corpus table into one row per token occurrence.
+
+    Returns ``(doc_id, term)`` with one row per occurrence (duplicates
+    preserved — term frequency is an aggregation downstream).  Catalyst
+    prunes the scan to exactly (doc_col, text_col).
+    """
+    return corpus.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(tokens_array(F.col(text_col))).alias("term"),
+    )
+
+
+def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import re
+
+    pat = re.compile(TOKEN_SPLIT_RE)
+    for pdf in batches:
+        doc_ids = pdf["doc_id"].to_numpy()
+        texts = pdf["content"].str.lower()
+        token_lists = texts.map(lambda s: [t for t in pat.split(s or "") if t])
+        lens = token_lists.map(len).to_numpy()
+        out = pd.DataFrame(
+            {
+                "doc_id": doc_ids.repeat(lens),
+                "term": [t for lst in token_lists for t in lst],
+            }
+        )
+        yield out
+
+
+def tokenize_arrow(corpus: DataFrame, doc_col: str = "doc_id", text_col: str = "content") -> DataFrame:
+    """Arrow-batched (mapInPandas) tokenizer, result-identical to
+    :func:`tokenize`.  Hook point for code-aware token rules that
+    Catalyst regex can't express."""
+    src = corpus.select(F.col(doc_col).alias("doc_id"), F.col(text_col).alias("content"))
+    return src.mapInPandas(_tokenize_batches, schema="doc_id long, term string")
+
+
+def term_frequencies(tokens: DataFrame) -> DataFrame:
+    """(doc_id, term) occurrences -> (doc_id, term, tf).
+
+    A single hash aggregation; Spark applies partial (map-side) combine
+    before the shuffle, so the shuffle volume is distinct (doc, term)
+    pairs, not occurrences.
+    """
+    return tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("int").alias("tf"))
