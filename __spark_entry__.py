@@ -35,6 +35,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_or": gate.q_bool_or,
         "ranked_or_top10": gate.q_ranked_or,
         "ranked_and_top10": gate.q_ranked_and,
+        "index_decode_flat": gate.q_index_decode_flat,
+        "wand_top10": gate.q_wand_top10,
+        "maxscore_top10": gate.q_maxscore_top10,
+        "ranked_or_indexed": gate.q_ranked_or_indexed,
+        "ranked_and_indexed": gate.q_ranked_and_indexed,
+        "bool_and_indexed": gate.q_bool_and_indexed,
+        "bool_or_indexed": gate.q_bool_or_indexed,
+        "index_stats": gate.q_index_stats,
     }
 
 
@@ -49,4 +57,15 @@ def oracle_sql() -> dict[str, str]:
         "bool_or": gate.sql_bool_or(),
         "ranked_or_top10": gate.sql_ranked_or(),
         "ranked_and_top10": gate.sql_ranked_and(),
+        # compressed-path operators share the relational oracles: the
+        # index must reproduce them exactly (decode-equality + rank-
+        # identical top-k). index_stats is rows-only (codec byte counts
+        # have no SQL equivalent).
+        "index_decode_flat": gate.sql_postings_flat(),
+        "wand_top10": gate.sql_ranked_or(),
+        "maxscore_top10": gate.sql_ranked_or(),
+        "ranked_or_indexed": gate.sql_ranked_or(),
+        "ranked_and_indexed": gate.sql_ranked_and(),
+        "bool_and_indexed": gate.sql_bool_and(),
+        "bool_or_indexed": gate.sql_bool_or(),
     }

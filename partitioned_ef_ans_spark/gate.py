@@ -141,6 +141,153 @@ def q_bool_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _boolean(spark, sf_dir, False)
 
 
+# ----------------------------------------------- compressed-index entries
+
+_INDEX_CACHE: dict = {}
+
+
+def _get_index(spark: SparkSession, sf_dir: str, codec: str = "ans"):
+    """Build (once per sf_dir+codec) and load the compressed index."""
+    import hashlib
+    import numpy as np
+
+    from partitioned_ef_ans_spark.index import build as b_mod
+
+    key = (sf_dir, codec)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = hashlib.sha1(f"{sf_dir}|{codec}".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/pefa_index_{tag}"
+    docs = load_documents(spark, sf_dir)
+    b_mod.build_index(
+        spark, docs, out_dir, codec=codec, chunk_postings=256,
+        doc_col="doc_id", text_col="text",
+    )
+    index_df, stats_df, codec_obj, manifest = b_mod.load_index(spark, out_dir)
+    stats_pd = stats_df.orderBy("doc_id").toPandas()
+    norm_lens = stats_pd["norm_len"].to_numpy(dtype=np.float64)
+    bundle = {
+        "index_df": index_df.cache(),
+        "codec": codec_obj,
+        "norm_lens": norm_lens,
+        "num_docs": manifest["num_docs"],
+        "manifest": manifest,
+    }
+    _INDEX_CACHE[key] = bundle
+    return bundle
+
+
+def _indexed_ranked(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix = _get_index(spark, sf_dir)
+    return q_mod.run_ranked(
+        spark,
+        ix["index_df"],
+        gate_queries_df(spark),
+        ix["codec"],
+        ix["norm_lens"],
+        ix["num_docs"],
+        mode=mode,
+        k=TOP_K,
+        dtype="float64",
+    )
+
+
+def q_wand_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _indexed_ranked(spark, sf_dir, "wand")
+
+
+def q_maxscore_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _indexed_ranked(spark, sf_dir, "maxscore")
+
+
+def q_ranked_or_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _indexed_ranked(spark, sf_dir, "ranked_or")
+
+
+def q_ranked_and_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _indexed_ranked(spark, sf_dir, "ranked_and")
+
+
+def _indexed_boolean(spark: SparkSession, sf_dir: str, conjunctive: bool) -> DataFrame:
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix = _get_index(spark, sf_dir)
+    return q_mod.run_boolean(
+        spark, ix["index_df"], gate_queries_df(spark), ix["codec"], conjunctive
+    )
+
+
+def q_bool_and_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _indexed_boolean(spark, sf_dir, True)
+
+
+def q_bool_or_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _indexed_boolean(spark, sf_dir, False)
+
+
+def q_index_decode_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 verification pass (create_freq_index.cpp:15-62): decode the
+    ENTIRE compressed index back to (term, doc_id, tf) and diff against
+    the DuckDB-computed truth — proves the codec+layout lossless on the
+    real corpus, not just on synthetic fixtures."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    ix = _get_index(spark, sf_dir)
+    codec_bc = spark.sparkContext.broadcast(ix["codec"])
+
+    def decode_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from partitioned_ef_ans_spark.codecs import blocks as blk
+
+        codec = codec_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            decoded = blk.decode_lists([bytes(p) for p in pdf["payload"]], codec)
+            terms, docs, tfs = [], [], []
+            for term, (d, f) in zip(pdf["term"], decoded):
+                terms.extend([term] * len(d))
+                docs.append(d)
+                tfs.append(f)
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "doc_id": np.concatenate(docs),
+                    "tf": np.concatenate(tfs).astype(np.int32),
+                }
+            )
+
+    return ix["index_df"].select("term", "payload").mapInPandas(
+        decode_all, schema="term string, doc_id long, tf int"
+    )
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression/stats plane (V2/V3): bits-per-posting etc. —
+    rows-only check (no SQL oracle can reproduce codec byte counts)."""
+    ix = _get_index(spark, sf_dir)
+    m = ix["manifest"]
+    return spark.createDataFrame(
+        [
+            (
+                m["codec"],
+                int(m["num_docs"]),
+                int(m["total_postings"]),
+                int(m["payload_bytes"]),
+                float(m["bits_per_posting"]),
+                float(m["postings_per_sec"]),
+            )
+        ],
+        "codec string, num_docs long, total_postings long, payload_bytes long, "
+        "bits_per_posting double, postings_per_sec double",
+    )
+
+
 # -------------------------------------------------------------- DuckDB side
 
 def _values_queries() -> tuple[str, str]:

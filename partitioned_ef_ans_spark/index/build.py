@@ -1,0 +1,252 @@
+"""Compressed-index build: the reference's two-pass pipeline as Spark jobs.
+
+Reference lifecycle (create_freq_index.cpp:249-307): pass 1 models every
+posting list (ANS symbol counts), freeze_models() on one node, pass 2
+encodes every list against the frozen models.  Spark mapping
+(SURVEY.md §3.1):
+
+  pass 1  = mapInPandas over the chunked postings table emitting one
+            partial (256 x 1025) count matrix per stream per partition,
+            summed on the driver (a treeAggregate in spirit: the
+            matrices are 2 MB each, so partials->driver is the tree).
+  freeze  = driver-side condense/normalize/table build (tiny state),
+            then sc.broadcast of the frozen models.
+  pass 2  = mapInPandas encoding whole Arrow batches of chunks through
+            the interleaved-rANS kernels; emits the index table.
+
+The index is a parquet table (one row per posting-list chunk) plus a
+sidecar with the frozen models + collection stats — the reference's
+single frozen blob (succinct::mapper::freeze) becomes table + manifest.
+
+Scale notes: every stage is a single pass over the postings table; the
+only shuffle upstream is the salted (term, chunk) aggregation.  The
+count-matrix collect is O(#partitions x 4 MB) regardless of data size.
+norm_lens is broadcast like the reference mmaps wand_data (wand_data
+.hpp:78-81); at 10^12-doc scale it would shard to a doc-range-keyed
+side table with the same semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from partitioned_ef_ans_spark.codecs import ans_msb, blocks
+from partitioned_ef_ans_spark.functions import bm25
+from partitioned_ef_ans_spark.operators import doc_stats as ds_mod
+from partitioned_ef_ans_spark.operators import postings as p_mod
+from partitioned_ef_ans_spark.tokenizer import term_frequencies, tokenize
+
+INDEX_SCHEMA = (
+    "term string, df long, cf long, num_chunks int, chunk_id int, "
+    "n int, first_doc long, last_doc long, payload binary, "
+    "block_maxs array<long>, chunk_max_weight float"
+)
+
+
+def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cd = ans_msb.new_counts()
+    cf = ans_msb.new_counts()
+    saw = False
+    for pdf in batches:
+        for doc_ids, freqs in zip(pdf["doc_ids"], pdf["freqs"]):
+            saw = True
+            d = np.asarray(doc_ids, dtype=np.int64)
+            f = np.asarray(freqs, dtype=np.int64)
+            db, fb, ns, sums, _ = blocks._blockize(d, f, ans_msb.BLOCK_SIZE)
+            ans_msb.accumulate_counts(cd, db, ns, sums)
+            ans_msb.accumulate_counts(
+                cf, fb, ns, np.full(len(ns), ans_msb.SUM_UNKNOWN)
+            )
+    if saw:
+        yield pd.DataFrame(
+            {
+                "stream": ["docs", "freqs"],
+                "counts": [cd.tobytes(), cf.tobytes()],
+            }
+        )
+
+
+def train_ans_models(postings: DataFrame):
+    """Pass 1 + freeze: returns ((enc_d, dec_d), (enc_f, dec_f))."""
+    rows = postings.select("doc_ids", "freqs").mapInPandas(
+        _count_batches, schema="stream string, counts binary"
+    ).collect()
+    cd = ans_msb.new_counts()
+    cf = ans_msb.new_counts()
+    for r in rows:
+        m = np.frombuffer(r["counts"], dtype=np.uint64).reshape(cd.shape)
+        if r["stream"] == "docs":
+            cd += m
+        else:
+            cf += m
+    return ans_msb.freeze_models(cd), ans_msb.freeze_models(cf)
+
+
+class IndexCodec:
+    """Doc/freq dual-stream codec bundle used by encode/decode passes."""
+
+    def __init__(self, codec_name: str, models=None):
+        self.codec_name = codec_name
+        self.models = models
+        if codec_name == "ans":
+            (enc_d, dec_d), (enc_f, dec_f) = models
+            self.docs = blocks.AnsCodec(enc=enc_d, dec=dec_d)
+            self.freqs = blocks.AnsCodec(enc=enc_f, dec=dec_f)
+        else:
+            self.docs = blocks.CODECS[codec_name]()
+            self.freqs = self.docs
+        self.block_size = self.docs.block_size
+
+    def encode_batch(self, blk, ns, sums):
+        if np.all(np.asarray(sums) == blocks.SUM_UNKNOWN):
+            return self.freqs.encode_batch(blk, ns, sums)
+        return self.docs.encode_batch(blk, ns, sums)
+
+    def decode_batch(self, payload, offsets, ns, sums):
+        if np.all(np.asarray(sums) == blocks.SUM_UNKNOWN):
+            return self.freqs.decode_batch(payload, offsets, ns, sums)
+        return self.docs.decode_batch(payload, offsets, ns, sums)
+
+
+def _encode_factory(codec_bc, norm_lens_bc):
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec: IndexCodec = codec_bc.value
+        norm = norm_lens_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            doc_lists = [np.asarray(x, dtype=np.int64) for x in pdf["doc_ids"]]
+            freq_lists = [np.asarray(x, dtype=np.int64) for x in pdf["freqs"]]
+            payloads = blocks.write_lists(doc_lists, freq_lists, codec)
+            maxw = np.empty(len(doc_lists), dtype=np.float32)
+            bmax = []
+            for i, (d, f) in enumerate(zip(doc_lists, freq_lists)):
+                # float32 doc-side BM25 weight (bm25.hpp:11-15); list max
+                # is the WAND upper bound (wand_data.hpp:35-50)
+                w = bm25.doc_term_weight_vec(
+                    f.astype(np.float32), norm[d].astype(np.float32)
+                )
+                maxw[i] = np.float32(w.max()) if len(w) else np.float32(0)
+                nb = (len(d) + codec.block_size - 1) // codec.block_size
+                ends = np.minimum(
+                    np.arange(1, nb + 1) * codec.block_size, len(d)
+                ) - 1
+                bmax.append(d[ends])
+            yield pd.DataFrame(
+                {
+                    "term": pdf["term"].to_numpy(),
+                    "df": pdf["df"].to_numpy(),
+                    "cf": pdf["cf"].to_numpy(),
+                    "num_chunks": pdf["num_chunks"].to_numpy(),
+                    "chunk_id": pdf["chunk_id"].to_numpy(),
+                    "n": [len(d) for d in doc_lists],
+                    "first_doc": [int(d[0]) for d in doc_lists],
+                    "last_doc": [int(d[-1]) for d in doc_lists],
+                    "payload": payloads,
+                    "block_maxs": bmax,
+                    "chunk_max_weight": maxw,
+                }
+            )
+
+    return encode_batches
+
+
+def build_index(
+    spark: SparkSession,
+    corpus_docs: DataFrame,
+    out_dir: str,
+    codec: str = "ans",
+    chunk_postings: int = p_mod.DEFAULT_CHUNK_POSTINGS,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """End-to-end: corpus -> tokenize -> postings -> models -> encoded
+    index at ``out_dir`` (parquet + sidecar).  Returns build metrics."""
+    from partitioned_ef_ans_spark.session import ship_package
+
+    ship_package(spark)
+    t0 = time.perf_counter()
+    tokens = tokenize(corpus_docs, doc_col=doc_col, text_col=text_col)
+    tf = term_frequencies(tokens)
+    stats = ds_mod.build_doc_stats(
+        corpus_docs.select(F.col(doc_col).alias("doc_id")), tokens
+    )
+    stats_pd = stats.orderBy("doc_id").toPandas()
+    num_docs = len(stats_pd)
+    norm_lens = stats_pd["norm_len"].to_numpy(dtype=np.float32)
+    avg_len = float(stats_pd["doc_len"].mean()) if num_docs else 0.0
+
+    postings = p_mod.build_postings(tf, num_docs=num_docs, chunk_postings=chunk_postings)
+    postings = postings.cache()
+
+    models = None
+    if codec == "ans":
+        models = train_ans_models(postings)
+    t_model = time.perf_counter()
+
+    sc = spark.sparkContext
+    codec_bundle = IndexCodec(codec, models)
+    codec_bc = sc.broadcast(codec_bundle)
+    norm_bc = sc.broadcast(norm_lens)
+
+    index_df = postings.mapInPandas(
+        _encode_factory(codec_bc, norm_bc), schema=INDEX_SCHEMA
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    index_df.write.mode("overwrite").parquet(f"{out_dir}/index.parquet")
+    stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats.parquet")
+    t_enc = time.perf_counter()
+
+    with open(f"{out_dir}/models.pkl", "wb") as fh:
+        pickle.dump({"codec": codec, "models": models}, fh)
+
+    total_postings = int(
+        spark.read.parquet(f"{out_dir}/index.parquet").agg(F.sum("n")).collect()[0][0]
+        or 0
+    )
+    payload_bytes = int(
+        spark.read.parquet(f"{out_dir}/index.parquet")
+        .agg(F.sum(F.length("payload")))
+        .collect()[0][0]
+        or 0
+    )
+    metrics = {
+        "codec": codec,
+        "num_docs": num_docs,
+        "avg_doc_len": avg_len,
+        "total_postings": total_postings,
+        "payload_bytes": payload_bytes,
+        "bits_per_posting": (payload_bytes * 8 / total_postings) if total_postings else 0.0,
+        "model_pass_sec": t_model - t0,
+        "encode_pass_sec": t_enc - t_model,
+        "build_sec": t_enc - t0,
+        "postings_per_sec": total_postings / (t_enc - t0) if t_enc > t0 else 0.0,
+        "chunk_postings": chunk_postings,
+    }
+    with open(f"{out_dir}/manifest.json", "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    postings.unpersist()
+    codec_bc.destroy()
+    norm_bc.destroy()
+    return metrics
+
+
+def load_index(spark: SparkSession, out_dir: str):
+    """(index_df, doc_stats_df, IndexCodec, manifest dict)."""
+    with open(f"{out_dir}/models.pkl", "rb") as fh:
+        side = pickle.load(fh)
+    with open(f"{out_dir}/manifest.json") as fh:
+        manifest = json.load(fh)
+    codec = IndexCodec(side["codec"], side["models"])
+    index_df = spark.read.parquet(f"{out_dir}/index.parquet")
+    stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
+    return index_df, stats_df, codec, manifest

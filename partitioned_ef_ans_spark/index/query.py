@@ -1,0 +1,409 @@
+"""Query execution over the compressed index.
+
+Architecture: batch query processing is query-parallel — the query set
+(small: 500-100k rows, like the reference's TREC sets) broadcast-joins
+into the index table so only the referenced posting-list chunks
+shuffle (compressed — ~11 bits/posting), then ``applyInPandas`` groups
+by query_id and runs the retrieval kernel per query.  Parallelism =
+queries; within a kernel everything is NumPy over decoded Arrow
+batches.  (The reference processes queries sequentially on one thread,
+queries.cpp:101-115; distribution across queries is the Spark-native
+generalization.  A second axis — doc-range partitioning of the chunks
+with local top-k + merge — composes with this for single-query
+latency; top-k is a commutative monoid.)
+
+Operators (queries.hpp):
+  ranked_or   — exhaustive union scoring (the oracle, :405-476)
+  ranked_and  — conjunctive leapfrog scoring (:324-403)
+  wand        — list-max pivoting + next_geq skipping (:203-322)
+  maxscore    — essential/non-essential split (:478-587)
+  bool_and / bool_or — match counts (:36-134)
+
+Scoring is float32 with the reference's constants by default
+(bm25.hpp); ``dtype=float64`` reproduces the relational/DuckDB oracle
+arithmetic for the correctness gate.  All modes rank on
+(round(score, ROUND_DECIMALS) desc, doc_id asc) at the output
+boundary — see operators/ranked.py for why rounding precedes ranking.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from partitioned_ef_ans_spark.codecs import blocks
+from partitioned_ef_ans_spark.functions import bm25
+from partitioned_ef_ans_spark.operators.ranked import query_freqs
+
+RESULT_SCHEMA = "query_id long, rank int, doc_id long, score double"
+COUNT_SCHEMA = "query_id long, matches long"
+
+
+def _q_weight(qtf, df, num_docs, dtype):
+    if dtype == np.float32:
+        return bm25.query_term_weight_np(int(qtf), int(df), int(num_docs))
+    idf = np.log((num_docs - df + 0.5) / (df + 0.5))
+    return float(qtf) * max(bm25.EPSILON_SCORE, idf) * (1.0 + bm25.K1)
+
+
+def _doc_weights(freqs, norm_lens, dtype):
+    if dtype == np.float32:
+        return bm25.doc_term_weight_vec(freqs, norm_lens)
+    f = freqs.astype(np.float64)
+    nl = norm_lens.astype(np.float64)
+    return f / (f + bm25.K1 * ((1.0 - bm25.B) + bm25.B * nl))
+
+
+class _Enum:
+    """Document enumerator over a decoded posting list — the protocol of
+    the reference's document_enumerator (next/next_geq/docid/freq with
+    value==num_docs as the exhaustion sentinel,
+    compact_elias_fano.hpp:140-262)."""
+
+    __slots__ = ("docs", "freqs", "pos", "n", "sentinel", "q_weight", "max_weight")
+
+    def __init__(self, docs, freqs, sentinel, q_weight=0.0, max_weight=0.0):
+        self.docs = docs
+        self.freqs = freqs
+        self.pos = 0
+        self.n = len(docs)
+        self.sentinel = sentinel
+        self.q_weight = q_weight
+        self.max_weight = max_weight
+
+    def docid(self) -> int:
+        return int(self.docs[self.pos]) if self.pos < self.n else self.sentinel
+
+    def freq(self) -> int:
+        return int(self.freqs[self.pos])
+
+    def next(self) -> None:
+        self.pos += 1
+
+    def next_geq(self, lower_bound: int) -> None:
+        # binary search from the current position (the decoded-array
+        # analogue of block-max skipping, block_posting_list.hpp:219-241)
+        self.pos += int(
+            np.searchsorted(self.docs[self.pos :], lower_bound, side="left")
+        )
+
+
+def _decode_group(pdf: pd.DataFrame, codec) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Group rows (term chunks) -> {term: (doc_ids, freqs)} decoded,
+    chunks concatenated in chunk order."""
+    pdf = pdf.sort_values(["term", "chunk_id"])
+    payloads = [bytes(p) for p in pdf["payload"]]
+    decoded = blocks.decode_lists(payloads, codec)
+    out: dict[str, list] = {}
+    for term, (docs, freqs) in zip(pdf["term"], decoded):
+        out.setdefault(term, []).append((docs, freqs))
+    return {
+        t: (
+            np.concatenate([d for d, _ in parts]),
+            np.concatenate([f for _, f in parts]),
+        )
+        for t, parts in out.items()
+    }
+
+
+def _topk_rows(scored: list[tuple[float, int]], qid: int, k: int) -> pd.DataFrame:
+    """(score, doc) candidates -> top-k rows ranked on rounded score."""
+    arr = sorted(
+        ((round(s, bm25.ROUND_DECIMALS), d) for s, d in scored),
+        key=lambda x: (-x[0], x[1]),
+    )[:k]
+    return pd.DataFrame(
+        {
+            "query_id": np.full(len(arr), qid, dtype=np.int64),
+            "rank": np.arange(1, len(arr) + 1, dtype=np.int32),
+            "doc_id": np.array([d for _, d in arr], dtype=np.int64),
+            "score": np.array([s for s, _ in arr], dtype=np.float64),
+        }
+    )
+
+
+def _kernel_ranked_or(lists, weights, norm, dtype, qid, k):
+    """Exhaustive union scoring, terms processed in sorted order so
+    float accumulation order is deterministic (SURVEY.md §7)."""
+    terms = sorted(lists)
+    all_docs = np.unique(np.concatenate([lists[t][0] for t in terms]))
+    scores = np.zeros(len(all_docs), dtype=dtype)
+    for t in terms:
+        docs, freqs = lists[t]
+        w = _doc_weights(freqs, norm[docs], dtype) * dtype(weights[t])
+        idx = np.searchsorted(all_docs, docs)
+        scores[idx] += w.astype(dtype)
+    return _topk_rows(list(zip(scores.tolist(), all_docs.tolist())), qid, k)
+
+
+def _kernel_ranked_and(lists, weights, norm, dtype, qid, k, n_terms):
+    terms = sorted(lists)
+    if len(terms) < n_terms:  # some query term has no list at all
+        return _topk_rows([], qid, k)
+    common = lists[terms[0]][0]
+    for t in terms[1:]:
+        common = np.intersect1d(common, lists[t][0], assume_unique=True)
+    if len(common) == 0:
+        return _topk_rows([], qid, k)
+    scores = np.zeros(len(common), dtype=dtype)
+    for t in terms:
+        docs, freqs = lists[t]
+        pos = np.searchsorted(docs, common)
+        w = _doc_weights(freqs[pos], norm[common], dtype) * dtype(weights[t])
+        scores += w.astype(dtype)
+    return _topk_rows(list(zip(scores.tolist(), common.tolist())), qid, k)
+
+
+def _kernel_wand(lists, weights, max_weights, norm, dtype, qid, k, num_docs, extra=10):
+    """Faithful WAND (queries.hpp:203-322): enums sorted by docid, pivot
+    = first prefix whose sum of max_weights would enter the heap, full
+    scoring only on pivot alignment, else next_geq on the farthest-
+    behind list.  Collects k+extra then re-ranks on rounded scores so
+    the output boundary matches the round-then-rank discipline."""
+    kk = k + extra
+    enums = [
+        _Enum(
+            lists[t][0],
+            lists[t][1],
+            num_docs,
+            q_weight=dtype(weights[t]),
+            max_weight=dtype(weights[t]) * dtype(max_weights[t]),
+        )
+        for t in sorted(lists)
+    ]
+    heap: list[tuple[float, int]] = []  # (score, -doc): min = worst
+
+    def would_enter(ub: float) -> bool:
+        return len(heap) < kk or ub > heap[0][0]
+
+    ordered = sorted(enums, key=lambda e: e.docid())
+    while True:
+        upper = dtype(0)
+        pivot = None
+        for i, en in enumerate(ordered):
+            if en.docid() == num_docs:
+                break
+            upper = upper + en.max_weight
+            if would_enter(float(upper)):
+                pivot = i
+                break
+        if pivot is None:
+            break
+        pivot_id = ordered[pivot].docid()
+        if pivot_id == ordered[0].docid():
+            score = dtype(0)
+            nl = norm[pivot_id]
+            for en in ordered:
+                if en.docid() != pivot_id:
+                    break
+                w = _doc_weights(
+                    np.array([en.freq()]), np.array([nl]), dtype
+                )[0]
+                score = score + en.q_weight * w
+                en.next()
+            item = (float(score), -pivot_id)
+            if len(heap) < kk:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            ordered.sort(key=lambda e: e.docid())
+        else:
+            nxt = pivot
+            while ordered[nxt].docid() == pivot_id:
+                nxt -= 1
+            ordered[nxt].next_geq(pivot_id)
+            i = nxt + 1
+            while i < len(ordered) and ordered[i].docid() < ordered[i - 1].docid():
+                ordered[i], ordered[i - 1] = ordered[i - 1], ordered[i]
+                i += 1
+    return _topk_rows([(s, -d) for s, d in heap], qid, k)
+
+
+def _kernel_maxscore(lists, weights, max_weights, norm, dtype, qid, k, num_docs, extra=10):
+    """MaxScore (queries.hpp:478-587): lists ordered by max_weight;
+    essential lists drive the frontier, non-essential ones are probed
+    with next_geq and cut off by the prefix upper bound."""
+    kk = k + extra
+    enums = sorted(
+        (
+            _Enum(
+                lists[t][0],
+                lists[t][1],
+                num_docs,
+                q_weight=dtype(weights[t]),
+                max_weight=dtype(weights[t]) * dtype(max_weights[t]),
+            )
+            for t in sorted(lists)
+        ),
+        key=lambda e: e.max_weight,
+    )
+    m = len(enums)
+    # prefix upper bounds: ub[i] = sum of max_weight of enums[0..i]
+    ub = np.cumsum([float(e.max_weight) for e in enums])
+    heap: list[tuple[float, int]] = []
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) >= kk else -np.inf
+
+    first_essential = 0
+    while first_essential < m and ub[first_essential] <= threshold():
+        first_essential += 1
+    cur = min((e.docid() for e in enums[first_essential:]), default=num_docs)
+    while cur < num_docs and first_essential < m:
+        score = dtype(0)
+        nxt = num_docs
+        nl = norm[cur]
+        for en in enums[first_essential:]:
+            if en.docid() == cur:
+                w = _doc_weights(np.array([en.freq()]), np.array([nl]), dtype)[0]
+                score = score + en.q_weight * w
+                en.next()
+            if en.docid() < nxt:
+                nxt = en.docid()
+        # probe non-essential lists best-first while the bound allows
+        for i in range(first_essential - 1, -1, -1):
+            if float(score) + ub[i] <= threshold():
+                break
+            en = enums[i]
+            en.next_geq(cur)
+            if en.docid() == cur:
+                w = _doc_weights(np.array([en.freq()]), np.array([norm[cur]]), dtype)[0]
+                score = score + en.q_weight * w
+        item = (float(score), -cur)
+        if len(heap) < kk:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+        while first_essential < m and ub[first_essential] <= threshold():
+            first_essential += 1
+        cur = nxt
+    return _topk_rows([(s, -d) for s, d in heap], qid, k)
+
+
+def make_ranked_kernel(codec_bc, norm_bc, num_docs, k, mode, dtype_name="float64"):
+    dtype = np.float32 if dtype_name == "float32" else np.float64
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return _topk_rows([], -1, 0)
+        qid = int(pdf["query_id"].iloc[0])
+        n_terms = int(pdf["n_terms"].iloc[0])
+        codec = codec_bc.value
+        norm = norm_bc.value.astype(dtype)
+        lists = _decode_group(pdf, codec)
+        per_term = pdf.drop_duplicates("term").set_index("term")
+        weights = {
+            t: _q_weight(per_term.loc[t, "qtf"], per_term.loc[t, "df"], num_docs, dtype)
+            for t in lists
+        }
+        if mode == "ranked_or":
+            return _kernel_ranked_or(lists, weights, norm, dtype, qid, k)
+        if mode == "ranked_and":
+            return _kernel_ranked_and(lists, weights, norm, dtype, qid, k, n_terms)
+        max_weights = {
+            t: float(per_term.loc[t, "max_weight"]) for t in lists
+        }
+        if mode == "wand":
+            return _kernel_wand(
+                lists, weights, max_weights, norm, dtype, qid, k, num_docs
+            )
+        if mode == "maxscore":
+            return _kernel_maxscore(
+                lists, weights, max_weights, norm, dtype, qid, k, num_docs
+            )
+        raise ValueError(mode)
+
+    return kernel
+
+
+def make_bool_kernel(codec_bc, conjunctive):
+    def _empty():
+        return pd.DataFrame(
+            {
+                "query_id": np.array([], dtype=np.int64),
+                "matches": np.array([], dtype=np.int64),
+            }
+        )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return _empty()
+        qid = int(pdf["query_id"].iloc[0])
+        n_terms = int(pdf["n_terms"].iloc[0])
+        lists = _decode_group(pdf, codec_bc.value)
+        if conjunctive:
+            if len(lists) < n_terms:
+                return _empty()
+            # smallest-first intersection (and_query sorts by length,
+            # queries.hpp:54-58)
+            docsets = sorted((v[0] for v in lists.values()), key=len)
+            common = docsets[0]
+            for d in docsets[1:]:
+                common = np.intersect1d(common, d, assume_unique=True)
+            m = len(common)
+        else:
+            m = len(np.unique(np.concatenate([v[0] for v in lists.values()])))
+        if m == 0:
+            return _empty()
+        return pd.DataFrame(
+            {
+                "query_id": np.array([qid], dtype=np.int64),
+                "matches": np.array([m], dtype=np.int64),
+            }
+        )
+
+    return kernel
+
+
+def query_lists_df(index_df: DataFrame, queries_df: DataFrame) -> DataFrame:
+    """Join the (broadcast) query term multiset into the index table —
+    only referenced chunks survive (Catalyst pushes the term filter
+    into the parquet scan)."""
+    qf = query_freqs(queries_df)  # query_id, term, qtf, n_terms
+    per_term_max = index_df.groupBy("term").agg(
+        F.max("chunk_max_weight").alias("max_weight")
+    )
+    idx = index_df.join(F.broadcast(qf), "term")
+    return idx.join(F.broadcast(per_term_max), "term")
+
+
+def run_ranked(
+    spark,
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    codec,
+    norm_lens: np.ndarray,
+    num_docs: int,
+    mode: str = "wand",
+    k: int = 10,
+    dtype: str = "float64",
+) -> DataFrame:
+    from partitioned_ef_ans_spark.session import ship_package
+
+    ship_package(spark)
+    sc = spark.sparkContext
+    codec_bc = sc.broadcast(codec)
+    norm_bc = sc.broadcast(norm_lens)
+    joined = query_lists_df(index_df, queries_df)
+    kernel = make_ranked_kernel(codec_bc, norm_bc, num_docs, k, mode, dtype)
+    return joined.groupBy("query_id").applyInPandas(kernel, schema=RESULT_SCHEMA)
+
+
+def run_boolean(
+    spark, index_df: DataFrame, queries_df: DataFrame, codec, conjunctive: bool
+) -> DataFrame:
+    from partitioned_ef_ans_spark.session import ship_package
+
+    ship_package(spark)
+    sc = spark.sparkContext
+    codec_bc = sc.broadcast(codec)
+    # boolean ops dedup query terms first (queries.hpp:30-34)
+    qdf = queries_df.select("query_id", F.array_distinct("terms").alias("terms"))
+    joined = query_lists_df(index_df, qdf)
+    kernel = make_bool_kernel(codec_bc, conjunctive)
+    return joined.groupBy("query_id").applyInPandas(kernel, schema=COUNT_SCHEMA)

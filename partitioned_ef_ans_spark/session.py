@@ -3,8 +3,26 @@
 from __future__ import annotations
 
 import os
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make the engine importable on executors (the local-mode analogue
+    of ``spark-submit --py-files pefa.zip``).  Idempotent per context."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pefa_shipped", False):
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(f"/tmp/pefa_pkg_{os.getpid()}.zip")
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for f in pkg_dir.rglob("*.py"):
+                zf.write(f, f"partitioned_ef_ans_spark/{f.relative_to(pkg_dir)}")
+    sc.addPyFile(str(zip_path))
+    sc._pefa_shipped = True
 
 
 def get_spark(
