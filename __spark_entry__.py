@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_and_indexed": gate.q_bool_and_indexed,
         "bool_or_indexed": gate.q_bool_or_indexed,
         "index_stats": gate.q_index_stats,
+        "index_decode_flat_pef": gate.q_index_decode_flat_pef,
+        "wand_top10_pef": gate.q_wand_top10_pef,
     }
 
 
@@ -68,4 +70,6 @@ def oracle_sql() -> dict[str, str]:
         "ranked_and_indexed": gate.sql_ranked_and(),
         "bool_and_indexed": gate.sql_bool_and(),
         "bool_or_indexed": gate.sql_bool_or(),
+        "index_decode_flat_pef": gate.sql_postings_flat(),
+        "wand_top10_pef": gate.sql_ranked_or(),
     }

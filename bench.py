@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Headline benchmark: index build throughput + compressed top-k query
+suite, on `$SPARK_GRAFT_SF_DIR` documents augmented with a distributed
+deterministic synthetic corpus (FIXTURES.md F1 shape).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {phase: sec, ...}, "sf": ..., ...extra keys...}
+
+Scaling evidence (north rule: throughput scaling efficiency >=0.8 from
+N to 4N): `python bench.py --scaling` re-runs the build in clean
+subprocesses at local[8] and local[32] on identical input and reports
+efficiency = (T_8 / T_32) / 4.  (No real cluster in this sandbox —
+BASELINE.md documents the equivalence.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_DOCS = int(os.environ.get("PEFA_BENCH_SYNTH_DOCS", "40000"))
+N_QUERIES = int(os.environ.get("PEFA_BENCH_QUERIES", "500"))
+K = 10
+
+
+def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark import corpus as c_mod
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    t_start = time.perf_counter()
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    n_real = docs.count()
+    # deterministic dense ids for the synthetic docs after the real ones
+    synth = c_mod.synthesize_corpus_distributed(
+        spark, SYNTH_DOCS, vocab_size=20000, num_partitions=2 * cpus
+    ).select(
+        (
+            F.regexp_extract("path", r"f(\d+)\.", 1).cast("long") + F.lit(n_real)
+        ).alias("doc_id"),
+        "content",
+    )
+    corpus = docs.unionByName(synth)
+
+    idx_dir = f"/tmp/pefa_bench_index_c{cpus}"
+    t0 = time.perf_counter()
+    metrics = b_mod.build_index(
+        spark, corpus, idx_dir, codec="ans",
+        doc_col="doc_id", text_col="content",
+        chunk_postings=1 << 16,
+    )
+    t_build = time.perf_counter() - t0
+    out["build_index"] = round(t_build, 3)
+    out["postings_per_sec"] = round(metrics["total_postings"] / t_build, 1)
+    out["total_postings"] = metrics["total_postings"]
+    out["bits_per_posting"] = round(metrics["bits_per_posting"], 3)
+    out["num_docs"] = metrics["num_docs"]
+
+    if query_modes:
+        index_df, stats_df, codec, manifest = b_mod.load_index(spark, idx_dir)
+        index_df = index_df.cache()
+        index_df.count()
+        stats_pd = stats_df.orderBy("doc_id").toPandas()
+        norm = stats_pd["norm_len"].to_numpy(dtype=np.float32)
+        nd = manifest["num_docs"]
+        qs = c_mod.synthesize_queries(N_QUERIES, vocab_size=20000)
+        qdf = queries_to_df(spark, qs).cache()
+        qdf.count()
+        for mode in ("wand", "maxscore", "ranked_or", "ranked_and"):
+            t0 = time.perf_counter()
+            n = q_mod.run_ranked(
+                spark, index_df, qdf, codec, norm, nd,
+                mode=mode, k=K, dtype="float32",
+            ).count()
+            dt = time.perf_counter() - t0
+            out[f"{mode}_{N_QUERIES}q"] = round(dt, 3)
+            out[f"{mode}_qps"] = round(N_QUERIES / dt, 1)
+        for conj, name in ((True, "bool_and"), (False, "bool_or")):
+            t0 = time.perf_counter()
+            q_mod.run_boolean(spark, index_df, qdf, codec, conj).count()
+            out[f"{name}_{N_QUERIES}q"] = round(time.perf_counter() - t0, 3)
+    out["total_wall"] = round(time.perf_counter() - t_start, 3)
+    spark.stop()
+    return out
+
+
+def main():
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ)
+            env["PEFA_SCALING_CHILD"] = str(cpus)
+            r = subprocess.run(
+                [sys.executable, __file__, "--child", str(cpus)],
+                capture_output=True, text=True, env=env,
+            )
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        t8 = results[8]["queries"]["build_index"]
+        t32 = results[32]["queries"]["build_index"]
+        eff = (t8 / t32) / 4.0
+        print(json.dumps({
+            "metric": "build_scaling_efficiency_8_to_32_cores",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "t_build_local8_sec": t8,
+            "t_build_local32_sec": t32,
+            "postings": results[32]["queries"].get("total_postings"),
+        }))
+        return
+    if "--child" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--child") + 1])
+        q: dict = {}
+        build_and_query(cpus, q, query_modes=False)
+        print(json.dumps({"metric": "child", "value": q["build_index"],
+                          "unit": "sec", "queries": q, "sf": SF_DIR}))
+        return
+
+    q: dict = {}
+    build_and_query(CPUS, q, query_modes=True)
+    print(json.dumps({
+        "metric": "ans_index_build_plus_topk_query_suite",
+        "value": q["total_wall"],
+        "unit": "sec",
+        "queries": q,
+        "sf": SF_DIR,
+        "codec": "ans_msb_medmax_merged",
+        "cpus": CPUS,
+        "synth_docs": SYNTH_DOCS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

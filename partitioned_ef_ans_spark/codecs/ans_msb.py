@@ -61,64 +61,35 @@ MAG2SEL = np.array(
 def magnitude(x: np.ndarray) -> np.ndarray:
     """ceil(log2(x)) with magnitude(1)=0 (ans_util.hpp:13-22)."""
     x = np.asarray(x, dtype=np.uint64)
-    # exact floor(log2) via shift counting (no float rounding hazards)
-    bl = np.zeros(x.shape, dtype=np.uint32)
-    xv = x.copy()
-    while np.any(xv > 1):
-        m = xv > 1
-        bl[m] += 1
-        xv[m] >>= np.uint64(1)
+    # frexp is exact for x < 2^53 (all inputs here are < 2^33):
+    # frexp -> (m, e) with x = m * 2^e, 0.5 <= m < 1, so floor(log2)=e-1
+    e = np.frexp(x.astype(np.float64))[1]
     ispow2 = (x & (x - np.uint64(1))) == 0
-    out = np.where(x <= 1, 0, np.where(ispow2, bl, bl + 1))
+    out = np.where(x <= 1, 0, np.where(ispow2, e - 1, e))
     return out.astype(np.uint32)
 
 
 def mapping_alistair(x: np.ndarray) -> np.ndarray:
     """u32 value (>=1) -> MSB symbol <=1024 (ans_msb_util.hpp:221-230)."""
-    x = np.asarray(x, dtype=np.uint64)
-    out = np.where(
-        x <= 256,
-        x,
-        np.where(
-            x <= (1 << 16),
-            (x >> np.uint64(8)) + np.uint64(256),
-            np.where(
-                x <= (1 << 24),
-                (x >> np.uint64(16)) + np.uint64(512),
-                (x >> np.uint64(24)) + np.uint64(768),
-            ),
-        ),
-    )
-    return out.astype(np.uint32)
+    x = np.asarray(x).astype(np.int64, copy=False)
+    # bucket 0: x<=256 -> x ; 1: <=2^16 -> (x>>8)+256 ;
+    # 2: <=2^24 -> (x>>16)+512 ; 3: else (x>>24)+768
+    b = (x > 256).astype(np.int64) + (x > (1 << 16)) + (x > (1 << 24))
+    return ((x >> (b << 3)) + (b << 8)).astype(np.uint32)
 
 
 def exception_bytes(sym: np.ndarray) -> np.ndarray:
     """#side-stream bytes for a mapped symbol (ans_msb_util.hpp:180-188)."""
-    s = np.asarray(sym, dtype=np.uint32)
-    return (
-        (s > 256).astype(np.uint8)
-        + (s > 512).astype(np.uint8)
-        + (s > 768).astype(np.uint8)
-    )
+    s = np.asarray(sym).astype(np.int64, copy=False)
+    return ((s > 256).astype(np.uint8) + (s > 512) + (s > 768)).astype(np.uint8)
 
 
 def undo_mapping(sym: np.ndarray) -> np.ndarray:
     """mapped symbol -> value with exception bytes zeroed
     (ans_msb_util.hpp:170-178)."""
-    s = np.asarray(sym, dtype=np.uint64)
-    return np.where(
-        s <= 256,
-        s,
-        np.where(
-            s <= 512,
-            (s - np.uint64(256)) << np.uint64(8),
-            np.where(
-                s <= 768,
-                (s - np.uint64(512)) << np.uint64(16),
-                (s - np.uint64(768)) << np.uint64(24),
-            ),
-        ),
-    ).astype(np.uint64)
+    s = np.asarray(sym).astype(np.int64, copy=False)
+    b = (s > 256).astype(np.int64) + (s > 512) + (s > 768)
+    return (((s - (b << 8)) << (b << 3))).astype(np.uint64)
 
 
 def pick_model_medmax(blocks: np.ndarray, ns: np.ndarray) -> np.ndarray:

@@ -127,6 +127,63 @@ def _blockize(doc_ids: np.ndarray, freqs: np.ndarray, block_size: int):
     return db, fb, ns, sums, block_maxs
 
 
+def blockize_many(
+    doc_lists: list[np.ndarray], freq_lists: list[np.ndarray], block_size: int
+):
+    """Vectorized batch blockize: all lists of an Arrow batch at once.
+
+    Returns (DB, FB, NS, SUMS, nblocks_per_list, block_maxs_per_list)
+    where DB/FB are (total_blocks, block_size) padded transformed
+    values, matching per-list :func:`_blockize` exactly.
+    """
+    L = np.array([len(d) for d in doc_lists], dtype=np.int64)
+    nlists = len(doc_lists)
+    if nlists == 0:
+        z = np.zeros((0, block_size), dtype=np.uint64)
+        return z, z.copy(), np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64), []
+    docs = np.concatenate(doc_lists).astype(np.int64)
+    frs = np.concatenate(freq_lists).astype(np.int64) - 1
+    starts = np.concatenate([[0], np.cumsum(L)[:-1]])
+    gaps = np.empty_like(docs)
+    gaps[1:] = np.diff(docs) - 1
+    gaps[0] = docs[0]
+    gaps[starts] = docs[starts]  # first element of each list: doc - (-1) - 1
+
+    nblocks = (L + block_size - 1) // block_size
+    block_off = np.concatenate([[0], np.cumsum(nblocks)[:-1]])
+    total_blocks = int(nblocks.sum())
+
+    # element -> (block row, column)
+    pos_in_list = np.arange(len(docs)) - np.repeat(starts, L)
+    row = np.repeat(block_off, L) + pos_in_list // block_size
+    col = pos_in_list % block_size
+
+    DB = np.zeros((total_blocks, block_size), dtype=np.uint64)
+    FB = np.zeros((total_blocks, block_size), dtype=np.uint64)
+    DB[row, col] = gaps
+    FB[row, col] = frs
+
+    NS = np.full(total_blocks, block_size, dtype=np.int64)
+    last_rows = block_off + nblocks - 1
+    rem = L % block_size
+    NS[last_rows] = np.where(rem == 0, block_size, rem)
+
+    # block maxs: last doc of each block
+    blk_list = np.repeat(np.arange(nlists), nblocks)
+    blk_in_list = np.arange(total_blocks) - block_off[blk_list]
+    end_pos = np.minimum((blk_in_list + 1) * block_size, L[blk_list]) - 1
+    maxs = docs[starts[blk_list] + end_pos]
+    bases = np.where(blk_in_list == 0, 0, np.concatenate([[0], maxs[:-1] + 1]))
+    # bases for block b>0 = prev block's max + 1 (within the same list)
+    prev_max = np.empty(total_blocks, dtype=np.int64)
+    prev_max[1:] = maxs[:-1]
+    prev_max[block_off] = -1
+    bases = np.where(blk_in_list == 0, 0, prev_max + 1)
+    SUMS = maxs - bases - (NS - 1)
+    block_maxs = [maxs[block_off[i] : block_off[i] + nblocks[i]] for i in range(nlists)]
+    return DB, FB, NS, SUMS, nblocks, block_maxs
+
+
 def write_lists(
     doc_lists: list[np.ndarray], freq_lists: list[np.ndarray], codec
 ) -> list[bytes]:
@@ -137,18 +194,11 @@ def write_lists(
     the list.
     """
     bs = codec.block_size
-    all_db, all_fb, all_ns, all_sums, metas = [], [], [], [], []
-    for doc_ids, freqs in zip(doc_lists, freq_lists):
-        db, fb, ns, sums, maxs = _blockize(doc_ids, freqs, bs)
-        all_db.append(db)
-        all_fb.append(fb)
-        all_ns.append(ns)
-        all_sums.append(sums)
-        metas.append((len(doc_ids), maxs, len(ns)))
-    DB = np.vstack(all_db)
-    FB = np.vstack(all_fb)
-    NS = np.concatenate(all_ns)
-    SUMS = np.concatenate(all_sums)
+    DB, FB, NS, SUMS, nblocks, block_maxs = blockize_many(doc_lists, freq_lists, bs)
+    metas = [
+        (len(doc_lists[i]), block_maxs[i], int(nblocks[i]))
+        for i in range(len(doc_lists))
+    ]
     doc_payloads = codec.encode_batch(DB, NS, SUMS)
     freq_payloads = codec.encode_batch(
         FB, NS, np.full(len(NS), SUM_UNKNOWN, dtype=np.int64)

@@ -1,0 +1,636 @@
+"""Partitioned Elias-Fano sequence codecs (NumPy bit kernels).
+
+Faithful reimplementation of the reference's EF family layouts and size
+formulas:
+
+  compact_elias_fano      (compact_elias_fano.hpp:12-138)
+  strict_elias_fano       (strict_elias_fano.hpp:10-83, v_i - i transform)
+  compact_ranked_bitvector(compact_ranked_bitvector.hpp:12-120)
+  all_ones_sequence       (all_ones_sequence.hpp)
+  indexed_sequence        (cost-based selector, indexed_sequence.hpp:42-86)
+  strict_sequence         (strict params: no 0-pointers, strict_sequence.hpp)
+  positive_sequence       (prefix-sum wrapper, positive_sequence.hpp)
+  optimal_partition       (the space-optimal DP, optimal_partition.hpp:70-125)
+  partitioned_sequence    (partitioned_sequence.hpp:21-120)
+  uniform partitioning    (fixed 2^7 chunks, uniform_partitioned_sequence.hpp)
+
+Bit conventions follow succinct::bit_vector (LSB-first within 64-bit
+words); γ/δ codes follow integer_codes.hpp.  All ``bitsize`` formulas —
+including the sampled-pointer areas — are reproduced exactly, so
+partition decisions and bits-per-posting match the reference.  One
+documented divergence: the pointer areas are allocated but left zero;
+our decoders reconstruct whole sequences vectorized (Arrow-batch
+execution) instead of using skip pointers (SURVEY.md §4).
+
+Knobs (global_parameters.hpp:6-13, configuration.hpp:28-31):
+ef_log_sampling0=9, ef_log_sampling1=8, rb_log_rank1_sampling=9,
+rb_log_sampling1=8, log_partition_size=7, eps1=0.03, eps2=0.3,
+fix_cost=64.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+EF_LOG_SAMPLING0 = 9
+EF_LOG_SAMPLING1 = 8
+RB_LOG_RANK1_SAMPLING = 9
+RB_LOG_SAMPLING1 = 8
+LOG_PARTITION_SIZE = 7
+EPS1 = 0.03
+EPS2 = 0.3
+FIX_COST = 64
+
+U64 = np.uint64
+_ONE = np.uint64(1)
+
+
+def ceil_log2(x: int) -> int:
+    return max(0, int(x - 1).bit_length()) if x > 1 else 0
+
+
+def msb(x: int) -> int:
+    return int(x).bit_length() - 1
+
+
+# ------------------------------------------------------------------ bit io
+
+class BitWriter:
+    """Append/set bit fields LSB-first in 64-bit words."""
+
+    def __init__(self):
+        self.words = np.zeros(16, dtype=np.uint64)
+        self.size = 0  # bits
+
+    def _ensure(self, bits: int) -> None:
+        need = (bits + 63) >> 6
+        if need > len(self.words):
+            self.words = np.resize(self.words, max(need, 2 * len(self.words)))
+            # np.resize fills with repeats; zero the tail explicitly
+        # (we only ever OR into fresh area that zero_extend touched)
+
+    def zero_extend(self, nbits: int) -> None:
+        new_size = self.size + nbits
+        # +1 spare word: vectorized spill writes may touch one word past
+        # the last occupied one (with zero payload)
+        need = ((new_size + 63) >> 6) + 1
+        if need > len(self.words):
+            old = self.words
+            self.words = np.zeros(max(need, 2 * len(old)), dtype=np.uint64)
+            self.words[: len(old)] = old
+        self.size = new_size
+
+    def set_bits(self, offset: int, value: int, width: int) -> None:
+        if width == 0:
+            return
+        value = int(value) & ((1 << width) - 1)
+        w, s = offset >> 6, offset & 63
+        self.words[w] |= U64((value << s) & 0xFFFFFFFFFFFFFFFF)
+        if s + width > 64:
+            self.words[w + 1] |= U64(value >> (64 - s))
+
+    def set_bit(self, offset: int) -> None:
+        self.words[offset >> 6] |= _ONE << U64(offset & 63)
+
+    def append_bits(self, value: int, width: int) -> None:
+        off = self.size
+        self.zero_extend(width)
+        self.set_bits(off, value, width)
+
+    def set_bits_vec(self, offsets: np.ndarray, values: np.ndarray, width: int) -> None:
+        """OR many disjoint ``width``-bit fields (vectorized)."""
+        if width == 0 or len(offsets) == 0:
+            return
+        offsets = offsets.astype(np.int64)
+        values = values.astype(np.uint64) & U64((1 << width) - 1)
+        w = offsets >> 6
+        s = (offsets & 63).astype(np.uint64)
+        lo = (values << s).astype(np.uint64)
+        np.bitwise_or.at(self.words, w, lo)
+        spill = (offsets & 63) + width > 64
+        if np.any(spill):
+            hs = (U64(64) - s[spill]).astype(np.uint64)
+            np.bitwise_or.at(self.words, w[spill] + 1, values[spill] >> hs)
+
+    def set_bits_at(self, positions: np.ndarray) -> None:
+        """Set single bits at many positions (vectorized)."""
+        if len(positions) == 0:
+            return
+        positions = positions.astype(np.int64)
+        np.bitwise_or.at(
+            self.words, positions >> 6, _ONE << (positions & 63).astype(np.uint64)
+        )
+
+    def append_writer(self, other: "BitWriter") -> None:
+        off = self.size
+        self.zero_extend(other.size)
+        # word-misaligned OR: shift other's words into place
+        nwords = (other.size + 63) >> 6
+        ow = other.words[:nwords]
+        w, s = off >> 6, off & 63
+        if s == 0:
+            np.bitwise_or.at(self.words, w + np.arange(nwords), ow)
+        else:
+            sh = np.uint64(s)
+            np.bitwise_or.at(self.words, w + np.arange(nwords), ow << sh)
+            np.bitwise_or.at(
+                self.words, w + np.arange(nwords) + 1, ow >> np.uint64(64 - s)
+            )
+
+    def tobytes(self) -> bytes:
+        nwords = (self.size + 63) >> 6
+        return self.words[:nwords].tobytes()
+
+
+class BitReader:
+    def __init__(self, buf: bytes | np.ndarray):
+        b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray)) else np.asarray(buf, dtype=np.uint8)
+        pad = (-len(b)) % 8
+        if pad:
+            b = np.concatenate([b, np.zeros(pad, dtype=np.uint8)])
+        self.words = b.view(np.uint64)
+        self.nbits = len(b) * 8
+        self.pos = 0  # cursor for sequential reads
+
+    def read_bits(self, offset: int, width: int) -> int:
+        if width == 0:
+            return 0
+        w, s = offset >> 6, offset & 63
+        val = int(self.words[w]) >> s
+        if s + width > 64:
+            val |= int(self.words[w + 1]) << (64 - s)
+        return val & ((1 << width) - 1)
+
+    def take(self, width: int) -> int:
+        v = self.read_bits(self.pos, width)
+        self.pos += width
+        return v
+
+    def skip_zeros(self) -> int:
+        """Count zeros up to and including the terminating 1 bit
+        (succinct enumerator semantics for γ decode)."""
+        start = self.pos
+        while True:
+            w, s = self.pos >> 6, self.pos & 63
+            chunk = int(self.words[w]) >> s
+            if chunk:
+                tz = (chunk & -chunk).bit_length() - 1
+                self.pos += tz + 1
+                return self.pos - start - 1
+            self.pos += 64 - s
+
+    def read_fields_vec(self, offsets: np.ndarray, width: int) -> np.ndarray:
+        if width == 0:
+            return np.zeros(len(offsets), dtype=np.uint64)
+        offsets = offsets.astype(np.int64)
+        w = offsets >> 6
+        s = (offsets & 63).astype(np.uint64)
+        lo = self.words[w] >> s
+        hi = np.where(
+            (offsets & 63) + width > 64,
+            self.words[np.minimum(w + 1, len(self.words) - 1)]
+            << (U64(64) - s).astype(np.uint64),
+            U64(0),
+        )
+        mask = U64((1 << width) - 1) if width < 64 else U64(0xFFFFFFFFFFFFFFFF)
+        return (lo | hi) & mask
+
+    def ones_in_window(self, start: int, length: int) -> np.ndarray:
+        """Positions (relative to start) of set bits in [start, start+length)."""
+        if length <= 0:
+            return np.empty(0, dtype=np.int64)
+        first_byte = start >> 3
+        last_byte = (start + length + 7) >> 3
+        window = np.unpackbits(
+            self.words.view(np.uint8)[first_byte:last_byte], bitorder="little"
+        )
+        off = start - (first_byte << 3)
+        window = window[off : off + length]
+        return np.flatnonzero(window)
+
+
+# ------------------------------------------------------------- gamma/delta
+
+def write_gamma(bw: BitWriter, n: int) -> None:
+    nn = n + 1
+    l = msb(nn)
+    bw.append_bits(1 << l, l + 1)
+    bw.append_bits(nn ^ (1 << l), l)
+
+
+def write_gamma_nonzero(bw: BitWriter, n: int) -> None:
+    write_gamma(bw, n - 1)
+
+
+def read_gamma(br: BitReader) -> int:
+    l = br.skip_zeros()
+    return (br.take(l) | (1 << l)) - 1
+
+
+def read_gamma_nonzero(br: BitReader) -> int:
+    return read_gamma(br) + 1
+
+
+def write_delta(bw: BitWriter, n: int) -> None:
+    nn = n + 1
+    l = msb(nn)
+    write_gamma(bw, l)
+    bw.append_bits(nn ^ (1 << l), l)
+
+
+def read_delta(br: BitReader) -> int:
+    l = read_gamma(br)
+    return (br.take(l) | (1 << l)) - 1
+
+
+# -------------------------------------------------------- compact Elias-Fano
+
+@dataclass
+class EFOffsets:
+    universe: int
+    n: int
+    lower_bits: int
+    higher_bits_length: int
+    pointer_size: int
+    pointers0: int
+    pointers1: int
+    pointers0_offset: int
+    pointers1_offset: int
+    higher_bits_offset: int
+    lower_bits_offset: int
+    end: int
+
+
+def ef_offsets(base: int, universe: int, n: int, log_s0=EF_LOG_SAMPLING0, log_s1=EF_LOG_SAMPLING1) -> EFOffsets:
+    lower_bits = msb(universe // n) if universe > n else 0
+    higher_bits_length = n + (universe >> lower_bits) + 2
+    pointer_size = ceil_log2(higher_bits_length)
+    pointers0 = (higher_bits_length - n) >> log_s0
+    pointers1 = n >> log_s1
+    p0_off = base
+    p1_off = p0_off + pointers0 * pointer_size
+    hb_off = p1_off + pointers1 * pointer_size
+    lb_off = hb_off + higher_bits_length
+    return EFOffsets(
+        universe, n, lower_bits, higher_bits_length, pointer_size,
+        pointers0, pointers1, p0_off, p1_off, hb_off, lb_off,
+        lb_off + n * lower_bits,
+    )
+
+
+def ef_bitsize(universe: int, n: int, log_s0=EF_LOG_SAMPLING0, log_s1=EF_LOG_SAMPLING1) -> int:
+    return ef_offsets(0, universe, n, log_s0, log_s1).end
+
+
+def ef_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
+             log_s0=EF_LOG_SAMPLING0, log_s1=EF_LOG_SAMPLING1) -> None:
+    assert n > 0
+    of = ef_offsets(bw.size, universe, n, log_s0, log_s1)
+    bw.zero_extend(of.end - bw.size)
+    v = np.asarray(values, dtype=np.int64)
+    high = (v >> of.lower_bits) + np.arange(1, n + 1)
+    bw.set_bits_at(of.higher_bits_offset + high)
+    if of.lower_bits:
+        lows = v & ((1 << of.lower_bits) - 1)
+        offs = of.lower_bits_offset + np.arange(n, dtype=np.int64) * of.lower_bits
+        bw.set_bits_vec(offs, lows.astype(np.uint64), of.lower_bits)
+    # pointer areas reserved (sizes counted) but left zero — decoders
+    # are vectorized full-sequence (module docstring).
+
+
+def ef_decode(br: BitReader, base: int, universe: int, n: int,
+              log_s0=EF_LOG_SAMPLING0, log_s1=EF_LOG_SAMPLING1) -> np.ndarray:
+    of = ef_offsets(base, universe, n, log_s0, log_s1)
+    ones = br.ones_in_window(of.higher_bits_offset, of.higher_bits_length)
+    assert len(ones) == n, f"EF decode: expected {n} ones, got {len(ones)}"
+    high = ones - np.arange(1, n + 1)
+    if of.lower_bits:
+        offs = of.lower_bits_offset + np.arange(n, dtype=np.int64) * of.lower_bits
+        lows = br.read_fields_vec(offs, of.lower_bits).astype(np.int64)
+    else:
+        lows = np.zeros(n, dtype=np.int64)
+    return (high << of.lower_bits) | lows
+
+
+# -------------------------------------------------- compact ranked bitvector
+
+def rb_offsets(base: int, universe: int, n: int,
+               log_rank1=RB_LOG_RANK1_SAMPLING, log_s1=RB_LOG_SAMPLING1):
+    rank1_sample_size = ceil_log2(n + 1)
+    pointer_size = ceil_log2(universe)
+    rank1_samples = universe >> log_rank1
+    pointers1 = n >> log_s1
+    r_off = base
+    p_off = r_off + rank1_samples * rank1_sample_size
+    b_off = p_off + pointers1 * pointer_size
+    return r_off, p_off, b_off, b_off + universe
+
+
+def rb_bitsize(universe: int, n: int, log_rank1=RB_LOG_RANK1_SAMPLING, log_s1=RB_LOG_SAMPLING1) -> int:
+    return rb_offsets(0, universe, n, log_rank1, log_s1)[3]
+
+
+def rb_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
+             log_rank1=RB_LOG_RANK1_SAMPLING, log_s1=RB_LOG_SAMPLING1) -> None:
+    _, _, b_off, end = rb_offsets(bw.size, universe, n, log_rank1, log_s1)
+    bw.zero_extend(end - bw.size)
+    bw.set_bits_at(b_off + np.asarray(values, dtype=np.int64))
+
+
+def rb_decode(br: BitReader, base: int, universe: int, n: int,
+              log_rank1=RB_LOG_RANK1_SAMPLING, log_s1=RB_LOG_SAMPLING1) -> np.ndarray:
+    _, _, b_off, _ = rb_offsets(base, universe, n, log_rank1, log_s1)
+    ones = br.ones_in_window(b_off, universe)
+    assert len(ones) == n
+    return ones
+
+
+# ------------------------------------------------------- indexed / strict
+
+EF_TYPE, RB_TYPE, ALL_ONES_TYPE = 0, 1, 2
+TYPE_BITS = 1
+
+
+def all_ones_bitsize(universe: int, n: int) -> int:
+    return 0 if universe == n else (1 << 63)
+
+
+def indexed_bitsize(universe: int, n: int) -> int:
+    best = all_ones_bitsize(universe, n)
+    best = min(best, ef_bitsize(universe, n) + TYPE_BITS)
+    best = min(best, rb_bitsize(universe, n) + TYPE_BITS)
+    return best
+
+
+def indexed_write(bw: BitWriter, values: np.ndarray, universe: int, n: int) -> None:
+    best = all_ones_bitsize(universe, n)
+    best_type = ALL_ONES_TYPE
+    if best:
+        ef_c = ef_bitsize(universe, n) + TYPE_BITS
+        rb_c = rb_bitsize(universe, n) + TYPE_BITS
+        if ef_c < best:
+            best, best_type = ef_c, EF_TYPE
+        if rb_c < best:
+            best, best_type = rb_c, RB_TYPE
+        bw.append_bits(best_type, TYPE_BITS)
+    if best_type == EF_TYPE:
+        ef_write(bw, values, universe, n)
+    elif best_type == RB_TYPE:
+        rb_write(bw, values, universe, n)
+
+
+def indexed_decode(br: BitReader, base: int, universe: int, n: int) -> tuple[np.ndarray, int]:
+    """-> (values, end_bit_offset)."""
+    if all_ones_bitsize(universe, n) == 0:
+        return np.arange(n, dtype=np.int64), base
+    t = br.read_bits(base, TYPE_BITS)
+    base += TYPE_BITS
+    if t == EF_TYPE:
+        return ef_decode(br, base, universe, n), base + ef_bitsize(universe, n)
+    return rb_decode(br, base, universe, n), base + rb_bitsize(universe, n)
+
+
+def strict_ef_bitsize(universe: int, n: int) -> int:
+    return ef_bitsize(universe - n + 1, n, log_s0=63)
+
+
+def strict_bitsize(universe: int, n: int) -> int:
+    best = all_ones_bitsize(universe, n)
+    best = min(best, strict_ef_bitsize(universe, n) + TYPE_BITS)
+    best = min(best, rb_bitsize(universe, n, log_rank1=63) + TYPE_BITS)
+    return best
+
+
+def strict_write(bw: BitWriter, values: np.ndarray, universe: int, n: int) -> None:
+    best = all_ones_bitsize(universe, n)
+    best_type = ALL_ONES_TYPE
+    if best:
+        ef_c = strict_ef_bitsize(universe, n) + TYPE_BITS
+        rb_c = rb_bitsize(universe, n, log_rank1=63) + TYPE_BITS
+        if ef_c < best:
+            best, best_type = ef_c, EF_TYPE
+        if rb_c < best:
+            best, best_type = rb_c, RB_TYPE
+        bw.append_bits(best_type, TYPE_BITS)
+    v = np.asarray(values, dtype=np.int64)
+    if best_type == EF_TYPE:
+        ef_write(bw, v - np.arange(n), universe - n + 1, n, log_s0=63)
+    elif best_type == RB_TYPE:
+        rb_write(bw, v, universe, n, log_rank1=63)
+
+
+def strict_decode(br: BitReader, base: int, universe: int, n: int) -> tuple[np.ndarray, int]:
+    if all_ones_bitsize(universe, n) == 0:
+        return np.arange(n, dtype=np.int64), base
+    t = br.read_bits(base, TYPE_BITS)
+    base += TYPE_BITS
+    if t == EF_TYPE:
+        vals = ef_decode(br, base, universe - n + 1, n, log_s0=63)
+        return vals + np.arange(n), base + strict_ef_bitsize(universe, n)
+    return (
+        rb_decode(br, base, universe, n, log_rank1=63),
+        base + rb_bitsize(universe, n, log_rank1=63),
+    )
+
+
+# ------------------------------------------------------- positive sequence
+
+def positive_write(bw: BitWriter, values: np.ndarray, universe: int, n: int) -> None:
+    """Positive values stored as prefix sums over a strict sequence
+    (positive_sequence.hpp:15-30); caller supplies universe = sum + ...
+    per the container's convention."""
+    csum = np.cumsum(np.asarray(values, dtype=np.int64))
+    strict_write(bw, csum, universe, n)
+
+
+def positive_decode(br: BitReader, base: int, universe: int, n: int) -> tuple[np.ndarray, int]:
+    csum, end = strict_decode(br, base, universe, n)
+    return np.diff(csum, prepend=0), end
+
+
+# ------------------------------------------------------ optimal partition
+
+def optimal_partition(values: np.ndarray, universe: int, cost_fun,
+                      eps1: float = EPS1, eps2: float = EPS2) -> list[int]:
+    """The (1+eps)-approximate space-optimal partition DP
+    (optimal_partition.hpp:70-125): windows capped at geometrically
+    increasing cost bounds; returns partition endpoints (last == n)."""
+    size = len(values)
+    single = cost_fun(universe, size)
+    min_cost = np.full(size + 1, single, dtype=np.float64)
+    min_cost[0] = 0
+    cost_lb = cost_fun(1, 1)
+    bounds = []
+    cb = cost_lb
+    while eps1 == 0 or cb < cost_lb / eps1:
+        bounds.append(cb)
+        if cb >= single:
+            break
+        cb = cb * (1 + eps2)
+    # windows: (start, end) per bound
+    starts = [0] * len(bounds)
+    ends = [0] * len(bounds)
+    path = np.zeros(size + 1, dtype=np.int64)
+    v = np.asarray(values, dtype=np.int64)
+    for i in range(size):
+        last_end = i + 1
+        for wi, bound in enumerate(bounds):
+            if ends[wi] < last_end:
+                ends[wi] = last_end
+            while True:
+                w_start, w_end = starts[wi], ends[wi]
+                min_p = v[w_start - 1] + 1 if w_start else v[0] - v[0]  # see below
+                # reference: min_p = element preceding window start
+                base_v = v[w_start - 1] + 1 if w_start > 0 else int(v[0]) * 0
+                # universe of window [start, end): max - min + 1 with
+                # min_p = predecessor + 1 (or v[0] on the first window)
+                if w_start == 0:
+                    min_pv = int(v[0])
+                else:
+                    min_pv = int(v[w_start - 1]) + 1
+                max_pv = int(v[w_end - 1])
+                wcost = cost_fun(max_pv - min_pv + 1, w_end - w_start)
+                if min_cost[i] + wcost < min_cost[w_end]:
+                    min_cost[w_end] = min_cost[i] + wcost
+                    path[w_end] = i
+                last_end = w_end
+                if w_end == size:
+                    break
+                if wcost >= bound:
+                    break
+                ends[wi] += 1
+            starts[wi] += 1
+    out = []
+    cur = size
+    while cur != 0:
+        out.append(cur)
+        cur = int(path[cur])
+    return out[::-1]
+
+
+# ---------------------------------------------------- partitioned sequence
+
+_BASES = {
+    "indexed": (indexed_bitsize, indexed_write, indexed_decode),
+    "strict": (strict_bitsize, strict_write, strict_decode),
+}
+
+
+def partitioned_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
+                      partition: list[int] | None = None,
+                      base_seq: str = "indexed") -> None:
+    """partitioned_sequence<BaseSequence>::write
+    (partitioned_sequence.hpp:21-120); base 'indexed' for docs, 'strict'
+    for prefix-summed freqs (index_types.hpp opt family)."""
+    assert n > 0
+    v = np.asarray(values, dtype=np.int64)
+    b_bitsize, b_write, _ = _BASES[base_seq]
+
+    if partition is None:
+        def cost_fun(u, m):
+            return b_bitsize(u, m) + FIX_COST
+
+        partition = optimal_partition(v, universe, cost_fun)
+    partitions = len(partition)
+    write_gamma_nonzero(bw, partitions)
+
+    if partitions == 1:
+        base = int(v[0])
+        rel = v - base
+        ub = int(rel[-1])
+        bw.append_bits(base, ceil_log2(universe))
+        if n > 1:
+            if base + ub + 1 == universe:
+                write_delta(bw, 0)  # tight universe
+            else:
+                write_delta(bw, ub)
+        b_write(bw, rel, ub + 1, n)
+        return
+
+    seq_bw = BitWriter()
+    endpoints = []
+    upper_bounds = [int(v[0])]
+    cur_base = int(v[0])
+    cur_i = 0
+    for p_end in partition:
+        part = v[cur_i:p_end]
+        cur_i = p_end
+        rel = part - cur_base
+        ub = int(part[-1])
+        b_write(seq_bw, rel, int(rel[-1]) + 1, len(rel))
+        endpoints.append(seq_bw.size)
+        upper_bounds.append(ub)
+        cur_base = ub + 1
+
+    endpoint_bits = ceil_log2(seq_bw.size + 1)
+    write_gamma(bw, endpoint_bits)
+    sizes_bw = BitWriter()
+    ef_write(sizes_bw, np.array(partition[:-1], dtype=np.int64), n, partitions - 1)
+    ub_bw = BitWriter()
+    ef_write(ub_bw, np.array(upper_bounds, dtype=np.int64), universe, partitions + 1)
+    bw.append_writer(sizes_bw)
+    bw.append_writer(ub_bw)
+    for e in endpoints[:-1]:
+        bw.append_bits(e, endpoint_bits)
+    bw.append_writer(seq_bw)
+
+
+def partitioned_decode(br: BitReader, base: int, universe: int, n: int,
+                       base_seq: str = "indexed") -> tuple[np.ndarray, int]:
+    b_bitsize, _, b_decode = _BASES[base_seq]
+    br.pos = base
+    partitions = read_gamma_nonzero(br)
+    if partitions == 1:
+        b = br.take(ceil_log2(universe))
+        if n > 1:
+            ub = read_delta(br)
+            if ub == 0:
+                ub = universe - b - 1
+        else:
+            ub = 0
+        vals, end = b_decode(br, br.pos, ub + 1, n)
+        return vals + b, end
+    endpoint_bits = read_gamma(br)
+    cur = br.pos
+    sizes = ef_decode(br, cur, n, partitions - 1)
+    cur += ef_bitsize(n, partitions - 1)
+    ubs = ef_decode(br, cur, universe, partitions + 1)
+    cur += ef_bitsize(universe, partitions + 1)
+    ep_offs = cur + np.arange(partitions - 1, dtype=np.int64) * endpoint_bits
+    endpoints = br.read_fields_vec(ep_offs, endpoint_bits).astype(np.int64)
+    cur += (partitions - 1) * endpoint_bits
+    seq_base = cur
+    bounds = np.concatenate([[0], endpoints])
+    part_ends = np.concatenate([sizes, [n]]).astype(np.int64)
+    out = np.empty(n, dtype=np.int64)
+    prev_end = 0
+    last_start = 0
+    last_u = 1
+    last_m = 1
+    for p in range(partitions):
+        cur_base = int(ubs[0]) if p == 0 else int(ubs[p]) + 1
+        ub = int(ubs[p + 1])
+        m = int(part_ends[p]) - prev_end
+        vals, _ = b_decode(br, seq_base + int(bounds[p]), ub - cur_base + 1, m)
+        out[prev_end : prev_end + m] = vals + cur_base
+        prev_end += m
+        last_start, last_u, last_m = int(bounds[p]), ub - cur_base + 1, m
+    end = seq_base + last_start + b_bitsize(last_u, last_m)
+    return out, end
+
+
+def partitioned_bits(values: np.ndarray, universe: int) -> int:
+    """Exact encoded size (for stats/DP verification)."""
+    bw = BitWriter()
+    partitioned_write(bw, values, universe, len(values))
+    return bw.size
+
+
+def uniform_partition(n: int) -> list[int]:
+    """Fixed 2^log_partition_size chunks
+    (uniform_partitioned_sequence.hpp, log_partition_size=7)."""
+    step = 1 << LOG_PARTITION_SIZE
+    ends = list(range(step, n, step)) + [n]
+    return ends

@@ -50,8 +50,10 @@ def decode(buf: np.ndarray, n: int, offset: int = 0) -> tuple[np.ndarray, int]:
     if n == 0:
         return np.empty(0, dtype=np.uint32), offset
     b = np.asarray(buf, dtype=np.uint8)
-    # find the n-th terminator to bound the region
-    is_term = (b[offset:] & 0x80) != 0
+    # find the n-th terminator; values are <=5 bytes so the scan window
+    # is bounded (keeps batch decodes O(n), not O(buffer))
+    window = b[offset : offset + 5 * n]
+    is_term = (window & 0x80) != 0
     term_idx = np.flatnonzero(is_term)
     if term_idx.size < n:
         raise ValueError("vbyte: truncated stream")

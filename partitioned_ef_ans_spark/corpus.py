@@ -98,6 +98,68 @@ def synthesize_corpus(
     return spark.createDataFrame(rows, CORPUS_SCHEMA).repartition(num_partitions)
 
 
+def synthesize_corpus_distributed(
+    spark: SparkSession,
+    num_docs: int,
+    vocab_size: int = 20000,
+    zipf_s: float = 1.07,
+    seed: int = 42,
+    mean_len: int = 120,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Scalable variant of :func:`synthesize_corpus`: content generated
+    on executors via mapInPandas over ``spark.range`` with a per-doc
+    seeded RNG — deterministic regardless of partitioning, O(docs/cores)
+    wall time, no driver materialization.  This is how the 10^12-file
+    fixture would be produced on a cluster."""
+    from partitioned_ef_ans_spark.session import ship_package
+
+    ship_package(spark)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+        pmf = ranks ** (-zipf_s)
+        cdf = np.cumsum(pmf / pmf.sum())
+        langs = _LANGS
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+            for i in ids:
+                i = int(i)
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                ln = int(
+                    min(
+                        rng.lognormal(np.log(mean_len), 1.0), mean_len * 400
+                    )
+                )
+                if i % 1009 == 1:
+                    ln = 0
+                elif i % 1009 == 2:
+                    ln = 1
+                toks = np.searchsorted(cdf, rng.random(ln))
+                content = " ".join(f"v{t:05d}" for t in toks)
+                lang = langs[i % len(langs)]
+                repo = f"org{i % 37}/repo{i % 101}"
+                path = f"src/m{i % 13}/f{i:09d}.{_EXT[lang]}"
+                commit = hashlib.sha1(f"{repo}/{path}/{seed}".encode()).hexdigest()
+                rows["repo"].append(repo)
+                rows["path"].append(path)
+                rows["commit"].append(commit)
+                rows["lang"].append(lang)
+                rows["content"].append(content)
+            import pandas as pd
+
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, num_docs, numPartitions=num_partitions)
+        .mapInPandas(gen, schema=CORPUS_SCHEMA)
+    )
+
+
 def synthesize_queries(
     num_queries: int, vocab_size: int = 2000, zipf_s: float = 1.07, seed: int = 43
 ) -> list[tuple[int, list[str]]]:

@@ -232,11 +232,15 @@ def q_index_decode_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENTIRE compressed index back to (term, doc_id, tf) and diff against
     the DuckDB-computed truth — proves the codec+layout lossless on the
     real corpus, not just on synthetic fixtures."""
+    return _index_decode_flat_impl(spark, sf_dir, codec="ans")
+
+
+def _index_decode_flat_impl(spark: SparkSession, sf_dir: str, codec: str) -> DataFrame:
     from typing import Iterator
 
     import pandas as pd
 
-    ix = _get_index(spark, sf_dir)
+    ix = _get_index(spark, sf_dir, codec=codec)
     codec_bc = spark.sparkContext.broadcast(ix["codec"])
 
     def decode_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -248,7 +252,7 @@ def q_index_decode_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            decoded = blk.decode_lists([bytes(p) for p in pdf["payload"]], codec)
+            decoded = codec.decode_lists([bytes(p) for p in pdf["payload"]])
             terms, docs, tfs = [], [], []
             for term, (d, f) in zip(pdf["term"], decoded):
                 terms.extend([term] * len(d))
@@ -264,6 +268,24 @@ def q_index_decode_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ix["index_df"].select("term", "payload").mapInPandas(
         decode_all, schema="term string, doc_id long, tf int"
+    )
+
+
+def q_index_decode_flat_pef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same full-index decode-equality check for the partitioned
+    Elias-Fano (`opt` family) codec."""
+    return _index_decode_flat_impl(spark, sf_dir, codec="pef")
+
+
+def q_wand_top10_pef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND over the PEF-compressed index — must equal the relational
+    ranked-OR oracle exactly like the ANS path."""
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix = _get_index(spark, sf_dir, codec="pef")
+    return q_mod.run_ranked(
+        spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
+        ix["norm_lens"], ix["num_docs"], mode="wand", k=TOP_K, dtype="float64",
     )
 
 

@@ -57,15 +57,18 @@ def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     cf = ans_msb.new_counts()
     saw = False
     for pdf in batches:
-        for doc_ids, freqs in zip(pdf["doc_ids"], pdf["freqs"]):
-            saw = True
-            d = np.asarray(doc_ids, dtype=np.int64)
-            f = np.asarray(freqs, dtype=np.int64)
-            db, fb, ns, sums, _ = blocks._blockize(d, f, ans_msb.BLOCK_SIZE)
-            ans_msb.accumulate_counts(cd, db, ns, sums)
-            ans_msb.accumulate_counts(
-                cf, fb, ns, np.full(len(ns), ans_msb.SUM_UNKNOWN)
-            )
+        if not len(pdf):
+            continue
+        saw = True
+        doc_lists = [np.asarray(x, dtype=np.int64) for x in pdf["doc_ids"]]
+        freq_lists = [np.asarray(x, dtype=np.int64) for x in pdf["freqs"]]
+        DB, FB, NS, SUMS, _, _ = blocks.blockize_many(
+            doc_lists, freq_lists, ans_msb.BLOCK_SIZE
+        )
+        ans_msb.accumulate_counts(cd, DB, NS, SUMS)
+        ans_msb.accumulate_counts(
+            cf, FB, NS, np.full(len(NS), ans_msb.SUM_UNKNOWN)
+        )
     if saw:
         yield pd.DataFrame(
             {
@@ -92,20 +95,32 @@ def train_ans_models(postings: DataFrame):
 
 
 class IndexCodec:
-    """Doc/freq dual-stream codec bundle used by encode/decode passes."""
+    """Doc/freq dual-stream codec bundle used by encode/decode passes.
 
-    def __init__(self, codec_name: str, models=None):
+    codec names: 'ans' (block family, headline), 'u32', 'vbyte'
+    (block family), 'pef' (whole-list partitioned Elias-Fano — the
+    reference's `opt` index type).  The list-level interface
+    (encode_lists/decode_lists) is what build/query use.
+    """
+
+    def __init__(self, codec_name: str, models=None, num_docs: int = 0):
         self.codec_name = codec_name
         self.models = models
+        self.num_docs = num_docs
         if codec_name == "ans":
             (enc_d, dec_d), (enc_f, dec_f) = models
             self.docs = blocks.AnsCodec(enc=enc_d, dec=dec_d)
             self.freqs = blocks.AnsCodec(enc=enc_f, dec=dec_f)
+            self.block_size = self.docs.block_size
+        elif codec_name == "pef":
+            self.docs = self.freqs = None
+            self.block_size = 1 << 7  # maxs granularity for block_maxs col
         else:
             self.docs = blocks.CODECS[codec_name]()
             self.freqs = self.docs
-        self.block_size = self.docs.block_size
+            self.block_size = self.docs.block_size
 
+    # block-family batch interface (used via blocks.write/decode_lists)
     def encode_batch(self, blk, ns, sums):
         if np.all(np.asarray(sums) == blocks.SUM_UNKNOWN):
             return self.freqs.encode_batch(blk, ns, sums)
@@ -115,6 +130,21 @@ class IndexCodec:
         if np.all(np.asarray(sums) == blocks.SUM_UNKNOWN):
             return self.freqs.decode_batch(payload, offsets, ns, sums)
         return self.docs.decode_batch(payload, offsets, ns, sums)
+
+    # list-level interface
+    def encode_lists(self, doc_lists, freq_lists) -> list[bytes]:
+        if self.codec_name == "pef":
+            from partitioned_ef_ans_spark.codecs import pef
+
+            return pef.encode_lists(doc_lists, freq_lists, self.num_docs)
+        return blocks.write_lists(doc_lists, freq_lists, self)
+
+    def decode_lists(self, payloads):
+        if self.codec_name == "pef":
+            from partitioned_ef_ans_spark.codecs import pef
+
+            return pef.decode_lists(payloads, self.num_docs)
+        return blocks.decode_lists(payloads, self)
 
 
 def _encode_factory(codec_bc, norm_lens_bc):
@@ -126,7 +156,7 @@ def _encode_factory(codec_bc, norm_lens_bc):
                 continue
             doc_lists = [np.asarray(x, dtype=np.int64) for x in pdf["doc_ids"]]
             freq_lists = [np.asarray(x, dtype=np.int64) for x in pdf["freqs"]]
-            payloads = blocks.write_lists(doc_lists, freq_lists, codec)
+            payloads = codec.encode_lists(doc_lists, freq_lists)
             maxw = np.empty(len(doc_lists), dtype=np.float32)
             bmax = []
             for i, (d, f) in enumerate(zip(doc_lists, freq_lists)):
@@ -176,9 +206,10 @@ def build_index(
     ship_package(spark)
     t0 = time.perf_counter()
     tokens = tokenize(corpus_docs, doc_col=doc_col, text_col=text_col)
-    tf = term_frequencies(tokens)
+    tf = term_frequencies(tokens).cache()  # reused by stats + postings
     stats = ds_mod.build_doc_stats(
-        corpus_docs.select(F.col(doc_col).alias("doc_id")), tokens
+        corpus_docs.select(F.col(doc_col).alias("doc_id")),
+        tf.select("doc_id", "term", "tf"),
     )
     stats_pd = stats.orderBy("doc_id").toPandas()
     num_docs = len(stats_pd)
@@ -194,7 +225,7 @@ def build_index(
     t_model = time.perf_counter()
 
     sc = spark.sparkContext
-    codec_bundle = IndexCodec(codec, models)
+    codec_bundle = IndexCodec(codec, models, num_docs=num_docs)
     codec_bc = sc.broadcast(codec_bundle)
     norm_bc = sc.broadcast(norm_lens)
 
@@ -246,7 +277,7 @@ def load_index(spark: SparkSession, out_dir: str):
         side = pickle.load(fh)
     with open(f"{out_dir}/manifest.json") as fh:
         manifest = json.load(fh)
-    codec = IndexCodec(side["codec"], side["models"])
+    codec = IndexCodec(side["codec"], side["models"], num_docs=manifest["num_docs"])
     index_df = spark.read.parquet(f"{out_dir}/index.parquet")
     stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
     return index_df, stats_df, codec, manifest

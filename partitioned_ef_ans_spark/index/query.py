@@ -98,7 +98,7 @@ def _decode_group(pdf: pd.DataFrame, codec) -> dict[str, tuple[np.ndarray, np.nd
     chunks concatenated in chunk order."""
     pdf = pdf.sort_values(["term", "chunk_id"])
     payloads = [bytes(p) for p in pdf["payload"]]
-    decoded = blocks.decode_lists(payloads, codec)
+    decoded = codec.decode_lists(payloads)
     out: dict[str, list] = {}
     for term, (docs, freqs) in zip(pdf["term"], decoded):
         out.setdefault(term, []).append((docs, freqs))

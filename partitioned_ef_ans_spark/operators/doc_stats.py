@@ -25,7 +25,11 @@ def build_doc_stats(docs: DataFrame, tokens: DataFrame) -> DataFrame:
     doc_len=0, matching the reference's .sizes semantics where empty
     docs still occupy a slot).
     """
-    lens = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    if "tf" in tokens.columns:
+        # already-aggregated (doc, term, tf) input: doc_len = sum(tf)
+        lens = tokens.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    else:
+        lens = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
     all_docs = docs.select("doc_id").join(lens, "doc_id", "left").fillna(
         {"doc_len": 0}
     )
