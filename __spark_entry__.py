@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from partitioned_ef_ans_spark import gate  # noqa: E402
+from partitioned_ef_ans_spark import gate, gate_training  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": gate.q_index_stats,
         "index_decode_flat_pef": gate.q_index_decode_flat_pef,
         "wand_top10_pef": gate.q_wand_top10_pef,
+        **gate_training.TRAINING_QUERIES,
     }
 
 
@@ -72,4 +73,5 @@ def oracle_sql() -> dict[str, str]:
         "bool_or_indexed": gate.sql_bool_or(),
         "index_decode_flat_pef": gate.sql_postings_flat(),
         "wand_top10_pef": gate.sql_ranked_or(),
+        **gate_training.TRAINING_ORACLES,
     }

@@ -1,0 +1,361 @@
+"""Gate wiring for the training-data-pipeline operators (dedup,
+similarity search, text analysis) — Spark entries + DuckDB oracles.
+
+Shared determinism rules with gate.py: md5-prefix hashing (identical
+in both engines), scores rounded to 6 decimals BEFORE ranking, ties by
+id ascending.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from partitioned_ef_ans_spark.functions import text as t_mod
+from partitioned_ef_ans_spark.operators import ann as ann_mod
+from partitioned_ef_ans_spark.operators import dedup as d_mod
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
+_MD5_15 = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
+_MD5_13 = "CAST(('0x' || substr(md5({e}), 1, 13)) AS BIGINT)"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------ text analysis
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t_mod.token_counts(_docs(spark, sf_dir))
+
+
+def sql_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_pieces,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t_mod.quality_score(_docs(spark, sf_dir))
+
+
+def sql_quality_score() -> str:
+    stop = ", ".join(f"'{s}'" for s in t_mod.STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_filter(toks, x -> x IN ({stop}))) AS DOUBLE) AS stop,
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) AS totlen
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       round(CASE WHEN n > 0 THEN stop / n ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN n > 0 THEN totlen / n ELSE 0.0 END, 6) AS mean_token_len,
+       round(1.0 / (1.0 + exp(-(0.01 * n - 2.0 * (CASE WHEN n > 0 THEN stop / n ELSE 0.0 END)))), 6) AS quality
+FROM m"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t_mod.lang_id(_docs(spark, sf_dir))
+
+
+def sql_lang_id() -> str:
+    langs = sorted(t_mod.LANG_MARKERS)
+    hit_cols = ",\n         ".join(
+        "CAST(len(list_filter(toks, x -> x IN ({m}))) AS BIGINT) AS h_{l}".format(
+            m=", ".join(f"'{w}'" for w in t_mod.LANG_MARKERS[l]), l=l
+        )
+        for l in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id,
+         {hit_cols}
+      FROM t)
+SELECT doc_id, {case} AS pred_lang FROM h"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t_mod.fingerprint(_docs(spark, sf_dir))
+
+
+def sql_fingerprint() -> str:
+    h = _MD5_13.format(e="term || ':' || CAST(pos AS VARCHAR)")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos FROM t WHERE len(toks) > 0)
+SELECT doc_id, CAST(sum({h}) AS BIGINT) AS fp FROM e GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------- dedup
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return d_mod.exact_dedup(_docs(spark, sf_dir))
+
+
+def sql_exact_dedup() -> str:
+    return """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_doc_id
+FROM documents"""
+
+
+_SH_CTE = f"""
+t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM t, UNNEST(range(len(w) - 2)) AS u(i) WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
+
+_JACCARD_SEL = """
+SELECT i.doc_a, i.doc_b,
+       round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return d_mod.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def sql_ngram_jaccard() -> str:
+    return f"""
+WITH {_SH_CTE},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS ({_JACCARD_SEL})
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {d_mod.JACCARD_THRESHOLD}"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return d_mod.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def sql_minhash_lsh() -> str:
+    nh, bands = d_mod.NUM_HASHES, d_mod.BANDS
+    rpb = nh // bands
+    mh_cols = ",\n         ".join(
+        "min({h}) AS mh_{i}".format(
+            h=_MD5_15.format(e=f"'{i}' || ':' || shingle"), i=i
+        )
+        for i in range(nh)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ':' || ".join(
+            f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        + " AS sig FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SH_CTE},
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh GROUP BY doc_id
+),
+buckets AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM buckets x JOIN buckets y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+),
+j AS ({_JACCARD_SEL})
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {d_mod.JACCARD_THRESHOLD}"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return d_mod.simhash(_docs(spark, sf_dir))
+
+
+def sql_simhash() -> str:
+    h = _MD5_15.format(e="term")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+hh AS (SELECT doc_id, tf, {h} AS h FROM tf),
+bits AS (
+  SELECT doc_id, u.j AS j, sum(tf * (((h >> u.j) & 1) * 2 - 1)) AS s
+  FROM hh, UNNEST(range({d_mod.SIMHASH_BITS})) AS u(j)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return d_mod.embedding_neardup_pairs(_embs(spark, sf_dir))
+
+
+_EMB_NORM_CTE = """
+nrm AS (
+  SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nn
+  FROM embeddings
+)"""
+
+
+def sql_embedding_neardup() -> str:
+    return f"""
+WITH {_EMB_NORM_CTE},
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+cosv AS (
+  SELECT vec_a, vec_b, round(dot / (na.nn * nb.nn), 6) AS cos
+  FROM dots JOIN nrm na ON vec_a = na.vec_id JOIN nrm nb ON vec_b = nb.vec_id
+)
+SELECT vec_a, vec_b, cos FROM cosv WHERE cos >= 0.4"""
+
+
+# ------------------------------------------------------------------- ANN
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_mod.cosine_topk(_embs(spark, sf_dir))
+
+
+def sql_ann_topk(k: int = 5) -> str:
+    return f"""
+WITH {_EMB_NORM_CTE},
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+         list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+cosv AS (
+  SELECT dots.qid AS vec_id, dots.neighbor AS neighbor, round(dot / (na.nn * nb.nn), 6) AS cos
+  FROM dots JOIN nrm na ON dots.qid = na.vec_id JOIN nrm nb ON dots.neighbor = nb.vec_id
+)
+SELECT vec_id, CAST(row_number() OVER w AS INT) AS "rank", neighbor, cos
+FROM cosv
+WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
+QUALIFY "rank" <= {k}"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_mod.ivf_topk(_embs(spark, sf_dir))
+
+
+def sql_ann_ivf(k: int = 5, n_centroids: int = 8, nprobe: int = 2) -> str:
+    return f"""
+WITH {_EMB_NORM_CTE},
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < {n_centroids}),
+csim AS (
+  SELECT e.vec_id, c.cent_id,
+         round(list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+               / (ne.nn * nc.nn), 6) AS csim
+  FROM embeddings e JOIN nrm ne ON e.vec_id = ne.vec_id
+       CROSS JOIN cent c JOIN nrm nc ON c.cent_id = nc.vec_id
+),
+ranked AS (
+  SELECT vec_id, cent_id, csim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank
+  FROM csim
+),
+assign AS (SELECT vec_id, cent_id AS bucket FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id, cent_id AS bucket FROM ranked WHERE crank <= {nprobe}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS vec_id, t.vec_id AS neighbor
+  FROM probes q JOIN assign t ON q.bucket = t.bucket AND q.vec_id <> t.vec_id
+),
+dots AS (
+  SELECT c.vec_id AS qid, c.neighbor AS neighbor,
+         list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot
+  FROM cand c JOIN embeddings a ON a.vec_id = c.vec_id
+              JOIN embeddings b ON b.vec_id = c.neighbor
+),
+cosv AS (
+  SELECT dots.qid AS vec_id, dots.neighbor AS neighbor, round(dot / (na.nn * nb.nn), 6) AS cos
+  FROM dots JOIN nrm na ON dots.qid = na.vec_id JOIN nrm nb ON dots.neighbor = nb.vec_id
+)
+SELECT vec_id, CAST(row_number() OVER w AS INT) AS "rank", neighbor, cos
+FROM cosv
+WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
+QUALIFY "rank" <= {k}"""
+
+
+# ------------------------------------------------------------- multimodal
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from partitioned_ef_ans_spark.operators import multimodal as mm
+
+    return mm.extract_meta(mm.attach_payload(_docs(spark, sf_dir)))
+
+
+def sql_multimodal_meta() -> str:
+    # DuckDB sha256 takes VARCHAR; payload bytes are utf-8 of text so
+    # sha256(text) == sha256(payload) and octet_length(encode(text))
+    # counts the same bytes.
+    return """
+SELECT doc_id, 'text' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha
+FROM documents"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: the Arrow-batched decode/feature plumbing runs
+    end-to-end (deterministic stub features — no SQL equivalent)."""
+    from partitioned_ef_ans_spark.operators import multimodal as mm
+
+    return mm.decode_features(mm.attach_payload(_docs(spark, sf_dir)))
+
+
+TRAINING_QUERIES = {
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "minhash_lsh_pairs": q_minhash_lsh,
+    "simhash": q_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_cosine_topk": q_ann_topk,
+    "ann_ivf_topk": q_ann_ivf,
+}
+
+TRAINING_ORACLES = {
+    "multimodal_meta": sql_multimodal_meta(),
+    # multimodal_features: rows-only (stubbed decoder, no SQL oracle)
+    "token_counts": sql_token_counts(),
+    "quality_score": sql_quality_score(),
+    "lang_id": sql_lang_id(),
+    "doc_fingerprint": sql_fingerprint(),
+    "exact_dedup": sql_exact_dedup(),
+    "ngram_jaccard_pairs": sql_ngram_jaccard(),
+    "minhash_lsh_pairs": sql_minhash_lsh(),
+    "simhash": sql_simhash(),
+    "embedding_neardup": sql_embedding_neardup(),
+    "ann_cosine_topk": sql_ann_topk(),
+    "ann_ivf_topk": sql_ann_ivf(),
+}

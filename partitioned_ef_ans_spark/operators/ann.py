@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns.
+
+- :func:`cosine_topk` — brute-force cosine top-k (the exactness
+  baseline; O(n^2) cross join, fine per-partition / small n).
+- :func:`ivf_topk` — IVF-style bucketed variant: deterministic
+  centroids (the embeddings of the first ``n_centroids`` vec_ids),
+  nearest-centroid assignment, probe the ``nprobe`` closest centroid
+  buckets only.  The scale path: assignment is a broadcast join
+  against centroids; the search join is bucket-colocated instead of
+  all-pairs.
+
+Both are pure DataFrame ops (F.zip_with/F.aggregate dot products) and
+both have exact DuckDB oracles; the driver gate checks rank-identical
+neighbor lists (scores rounded before ranking, ties by vec_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    # cast BEFORE multiplying: float32 products then double accumulation
+    # would diverge from the (all-double) DuckDB oracle at round-6
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """(vec_id, rank, neighbor, cos): top-k cosine neighbors per vector
+    (self excluded), ranked on rounded score with vec_id tie-break."""
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    scored = (
+        a.crossJoin(b)
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor"),
+            F.round(
+                _dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor", "cos")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, k: int = 5, n_centroids: int = 8, nprobe: int = 2
+) -> DataFrame:
+    """IVF-bucketed cosine top-k.
+
+    Centroids are the embeddings of vec_id 0..n_centroids-1
+    (deterministic; a seeded k-means would slot in the same place).
+    Each vector joins its nearest centroid's bucket; each query probes
+    its ``nprobe`` closest centroids.  Output shape == cosine_topk
+    (fewer/different neighbors possible — that's the recall tradeoff,
+    measured in tests against the brute-force baseline).
+    """
+    cent = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    sim = embeddings.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("cvec"))
+            / (_norm(F.col("embedding")) * _norm(F.col("cvec"))),
+            6,
+        ).alias("csim"),
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    ranked = sim.withColumn("crank", F.row_number().over(wassign))
+    assign = ranked.where(F.col("crank") == 1).select(
+        "vec_id", "embedding", F.col("cent_id").alias("bucket")
+    )
+    probes = ranked.where(F.col("crank") <= nprobe).select(
+        "vec_id", F.col("cent_id").alias("bucket")
+    )
+    cand = (
+        probes.alias("q")
+        .join(assign.alias("t"), "bucket")
+        .where(F.col("q.vec_id") != F.col("t.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("vec_id"),
+            F.col("t.vec_id").alias("neighbor"),
+            F.col("t.embedding").alias("temb"),
+        )
+        .distinct()
+    )
+    qemb = embeddings.select(F.col("vec_id"), F.col("embedding").alias("qemb"))
+    scored = cand.join(qemb, "vec_id").select(
+        "vec_id",
+        "neighbor",
+        F.round(
+            _dot(F.col("qemb"), F.col("temb")) / (_norm(F.col("qemb")) * _norm(F.col("temb"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor", "cos")
+    )

@@ -1,0 +1,213 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all pure DataFrame ops (JVM-side; deterministic
+md5-prefix hashing shared with the DuckDB oracles):
+
+- exact:     sha-grouped canonical assignment (one shuffle on the hash)
+- MinHash+LSH: word-shingles -> k minhashes -> banded signatures ->
+  bucket self-join -> exact-Jaccard verification of candidates
+- SimHash:   sign-aggregated 60-bit fingerprints (hamming-based near-dup)
+- n-gram Jaccard: shared-shingle join (the exact baseline / verifier)
+- embedding near-dup: cosine >= threshold pairs over the embeddings
+
+Scale notes: LSH bucket join keys are (band, signature) — cardinality
+~docs x bands, never all-pairs; the exact-Jaccard verify only touches
+LSH candidates.  Skewed buckets (boilerplate shingles) are bounded by
+banding; AQE skew-join covers the rest.  The all-pairs shingle join in
+``ngram_jaccard_pairs`` is the small-scale oracle tool, not the scale
+path — at 100 TB only the LSH candidates get verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from partitioned_ef_ans_spark.functions.text import md5_long
+from partitioned_ef_ans_spark.tokenizer import tokens_array
+
+NUM_HASHES = 8
+BANDS = 4  # rows per band = NUM_HASHES // BANDS = 2
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 60
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_doc_id): canonical = min doc_id sharing
+    sha256(text).  Equality on content hash == the reference's per-row
+    sha256 invariant applied to dedup."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256))
+    return documents.select(
+        "doc_id", F.min("doc_id").over(w).alias("canonical_doc_id")
+    )
+
+
+def shingles(documents: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) distinct word-k-grams; docs with <k tokens drop."""
+    toks = tokens_array(F.col(text_col))
+    df = documents.select("doc_id", toks.alias("w")).where(F.size("w") >= k)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("w") - k),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, k)),
+    )
+    return df.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): one aggregation, k min columns."""
+    aggs = [
+        F.min(md5_long(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(
+            f"mh_{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _jaccard_pairs(sh: DataFrame, candidates: DataFrame | None) -> DataFrame:
+    """Exact Jaccard for (doc_a, doc_b) pairs via shared-shingle join."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """LSH candidate generation + exact verification:
+    (doc_a, doc_b, jaccard) with jaccard >= threshold."""
+    sh = shingles(documents, text_col)
+    sig = minhash_signatures(sh, num_hashes)
+    rows_per_band = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws(":", *[c.cast("string") for c in cols]).alias("sig"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "sig"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pairs = _jaccard_pairs(sh, cand)
+    return pairs.where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, text_col: str = "text", threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact all-candidate Jaccard pairs (the LSH verifier's ground
+    truth): (doc_a, doc_b, jaccard >= threshold)."""
+    sh = shingles(documents, text_col)
+    return _jaccard_pairs(sh, None).where(F.col("jaccard") >= threshold)
+
+
+def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 60-bit sign-aggregated fingerprint over
+    tf-weighted term hashes."""
+    toks = tokens_array(F.col(text_col))
+    tf = (
+        documents.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h = md5_long(F.col("term"))
+    bits = tf.select(
+        "doc_id",
+        "tf",
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+    )
+    contrib = bits.withColumn(
+        "w",
+        F.col("tf") * (F.expr("(shiftright(h, CAST(j AS INT)) & 1) * 2 - 1")),
+    )
+    sums = contrib.groupBy("doc_id", "j").agg(F.sum("w").alias("s"))
+    return (
+        sums.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") >= 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+        .select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+    )
+
+
+EMB_NEARDUP_THRESHOLD = 0.4
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = EMB_NEARDUP_THRESHOLD
+) -> DataFrame:
+    """(vec_a, vec_b, cos): cosine >= threshold pairs, brute force.
+    Scale path: replace the cross join with LSH/IVF bucketing
+    (operators/ann.py) and verify only bucket-mates."""
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.col(f"{side}.embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (norm("a") * norm("b")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
