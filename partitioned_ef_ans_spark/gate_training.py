@@ -301,6 +301,58 @@ WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
 QUALIFY "rank" <= {k}"""
 
 
+# -------------------------------------------------- sha invariant / verify
+
+def q_corpus_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE.json per-row invariant: sha256(content) fingerprints of
+    the corpus adaptation (verified against the DuckDB-computed
+    truth)."""
+    from partitioned_ef_ans_spark.corpus import corpus_from_documents, corpus_sha
+
+    return corpus_sha(corpus_from_documents(_docs(spark, sf_dir))).select(
+        "repo", "path", "sha256"
+    )
+
+
+def sql_corpus_sha() -> str:
+    return """
+SELECT source AS repo,
+       printf('doc/%09d.txt', doc_id) AS path,
+       sha256(text) AS sha256
+FROM documents"""
+
+
+def q_transform_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 (transform_queries.cpp): text queries -> (stemmed-id,
+    unstemmed-id) sequences with whole-query OOV drop.  Rows-only (the
+    Porter stemmer has no SQL equivalent in this sandbox); semantics
+    covered by tests/test_transform.py."""
+    from partitioned_ef_ans_spark import tokenizer
+    from partitioned_ef_ans_spark.operators.dictionary import build_term_dictionary
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.operators.transform import (
+        stem_udf_df,
+        transform_queries,
+    )
+    from partitioned_ef_ans_spark.gate import GATE_QUERIES
+
+    docs = _docs(spark, sf_dir)
+    tokens = tokenizer.tokenize(docs, doc_col="doc_id", text_col="text")
+    udict = build_term_dictionary(tokens)
+    sdict = build_term_dictionary(
+        stem_udf_df(tokens.select("term").distinct())
+        .select(F.col("stemmed").alias("term"))
+        .distinct()
+    )
+    qdf = queries_to_df(spark, GATE_QUERIES)
+    out = transform_queries(qdf, sdict, udict)
+    return out.select(
+        "query_id",
+        F.concat_ws(" ", F.transform("term_ids", lambda x: x.cast("string"))).alias("tline"),
+        F.concat_ws(" ", F.transform("uterm_ids", lambda x: x.cast("string"))).alias("uline"),
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,6 +381,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRAINING_QUERIES = {
+    "corpus_sha": q_corpus_sha,
+    "transform_queries": q_transform_queries,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "token_counts": q_token_counts,
@@ -345,6 +399,8 @@ TRAINING_QUERIES = {
 }
 
 TRAINING_ORACLES = {
+    "corpus_sha": sql_corpus_sha(),
+    # transform_queries: rows-only (no SQL Porter stemmer available)
     "multimodal_meta": sql_multimodal_meta(),
     # multimodal_features: rows-only (stubbed decoder, no SQL oracle)
     "token_counts": sql_token_counts(),

@@ -63,13 +63,15 @@ class _Enum:
     """Document enumerator over a decoded posting list — the protocol of
     the reference's document_enumerator (next/next_geq/docid/freq with
     value==num_docs as the exhaustion sentinel,
-    compact_elias_fano.hpp:140-262)."""
+    compact_elias_fano.hpp:140-262).  ``w`` is the list's precomputed
+    doc-side weight array (query-independent); per-step scoring is
+    ``q_weight * w[pos]`` — scalar math, no allocations in the loop."""
 
-    __slots__ = ("docs", "freqs", "pos", "n", "sentinel", "q_weight", "max_weight")
+    __slots__ = ("docs", "w", "pos", "n", "sentinel", "q_weight", "max_weight")
 
-    def __init__(self, docs, freqs, sentinel, q_weight=0.0, max_weight=0.0):
+    def __init__(self, docs, w, sentinel, q_weight=0.0, max_weight=0.0):
         self.docs = docs
-        self.freqs = freqs
+        self.w = w
         self.pos = 0
         self.n = len(docs)
         self.sentinel = sentinel
@@ -79,8 +81,8 @@ class _Enum:
     def docid(self) -> int:
         return int(self.docs[self.pos]) if self.pos < self.n else self.sentinel
 
-    def freq(self) -> int:
-        return int(self.freqs[self.pos])
+    def weight(self):
+        return self.w[self.pos]
 
     def next(self) -> None:
         self.pos += 1
@@ -93,22 +95,61 @@ class _Enum:
         )
 
 
+#: worker-global caches: decoded lists and doc-side weights survive
+#: across query groups in the same executor python worker (batch query
+#: workloads reuse the Zipf-head lists constantly — the reference gets
+#: the same effect from its shared mmap).
+_LIST_CACHE: dict = {}
+_WEIGHT_CACHE: dict = {}
+_CACHE_LIMIT = 4096
+
+
 def _decode_group(pdf: pd.DataFrame, codec) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """Group rows (term chunks) -> {term: (doc_ids, freqs)} decoded,
-    chunks concatenated in chunk order."""
+    chunks concatenated in chunk order; chunk payloads cached across
+    groups within the worker."""
     pdf = pdf.sort_values(["term", "chunk_id"])
-    payloads = [bytes(p) for p in pdf["payload"]]
-    decoded = codec.decode_lists(payloads)
     out: dict[str, list] = {}
-    for term, (docs, freqs) in zip(pdf["term"], decoded):
-        out.setdefault(term, []).append((docs, freqs))
+    misses = []
+    keys = []
+    for term, cid, n, fd, ld, p in zip(
+        pdf["term"], pdf["chunk_id"], pdf["n"], pdf["first_doc"], pdf["last_doc"], pdf["payload"]
+    ):
+        key = (term, int(cid), int(n), int(fd), int(ld))
+        keys.append((term, key))
+        if key not in _LIST_CACHE:
+            misses.append((key, bytes(p)))
+    if misses:
+        decoded = codec.decode_lists([p for _, p in misses])
+        if len(_LIST_CACHE) + len(misses) > _CACHE_LIMIT:
+            _LIST_CACHE.clear()
+            _WEIGHT_CACHE.clear()
+        for (key, _), df_pair in zip(misses, decoded):
+            _LIST_CACHE[key] = df_pair
+    for term, key in keys:
+        out.setdefault(term, []).append(_LIST_CACHE[key])
     return {
         t: (
-            np.concatenate([d for d, _ in parts]),
-            np.concatenate([f for _, f in parts]),
+            np.concatenate([d for d, _ in parts]) if len(parts) > 1 else parts[0][0],
+            np.concatenate([f for _, f in parts]) if len(parts) > 1 else parts[0][1],
         )
         for t, parts in out.items()
     }
+
+
+def _term_weights(
+    lists: dict, norm: np.ndarray, dtype
+) -> dict[str, np.ndarray]:
+    """Query-independent doc-side weight array per term (cached)."""
+    out = {}
+    for t, (docs, freqs) in lists.items():
+        key = (t, len(docs), int(docs[0]) if len(docs) else -1, dtype == np.float32)
+        w = _WEIGHT_CACHE.get(key)
+        if w is None or len(w) != len(docs):
+            w = _doc_weights(freqs, norm[docs], dtype)
+            _WEIGHT_CACHE[key] = w
+        out[t] = w
+    return out
 
 
 def _topk_rows(scored: list[tuple[float, int]], qid: int, k: int) -> pd.DataFrame:
@@ -127,21 +168,42 @@ def _topk_rows(scored: list[tuple[float, int]], qid: int, k: int) -> pd.DataFram
     )
 
 
-def _kernel_ranked_or(lists, weights, norm, dtype, qid, k):
+def _topk_rows_np(scores: np.ndarray, docs: np.ndarray, qid: int, k: int) -> pd.DataFrame:
+    """Vectorized round-then-rank top-k over aligned (scores, docs)."""
+    n = len(scores)
+    if n == 0:
+        return _topk_rows([], qid, k)
+    s = np.round(scores.astype(np.float64), bm25.ROUND_DECIMALS)
+    if n > k:
+        kth = np.partition(s, n - k)[n - k]
+        sel = np.flatnonzero(s >= kth)  # every potential top-k under doc ties
+        s, docs = s[sel], docs[sel]
+    order = np.lexsort((docs, -s))[:k]
+    return pd.DataFrame(
+        {
+            "query_id": np.full(len(order), qid, dtype=np.int64),
+            "rank": np.arange(1, len(order) + 1, dtype=np.int32),
+            "doc_id": docs[order].astype(np.int64),
+            "score": s[order],
+        }
+    )
+
+
+def _kernel_ranked_or(lists, tws, weights, dtype, qid, k):
     """Exhaustive union scoring, terms processed in sorted order so
     float accumulation order is deterministic (SURVEY.md §7)."""
     terms = sorted(lists)
     all_docs = np.unique(np.concatenate([lists[t][0] for t in terms]))
     scores = np.zeros(len(all_docs), dtype=dtype)
     for t in terms:
-        docs, freqs = lists[t]
-        w = _doc_weights(freqs, norm[docs], dtype) * dtype(weights[t])
+        docs, _ = lists[t]
+        w = tws[t] * dtype(weights[t])
         idx = np.searchsorted(all_docs, docs)
         scores[idx] += w.astype(dtype)
-    return _topk_rows(list(zip(scores.tolist(), all_docs.tolist())), qid, k)
+    return _topk_rows_np(scores, all_docs, qid, k)
 
 
-def _kernel_ranked_and(lists, weights, norm, dtype, qid, k, n_terms):
+def _kernel_ranked_and(lists, tws, weights, dtype, qid, k, n_terms):
     terms = sorted(lists)
     if len(terms) < n_terms:  # some query term has no list at all
         return _topk_rows([], qid, k)
@@ -152,14 +214,14 @@ def _kernel_ranked_and(lists, weights, norm, dtype, qid, k, n_terms):
         return _topk_rows([], qid, k)
     scores = np.zeros(len(common), dtype=dtype)
     for t in terms:
-        docs, freqs = lists[t]
+        docs, _ = lists[t]
         pos = np.searchsorted(docs, common)
-        w = _doc_weights(freqs[pos], norm[common], dtype) * dtype(weights[t])
+        w = tws[t][pos] * dtype(weights[t])
         scores += w.astype(dtype)
-    return _topk_rows(list(zip(scores.tolist(), common.tolist())), qid, k)
+    return _topk_rows_np(scores, common, qid, k)
 
 
-def _kernel_wand(lists, weights, max_weights, norm, dtype, qid, k, num_docs, extra=10):
+def _kernel_wand(lists, tws, weights, max_weights, dtype, qid, k, num_docs, extra=10):
     """Faithful WAND (queries.hpp:203-322): enums sorted by docid, pivot
     = first prefix whose sum of max_weights would enter the heap, full
     scoring only on pivot alignment, else next_geq on the farthest-
@@ -169,7 +231,7 @@ def _kernel_wand(lists, weights, max_weights, norm, dtype, qid, k, num_docs, ext
     enums = [
         _Enum(
             lists[t][0],
-            lists[t][1],
+            tws[t],
             num_docs,
             q_weight=dtype(weights[t]),
             max_weight=dtype(weights[t]) * dtype(max_weights[t]),
@@ -197,14 +259,10 @@ def _kernel_wand(lists, weights, max_weights, norm, dtype, qid, k, num_docs, ext
         pivot_id = ordered[pivot].docid()
         if pivot_id == ordered[0].docid():
             score = dtype(0)
-            nl = norm[pivot_id]
             for en in ordered:
                 if en.docid() != pivot_id:
                     break
-                w = _doc_weights(
-                    np.array([en.freq()]), np.array([nl]), dtype
-                )[0]
-                score = score + en.q_weight * w
+                score = score + en.q_weight * en.w[en.pos]
                 en.next()
             item = (float(score), -pivot_id)
             if len(heap) < kk:
@@ -224,7 +282,7 @@ def _kernel_wand(lists, weights, max_weights, norm, dtype, qid, k, num_docs, ext
     return _topk_rows([(s, -d) for s, d in heap], qid, k)
 
 
-def _kernel_maxscore(lists, weights, max_weights, norm, dtype, qid, k, num_docs, extra=10):
+def _kernel_maxscore(lists, tws, weights, max_weights, dtype, qid, k, num_docs, extra=10):
     """MaxScore (queries.hpp:478-587): lists ordered by max_weight;
     essential lists drive the frontier, non-essential ones are probed
     with next_geq and cut off by the prefix upper bound."""
@@ -233,7 +291,7 @@ def _kernel_maxscore(lists, weights, max_weights, norm, dtype, qid, k, num_docs,
         (
             _Enum(
                 lists[t][0],
-                lists[t][1],
+                tws[t],
                 num_docs,
                 q_weight=dtype(weights[t]),
                 max_weight=dtype(weights[t]) * dtype(max_weights[t]),
@@ -257,11 +315,9 @@ def _kernel_maxscore(lists, weights, max_weights, norm, dtype, qid, k, num_docs,
     while cur < num_docs and first_essential < m:
         score = dtype(0)
         nxt = num_docs
-        nl = norm[cur]
         for en in enums[first_essential:]:
             if en.docid() == cur:
-                w = _doc_weights(np.array([en.freq()]), np.array([nl]), dtype)[0]
-                score = score + en.q_weight * w
+                score = score + en.q_weight * en.w[en.pos]
                 en.next()
             if en.docid() < nxt:
                 nxt = en.docid()
@@ -272,8 +328,7 @@ def _kernel_maxscore(lists, weights, max_weights, norm, dtype, qid, k, num_docs,
             en = enums[i]
             en.next_geq(cur)
             if en.docid() == cur:
-                w = _doc_weights(np.array([en.freq()]), np.array([norm[cur]]), dtype)[0]
-                score = score + en.q_weight * w
+                score = score + en.q_weight * en.w[en.pos]
         item = (float(score), -cur)
         if len(heap) < kk:
             heapq.heappush(heap, item)
@@ -296,25 +351,26 @@ def make_ranked_kernel(codec_bc, norm_bc, num_docs, k, mode, dtype_name="float64
         codec = codec_bc.value
         norm = norm_bc.value.astype(dtype)
         lists = _decode_group(pdf, codec)
+        tws = _term_weights(lists, norm, dtype)
         per_term = pdf.drop_duplicates("term").set_index("term")
         weights = {
             t: _q_weight(per_term.loc[t, "qtf"], per_term.loc[t, "df"], num_docs, dtype)
             for t in lists
         }
         if mode == "ranked_or":
-            return _kernel_ranked_or(lists, weights, norm, dtype, qid, k)
+            return _kernel_ranked_or(lists, tws, weights, dtype, qid, k)
         if mode == "ranked_and":
-            return _kernel_ranked_and(lists, weights, norm, dtype, qid, k, n_terms)
+            return _kernel_ranked_and(lists, tws, weights, dtype, qid, k, n_terms)
         max_weights = {
             t: float(per_term.loc[t, "max_weight"]) for t in lists
         }
         if mode == "wand":
             return _kernel_wand(
-                lists, weights, max_weights, norm, dtype, qid, k, num_docs
+                lists, tws, weights, max_weights, dtype, qid, k, num_docs
             )
         if mode == "maxscore":
             return _kernel_maxscore(
-                lists, weights, max_weights, norm, dtype, qid, k, num_docs
+                lists, tws, weights, max_weights, dtype, qid, k, num_docs
             )
         raise ValueError(mode)
 

