@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_and_indexed": gate.q_bool_and_indexed,
         "bool_or_indexed": gate.q_bool_or_indexed,
         "index_stats": gate.q_index_stats,
+        "index_block_stats": gate.q_index_block_stats,
         "index_decode_flat_pef": gate.q_index_decode_flat_pef,
         "wand_top10_pef": gate.q_wand_top10_pef,
         **gate_training.TRAINING_QUERIES,

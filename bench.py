@@ -50,7 +50,7 @@ def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
     # runs/parallelism levels): sf documents + deterministic synthetic
     # docs.  Builds then read from disk like any real corpus — corpus
     # generation cost is excluded from build throughput.
-    corpus_path = f"/tmp/pefa_bench_corpus_{SYNTH_DOCS}"
+    corpus_path = f"/dev/shm/pefa_bench_corpus_{SYNTH_DOCS}"
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
             "doc_id", F.col("text").alias("content")
@@ -69,7 +69,15 @@ def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
         )
     corpus = spark.read.parquet(corpus_path)
 
-    idx_dir = f"/tmp/pefa_bench_index_c{cpus}"
+    idx_dir = f"/dev/shm/pefa_bench_index_c{cpus}"
+    if os.environ.get("PEFA_BENCH_WARM", "0") == "1":
+        # JIT-warm measurement: a throwaway build first, then time the
+        # steady-state one (long-running executors never pay the JIT
+        # tax per job; cold-JVM timing would charge it to the fast leg)
+        b_mod.build_index(
+            spark, corpus, f"{idx_dir}_warmup", codec="ans",
+            doc_col="doc_id", text_col="content", chunk_postings=1 << 16,
+        )
     t0 = time.perf_counter()
     metrics = b_mod.build_index(
         spark, corpus, idx_dir, codec="ans",
@@ -122,7 +130,8 @@ def main():
             int(os.environ.get("PEFA_SCALING_LO", "2")),
             int(os.environ.get("PEFA_SCALING_HI", "8")),
         )
-        reps = int(os.environ.get("PEFA_SCALING_REPS", "3"))
+        reps = int(os.environ.get("PEFA_SCALING_REPS", "2"))
+        os.environ["PEFA_BENCH_WARM"] = "1"  # children time a warm build
         times: dict[int, list] = {lo: [], hi: []}
         postings = None
         # interleave legs to decorrelate host-load drift; min-of-reps

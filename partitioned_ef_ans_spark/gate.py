@@ -289,6 +289,18 @@ def q_wand_top10_pef(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_index_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 block-class byte accounting (small/full/last docs+freqs BPI),
+    rows-only (codec byte counts have no SQL oracle)."""
+    from partitioned_ef_ans_spark.index.stats import block_class_stats
+
+    ix = _get_index(spark, sf_dir)
+    pdf = block_class_stats(spark, ix["index_df"], ix["codec"])
+    return spark.createDataFrame(
+        pdf.round({"docs_bpi": 4, "freqs_bpi": 4})
+    )
+
+
 def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression/stats plane (V2/V3): bits-per-posting etc. —
     rows-only check (no SQL oracle can reproduce codec byte counts)."""

@@ -70,10 +70,16 @@ def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cf, FB, NS, np.full(len(NS), ans_msb.SUM_UNKNOWN)
         )
     if saw:
+        # sparse partials: (model,sym) grids are ~99% zero; shipping
+        # nonzero triples keeps the driver collect O(active cells)
+        def sparse(c):
+            idx = np.flatnonzero(c.ravel())
+            return np.concatenate([idx.astype(np.int64), c.ravel()[idx].astype(np.int64)]).tobytes()
+
         yield pd.DataFrame(
             {
                 "stream": ["docs", "freqs"],
-                "counts": [cd.tobytes(), cf.tobytes()],
+                "counts": [sparse(cd), sparse(cf)],
             }
         )
 
@@ -86,11 +92,10 @@ def train_ans_models(postings: DataFrame):
     cd = ans_msb.new_counts()
     cf = ans_msb.new_counts()
     for r in rows:
-        m = np.frombuffer(r["counts"], dtype=np.uint64).reshape(cd.shape)
-        if r["stream"] == "docs":
-            cd += m
-        else:
-            cf += m
+        flat = np.frombuffer(r["counts"], dtype=np.int64)
+        idx, vals = flat[: len(flat) // 2], flat[len(flat) // 2 :]
+        tgt = cd if r["stream"] == "docs" else cf
+        np.add.at(tgt.ravel(), idx, vals.astype(np.uint64))
     return ans_msb.freeze_models(cd), ans_msb.freeze_models(cf)
 
 
@@ -211,9 +216,13 @@ def build_index(
         corpus_docs.select(F.col(doc_col).alias("doc_id")),
         tf.select("doc_id", "term", "tf"),
     )
-    stats_pd = stats.orderBy("doc_id").toPandas()
+    # unsorted collect + index assignment (no global sort job)
+    stats_pd = stats.select("doc_id", "doc_len", "norm_len").toPandas()
     num_docs = len(stats_pd)
-    norm_lens = stats_pd["norm_len"].to_numpy(dtype=np.float32)
+    norm_lens = np.zeros(num_docs, dtype=np.float32)
+    norm_lens[stats_pd["doc_id"].to_numpy()] = stats_pd["norm_len"].to_numpy(
+        dtype=np.float32
+    )
     avg_len = float(stats_pd["doc_len"].mean()) if num_docs else 0.0
 
     postings = p_mod.build_postings(tf, num_docs=num_docs, chunk_postings=chunk_postings)
@@ -240,16 +249,13 @@ def build_index(
     with open(f"{out_dir}/models.pkl", "wb") as fh:
         pickle.dump({"codec": codec, "models": models}, fh)
 
-    total_postings = int(
-        spark.read.parquet(f"{out_dir}/index.parquet").agg(F.sum("n")).collect()[0][0]
-        or 0
-    )
-    payload_bytes = int(
+    agg_row = (
         spark.read.parquet(f"{out_dir}/index.parquet")
-        .agg(F.sum(F.length("payload")))
-        .collect()[0][0]
-        or 0
+        .agg(F.sum("n").alias("p"), F.sum(F.length("payload")).alias("b"))
+        .collect()[0]
     )
+    total_postings = int(agg_row["p"] or 0)
+    payload_bytes = int(agg_row["b"] or 0)
     metrics = {
         "codec": codec,
         "num_docs": num_docs,

@@ -56,5 +56,12 @@ def get_spark(
         # local-mode: driver JVM hosts all executor threads; size the
         # heap for the thread count (32 tasks x hash-agg state)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # shuffle/spill on tmpfs: this sandbox's /tmp disk is shared
+        # with noisy neighbors and throttles shuffle I/O (measured 3x
+        # wall variance); RAM-backed local dirs remove that variable
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/pefa_spark_local"),
+        )
     )
     return builder.getOrCreate()
