@@ -93,8 +93,8 @@ def synthesize_corpus(
         repo = f"org{i % 37}/repo{i % 101}"
         lang = _LANGS[i % len(_LANGS)]
         path = f"src/m{i % 13}/f{i:07d}.{_EXT[lang]}"
-        commit = hashlib.sha1(f"{repo}/{path}/{seed}".encode()).hexdigest() + "00000000"[:0]
-        rows.append((repo, path, commit[:40], lang, content))
+        commit = hashlib.sha1(f"{repo}/{path}/{seed}".encode()).hexdigest()
+        rows.append((repo, path, commit, lang, content))
     return spark.createDataFrame(rows, CORPUS_SCHEMA).repartition(num_partitions)
 
 

@@ -216,8 +216,10 @@ def build_index(
         corpus_docs.select(F.col(doc_col).alias("doc_id")),
         tf.select("doc_id", "term", "tf"),
     )
-    # unsorted collect + index assignment (no global sort job)
+    # unsorted collect + index assignment (no global sort job); tf cache
+    # materializes during this first action
     stats_pd = stats.select("doc_id", "doc_len", "norm_len").toPandas()
+    t_stats = time.perf_counter()
     num_docs = len(stats_pd)
     norm_lens = np.zeros(num_docs, dtype=np.float32)
     norm_lens[stats_pd["doc_id"].to_numpy()] = stats_pd["norm_len"].to_numpy(
@@ -243,7 +245,10 @@ def build_index(
     )
     os.makedirs(out_dir, exist_ok=True)
     index_df.write.mode("overwrite").parquet(f"{out_dir}/index.parquet")
-    stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats.parquet")
+    # doc_stats written from the already-collected pandas (no extra job)
+    spark.createDataFrame(stats_pd).write.mode("overwrite").parquet(
+        f"{out_dir}/doc_stats.parquet"
+    )
     t_enc = time.perf_counter()
 
     with open(f"{out_dir}/models.pkl", "wb") as fh:
@@ -263,8 +268,11 @@ def build_index(
         "total_postings": total_postings,
         "payload_bytes": payload_bytes,
         "bits_per_posting": (payload_bytes * 8 / total_postings) if total_postings else 0.0,
+        "tf_stats_sec": t_stats - t0,
         "model_pass_sec": t_model - t0,
+        "counts_freeze_sec": t_model - t_stats,
         "encode_pass_sec": t_enc - t_model,
+        "metrics_sec": time.perf_counter() - t_enc,
         "build_sec": t_enc - t0,
         "postings_per_sec": total_postings / (t_enc - t0) if t_enc > t0 else 0.0,
         "chunk_postings": chunk_postings,
