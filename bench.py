@@ -101,7 +101,7 @@ def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
         qs = c_mod.synthesize_queries(N_QUERIES, vocab_size=20000)
         qdf = queries_to_df(spark, qs).cache()
         qdf.count()
-        for mode in ("wand", "maxscore", "ranked_or", "ranked_and"):
+        for mode in ("wand", "maxscore", "taat", "ranked_or", "ranked_and"):
             t0 = time.perf_counter()
             n = q_mod.run_ranked(
                 spark, index_df, qdf, codec, norm, nd,

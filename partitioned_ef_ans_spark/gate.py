@@ -202,6 +202,12 @@ def q_maxscore_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _indexed_ranked(spark, sf_dir, "maxscore")
 
 
+def q_taat_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pruned TAAT (the NumPy scale path) — must be
+    rank-identical to the ranked-OR oracle like WAND/MaxScore."""
+    return _indexed_ranked(spark, sf_dir, "taat")
+
+
 def q_ranked_or_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _indexed_ranked(spark, sf_dir, "ranked_or")
 

@@ -221,6 +221,47 @@ def _kernel_ranked_and(lists, tws, weights, dtype, qid, k, n_terms):
     return _topk_rows_np(scores, common, qid, k)
 
 
+def _kernel_taat_pruned(lists, tws, weights, max_weights, dtype, qid, k):
+    """Vectorized exact top-k with upper-bound pruning (TAAT MaxScore).
+
+    The WAND/MaxScore zig-zags are pointer-chasing loops — faithful to
+    the reference but Python-speed.  This mode gets the same pruning
+    power out of pure NumPy: (1) a valid threshold tau = k-th best
+    single-term score of the strongest list (single-term scores lower-
+    bound final scores); (2) per-doc upper bound = sum of list max
+    weights over the lists containing the doc; (3) exact scoring only
+    for docs whose upper bound can beat tau (with a safety margin an
+    order below ROUND_DECIMALS so round-then-rank selection is
+    unaffected).  Results are rank-identical to ranked_or/WAND.
+    """
+    terms = sorted(lists, key=lambda t: -(float(weights[t]) * float(max_weights[t])))
+    t0 = terms[0]
+    w1 = (tws[t0] * dtype(weights[t0])).astype(np.float64)
+    if len(w1) > k:
+        tau = float(np.partition(w1, len(w1) - k)[len(w1) - k]) - 1e-6
+    else:
+        tau = -np.inf
+    union = np.unique(np.concatenate([lists[t][0] for t in terms]))
+    ub = np.zeros(len(union), dtype=np.float64)
+    for t in terms:
+        ub[np.searchsorted(union, lists[t][0])] += float(weights[t]) * float(
+            max_weights[t]
+        )
+    cand = union[ub >= tau]
+    if len(cand) == 0:
+        return _topk_rows([], qid, k)
+    scores = np.zeros(len(cand), dtype=dtype)
+    for t in sorted(lists):  # deterministic accumulation order
+        docs, _ = lists[t]
+        pos = np.searchsorted(cand, docs)
+        pos_ok = (pos < len(cand))
+        hit = np.zeros(len(docs), dtype=bool)
+        hit[pos_ok] = cand[pos[pos_ok]] == docs[pos_ok]
+        w = tws[t][hit] * dtype(weights[t])
+        scores[pos[hit]] += w.astype(dtype)
+    return _topk_rows_np(scores, cand, qid, k)
+
+
 def _kernel_wand(lists, tws, weights, max_weights, dtype, qid, k, num_docs, extra=10):
     """Faithful WAND (queries.hpp:203-322): enums sorted by docid, pivot
     = first prefix whose sum of max_weights would enter the heap, full
@@ -364,6 +405,10 @@ def make_ranked_kernel(codec_bc, norm_bc, num_docs, k, mode, dtype_name="float64
         max_weights = {
             t: float(per_term.loc[t, "max_weight"]) for t in lists
         }
+        if mode == "taat":
+            return _kernel_taat_pruned(
+                lists, tws, weights, max_weights, dtype, qid, k
+            )
         if mode == "wand":
             return _kernel_wand(
                 lists, tws, weights, max_weights, dtype, qid, k, num_docs

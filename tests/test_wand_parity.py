@@ -74,7 +74,8 @@ def test_wand_maxscore_rank_identical_to_ranked_or(dtype):
         ms = q._kernel_maxscore(
             qlists, tws, weights, maxw, dtype, qid, K, num_docs
         )
-        for name, got in (("wand", wand), ("maxscore", ms)):
+        taat = q._kernel_taat_pruned(qlists, tws, weights, maxw, dtype, qid, K)
+        for name, got in (("wand", wand), ("maxscore", ms), ("taat", taat)):
             assert got["doc_id"].tolist() == oracle["doc_id"].tolist(), (
                 f"q{qid} {name} docids diverge\n{got}\n{oracle}"
             )
