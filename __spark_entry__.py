@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_top10": gate.q_wand_top10,
         "maxscore_top10": gate.q_maxscore_top10,
         "taat_top10": gate.q_taat_top10,
+        "ranked_or_docpart": gate.q_ranked_or_docpart,
         "ranked_or_indexed": gate.q_ranked_or_indexed,
         "ranked_and_indexed": gate.q_ranked_and_indexed,
         "bool_and_indexed": gate.q_bool_and_indexed,
@@ -70,6 +71,7 @@ def oracle_sql() -> dict[str, str]:
         "wand_top10": gate.sql_ranked_or(),
         "maxscore_top10": gate.sql_ranked_or(),
         "taat_top10": gate.sql_ranked_or(),
+        "ranked_or_docpart": gate.sql_ranked_or(),
         "ranked_or_indexed": gate.sql_ranked_or(),
         "ranked_and_indexed": gate.sql_ranked_and(),
         "bool_and_indexed": gate.sql_bool_and(),

@@ -202,6 +202,19 @@ def q_maxscore_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _indexed_ranked(spark, sf_dir, "maxscore")
 
 
+def q_ranked_or_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-partitioned exhaustive BM25 over the compressed index
+    (second distribution axis: per-chunk partial scores + hash-agg +
+    global top-k)."""
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix = _get_index(spark, sf_dir)
+    return q_mod.run_ranked_docpartitioned(
+        spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
+        ix["norm_lens"], ix["num_docs"], k=TOP_K,
+    )
+
+
 def q_taat_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized pruned TAAT (the NumPy scale path) — must be
     rank-identical to the ranked-OR oracle like WAND/MaxScore."""

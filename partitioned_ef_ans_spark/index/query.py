@@ -495,6 +495,75 @@ def run_ranked(
     return joined.groupBy("query_id").applyInPandas(kernel, schema=RESULT_SCHEMA)
 
 
+def run_ranked_docpartitioned(
+    spark,
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    codec,
+    norm_lens: np.ndarray,
+    num_docs: int,
+    k: int = 10,
+) -> DataFrame:
+    """Document-partitioned exhaustive BM25 (the second parallelism
+    axis).
+
+    Each index CHUNK (a doc-range slice of one term's list) computes
+    its docs' partial scores locally — no per-query gathering of whole
+    posting lists, so a single query scales across every partition of
+    a 100 TB index.  Partials are hash-aggregated per (query, doc)
+    (map-side combined) and the global top-k is a window over the few
+    surviving rows.  Scores are double and rounded before ranking, so
+    results are rank-identical to ranked_or/WAND/taat under the gate's
+    comparison discipline (per-doc sums are order-independent up to
+    the rounding quantum).
+    """
+    from partitioned_ef_ans_spark.session import ship_package
+    from pyspark.sql.window import Window
+
+    ship_package(spark)
+    sc = spark.sparkContext
+    codec_bc = sc.broadcast(codec)
+    norm_bc = sc.broadcast(norm_lens.astype(np.float64))
+    joined = query_lists_df(index_df, queries_df)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec_l = codec_bc.value
+        norm = norm_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            decoded = codec_l.decode_lists([bytes(p) for p in pdf["payload"]])
+            qids, docs_out, scores = [], [], []
+            for (qid, qtf, df_), (docs, freqs) in zip(
+                zip(pdf["query_id"], pdf["qtf"], pdf["df"]), decoded
+            ):
+                qw = _q_weight(qtf, df_, num_docs, np.float64)
+                w = _doc_weights(freqs, norm[docs], np.float64) * qw
+                qids.append(np.full(len(docs), qid, dtype=np.int64))
+                docs_out.append(docs)
+                scores.append(w)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qids),
+                    "doc_id": np.concatenate(docs_out),
+                    "partial": np.concatenate(scores),
+                }
+            )
+
+    per_doc = (
+        joined.select("query_id", "qtf", "df", "payload")
+        .mapInPandas(partials, schema="query_id long, doc_id long, partial double")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("partial"), bm25.ROUND_DECIMALS).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
+    )
+
+
 def run_boolean(
     spark, index_df: DataFrame, queries_df: DataFrame, codec, conjunctive: bool
 ) -> DataFrame:
