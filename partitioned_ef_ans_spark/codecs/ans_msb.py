@@ -131,9 +131,11 @@ def accumulate_counts(
     ns = ns[keep]
     models = pick_model_medmax(blocks, ns)
     valid = np.arange(BLOCK_SIZE)[None, :] < ns[:, None]
-    syms = mapping_alistair(blocks.astype(np.uint64) + np.uint64(1))
-    mid = np.broadcast_to(models[:, None], syms.shape)[valid]
-    np.add.at(counts, (mid.astype(np.int64), syms[valid].astype(np.int64)), 1)
+    # map only the valid lanes (padding is ~30% of the matrix)
+    vals = blocks[valid].astype(np.int64, copy=False) + 1
+    syms = mapping_alistair(vals)
+    mid = np.broadcast_to(models[:, None], valid.shape)[valid]
+    np.add.at(counts, (mid.astype(np.int64), syms.astype(np.int64)), 1)
 
 
 def _entropy(cnts: np.ndarray) -> tuple[float, int]:
