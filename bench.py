@@ -119,7 +119,108 @@ def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
     return out
 
 
+def latency_mode():
+    """Single-threaded sequential per-query latency — the reference's
+    op_perftest shape (queries.cpp:23-52: mean/q50/q90/q95 per query,
+    first run untimed).  Runs the kernels directly on a built index
+    (no Spark job per query), like the reference's in-process loop."""
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from collections import Counter
+
+    from partitioned_ef_ans_spark import corpus as c_mod
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.session import get_spark
+
+    idx_dir = "/dev/shm/pefa_bench_index_lat"
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=4 * CPUS)
+        spark.sparkContext.setLogLevel("ERROR")
+        corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        synth = c_mod.synthesize_corpus_distributed(
+            spark, SYNTH_DOCS, vocab_size=20000, num_partitions=2 * CPUS
+        )
+        from pyspark.sql import functions as F
+
+        n_real = corpus.count()
+        synth = synth.select(
+            (F.regexp_extract("path", r"f(\d+)\.", 1).cast("long") + F.lit(n_real)).alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+        b_mod.build_index(
+            spark, corpus.unionByName(synth), idx_dir, codec="ans",
+            doc_col="doc_id", text_col="text", chunk_postings=1 << 16,
+        )
+        spark.stop()
+
+    man = json.load(open(f"{idx_dir}/manifest.json"))
+    side = pickle.load(open(f"{idx_dir}/models.pkl", "rb"))
+    codec = b_mod.IndexCodec(side["codec"], side["models"], num_docs=man["num_docs"])
+    tbl = pq.read_table(f"{idx_dir}/index.parquet").to_pandas()
+    stats = pq.read_table(f"{idx_dir}/doc_stats.parquet").to_pandas()
+    norm = np.zeros(man["num_docs"], dtype=np.float32)
+    norm[stats["doc_id"].to_numpy()] = stats["norm_len"].to_numpy(np.float32)
+    nd = man["num_docs"]
+    by_term = {t: g for t, g in tbl.groupby("term")}
+    qs = c_mod.synthesize_queries(N_QUERIES, vocab_size=20000)
+    out = {"metric": "query_latency_us", "unit": "us", "num_docs": nd,
+           "postings": man["total_postings"], "k": K, "queries": {}}
+    for mode in ("wand", "maxscore", "taat", "ranked_or", "ranked_and"):
+        lat = []
+        for run in range(2):  # first run untimed (warms caches), like the reference
+            for qid, terms in qs:
+                c = Counter(terms)
+                rows = [by_term[t] for t in c if t in by_term]
+                if not rows:
+                    continue
+                pdf = pd.concat(rows).assign(
+                    query_id=qid, n_terms=len(c),
+                )
+                pdf["qtf"] = [c[t] for t in pdf["term"]]
+                pdf["max_weight"] = pdf["chunk_max_weight"]
+                t0 = time.perf_counter()
+                lists = q_mod._decode_group(pdf, codec)
+                tws = q_mod._term_weights(lists, norm, np.float32)
+                per_term = pdf.drop_duplicates("term").set_index("term")
+                weights = {
+                    t: q_mod._q_weight(per_term.loc[t, "qtf"], per_term.loc[t, "df"], nd, np.float32)
+                    for t in lists
+                }
+                maxw = {t: float(per_term.loc[t, "max_weight"]) for t in lists}
+                if mode == "wand":
+                    q_mod._kernel_wand(lists, tws, weights, maxw, np.float32, qid, K, nd)
+                elif mode == "maxscore":
+                    q_mod._kernel_maxscore(lists, tws, weights, maxw, np.float32, qid, K, nd)
+                elif mode == "taat":
+                    q_mod._kernel_taat_pruned(lists, tws, weights, maxw, np.float32, qid, K)
+                elif mode == "ranked_or":
+                    q_mod._kernel_ranked_or(lists, tws, weights, np.float32, qid, K)
+                else:
+                    q_mod._kernel_ranked_and(lists, tws, weights, np.float32, qid, K, len(c))
+                if run:
+                    lat.append((time.perf_counter() - t0) * 1e6)
+        arr = np.array(lat)
+        out["queries"][mode] = {
+            "mean": round(float(arr.mean()), 1),
+            "q50": round(float(np.percentile(arr, 50)), 1),
+            "q90": round(float(np.percentile(arr, 90)), 1),
+            "q95": round(float(np.percentile(arr, 95)), 1),
+        }
+    out["value"] = out["queries"]["wand"]["mean"]
+    print(json.dumps(out))
+
+
 def main():
+    if "--latency" in sys.argv:
+        latency_mode()
+        return
     if "--scaling" in sys.argv:
         # N -> 4N parallelism on identical input.  The pair is (2, 8):
         # this sandbox VM's JVM throughput degrades nonmonotonically

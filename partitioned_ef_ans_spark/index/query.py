@@ -28,6 +28,7 @@ boundary — see operators/ranked.py for why rounding precedes ranking.
 
 from __future__ import annotations
 
+import bisect
 import heapq
 from typing import Iterator
 
@@ -67,32 +68,33 @@ class _Enum:
     doc-side weight array (query-independent); per-step scoring is
     ``q_weight * w[pos]`` — scalar math, no allocations in the loop."""
 
-    __slots__ = ("docs", "w", "pos", "n", "sentinel", "q_weight", "max_weight")
+    __slots__ = ("docs", "w", "pos", "n", "sentinel", "q_weight", "max_weight", "cur")
 
     def __init__(self, docs, w, sentinel, q_weight=0.0, max_weight=0.0):
-        self.docs = docs
+        self.docs = docs.tolist()  # python ints: no np-scalar boxing in the loop
         self.w = w
         self.pos = 0
         self.n = len(docs)
         self.sentinel = sentinel
         self.q_weight = q_weight
         self.max_weight = max_weight
+        self.cur = self.docs[0] if self.n else sentinel
 
     def docid(self) -> int:
-        return int(self.docs[self.pos]) if self.pos < self.n else self.sentinel
+        return self.cur
 
     def weight(self):
         return self.w[self.pos]
 
     def next(self) -> None:
         self.pos += 1
+        self.cur = self.docs[self.pos] if self.pos < self.n else self.sentinel
 
     def next_geq(self, lower_bound: int) -> None:
         # binary search from the current position (the decoded-array
         # analogue of block-max skipping, block_posting_list.hpp:219-241)
-        self.pos += int(
-            np.searchsorted(self.docs[self.pos :], lower_bound, side="left")
-        )
+        self.pos = bisect.bisect_left(self.docs, lower_bound, self.pos)
+        self.cur = self.docs[self.pos] if self.pos < self.n else self.sentinel
 
 
 #: worker-global caches: decoded lists and doc-side weights survive
@@ -284,12 +286,12 @@ def _kernel_wand(lists, tws, weights, max_weights, dtype, qid, k, num_docs, extr
     def would_enter(ub: float) -> bool:
         return len(heap) < kk or ub > heap[0][0]
 
-    ordered = sorted(enums, key=lambda e: e.docid())
+    ordered = sorted(enums, key=lambda e: e.cur)
     while True:
         upper = dtype(0)
         pivot = None
         for i, en in enumerate(ordered):
-            if en.docid() == num_docs:
+            if en.cur == num_docs:
                 break
             upper = upper + en.max_weight
             if would_enter(float(upper)):
@@ -297,11 +299,11 @@ def _kernel_wand(lists, tws, weights, max_weights, dtype, qid, k, num_docs, extr
                 break
         if pivot is None:
             break
-        pivot_id = ordered[pivot].docid()
-        if pivot_id == ordered[0].docid():
+        pivot_id = ordered[pivot].cur
+        if pivot_id == ordered[0].cur:
             score = dtype(0)
             for en in ordered:
-                if en.docid() != pivot_id:
+                if en.cur != pivot_id:
                     break
                 score = score + en.q_weight * en.w[en.pos]
                 en.next()
@@ -310,14 +312,14 @@ def _kernel_wand(lists, tws, weights, max_weights, dtype, qid, k, num_docs, extr
                 heapq.heappush(heap, item)
             elif item > heap[0]:
                 heapq.heapreplace(heap, item)
-            ordered.sort(key=lambda e: e.docid())
+            ordered.sort(key=lambda e: e.cur)
         else:
             nxt = pivot
-            while ordered[nxt].docid() == pivot_id:
+            while ordered[nxt].cur == pivot_id:
                 nxt -= 1
             ordered[nxt].next_geq(pivot_id)
             i = nxt + 1
-            while i < len(ordered) and ordered[i].docid() < ordered[i - 1].docid():
+            while i < len(ordered) and ordered[i].cur < ordered[i - 1].cur:
                 ordered[i], ordered[i - 1] = ordered[i - 1], ordered[i]
                 i += 1
     return _topk_rows([(s, -d) for s, d in heap], qid, k)
@@ -352,23 +354,23 @@ def _kernel_maxscore(lists, tws, weights, max_weights, dtype, qid, k, num_docs, 
     first_essential = 0
     while first_essential < m and ub[first_essential] <= threshold():
         first_essential += 1
-    cur = min((e.docid() for e in enums[first_essential:]), default=num_docs)
+    cur = min((e.cur for e in enums[first_essential:]), default=num_docs)
     while cur < num_docs and first_essential < m:
         score = dtype(0)
         nxt = num_docs
         for en in enums[first_essential:]:
-            if en.docid() == cur:
+            if en.cur == cur:
                 score = score + en.q_weight * en.w[en.pos]
                 en.next()
-            if en.docid() < nxt:
-                nxt = en.docid()
+            if en.cur < nxt:
+                nxt = en.cur
         # probe non-essential lists best-first while the bound allows
         for i in range(first_essential - 1, -1, -1):
             if float(score) + ub[i] <= threshold():
                 break
             en = enums[i]
             en.next_geq(cur)
-            if en.docid() == cur:
+            if en.cur == cur:
                 score = score + en.q_weight * en.w[en.pos]
         item = (float(score), -cur)
         if len(heap) < kk:
