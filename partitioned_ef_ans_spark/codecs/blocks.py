@@ -173,7 +173,6 @@ def blockize_many(
     blk_in_list = np.arange(total_blocks) - block_off[blk_list]
     end_pos = np.minimum((blk_in_list + 1) * block_size, L[blk_list]) - 1
     maxs = docs[starts[blk_list] + end_pos]
-    bases = np.where(blk_in_list == 0, 0, np.concatenate([[0], maxs[:-1] + 1]))
     # bases for block b>0 = prev block's max + 1 (within the same list)
     prev_max = np.empty(total_blocks, dtype=np.int64)
     prev_max[1:] = maxs[:-1]

@@ -458,17 +458,21 @@ def optimal_partition(values: np.ndarray, universe: int, cost_fun,
     (optimal_partition.hpp:70-125): windows capped at geometrically
     increasing cost bounds; returns partition endpoints (last == n)."""
     size = len(values)
-    single = cost_fun(universe, size)
-    min_cost = np.full(size + 1, single, dtype=np.float64)
+    single = int(cost_fun(universe, size))
+    # costs are integral bit counts; the reference's cost_t is uint64,
+    # so the geometric bound ladder truncates after every multiply
+    # (optimal_partition.hpp:86) — float bounds would flip the
+    # `wcost >= bound` window break when wcost == floor(bound)
+    min_cost = np.full(size + 1, single, dtype=np.int64)
     min_cost[0] = 0
-    cost_lb = cost_fun(1, 1)
+    cost_lb = int(cost_fun(1, 1))
     bounds = []
     cb = cost_lb
     while eps1 == 0 or cb < cost_lb / eps1:
         bounds.append(cb)
         if cb >= single:
             break
-        cb = cb * (1 + eps2)
+        cb = int(cb * (1 + eps2))
     # windows: (start, end) per bound
     starts = [0] * len(bounds)
     ends = [0] * len(bounds)
@@ -481,9 +485,6 @@ def optimal_partition(values: np.ndarray, universe: int, cost_fun,
                 ends[wi] = last_end
             while True:
                 w_start, w_end = starts[wi], ends[wi]
-                min_p = v[w_start - 1] + 1 if w_start else v[0] - v[0]  # see below
-                # reference: min_p = element preceding window start
-                base_v = v[w_start - 1] + 1 if w_start > 0 else int(v[0]) * 0
                 # universe of window [start, end): max - min + 1 with
                 # min_p = predecessor + 1 (or v[0] on the first window)
                 if w_start == 0:
@@ -491,7 +492,7 @@ def optimal_partition(values: np.ndarray, universe: int, cost_fun,
                 else:
                     min_pv = int(v[w_start - 1]) + 1
                 max_pv = int(v[w_end - 1])
-                wcost = cost_fun(max_pv - min_pv + 1, w_end - w_start)
+                wcost = int(cost_fun(max_pv - min_pv + 1, w_end - w_start))
                 if min_cost[i] + wcost < min_cost[w_end]:
                     min_cost[w_end] = min_cost[i] + wcost
                     path[w_end] = i

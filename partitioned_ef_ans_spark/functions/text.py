@@ -94,14 +94,16 @@ def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, fp): order-aware document fingerprint = sum of 52-bit
-    position-salted token hashes (rolling-hash analogue, overflow-free
-    in int64 for documents up to ~2k tokens)."""
+    """(doc_id, fp): order-aware document fingerprint = XOR-fold of
+    52-bit position-salted token hashes.  XOR is overflow-free by
+    construction (a sum would silently wrap int64 past ~4k tokens in
+    Spark while DuckDB sums in HUGEINT — engines would diverge);
+    position salting keeps the aggregate order-aware."""
     toks = tokens_array(F.col(text_col))
     exploded = documents.select("doc_id", F.posexplode(toks).alias("pos", "term"))
     h = md5_long(F.concat_ws(":", F.col("term"), F.col("pos")), hexdigits=13)
     return (
         exploded.groupBy("doc_id")
-        .agg(F.sum(h).alias("fp"))
+        .agg(F.bit_xor(h).alias("fp"))
         .select("doc_id", F.col("fp").cast("long").alias("fp"))
     )

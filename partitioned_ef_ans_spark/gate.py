@@ -157,7 +157,8 @@ def _get_index(spark: SparkSession, sf_dir: str, codec: str = "ans"):
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = hashlib.sha1(f"{sf_dir}|{codec}".encode()).hexdigest()[:12]
-    out_dir = f"/tmp/pefa_index_{tag}"
+    # /dev/shm, not /tmp: this sandbox's /tmp is a throttled shared disk
+    out_dir = f"/dev/shm/pefa_index_{tag}"
     docs = load_documents(spark, sf_dir)
     b_mod.build_index(
         spark, docs, out_dir, codec=codec, chunk_postings=256,

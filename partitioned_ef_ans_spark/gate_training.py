@@ -100,7 +100,7 @@ def sql_fingerprint() -> str:
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 e AS (SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos FROM t WHERE len(toks) > 0)
-SELECT doc_id, CAST(sum({h}) AS BIGINT) AS fp FROM e GROUP BY doc_id"""
+SELECT doc_id, CAST(bit_xor({h}) AS BIGINT) AS fp FROM e GROUP BY doc_id"""
 
 
 # ---------------------------------------------------------------- dedup
@@ -373,11 +373,42 @@ FROM documents"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: the Arrow-batched decode/feature plumbing runs
-    end-to-end (deterministic stub features — no SQL equivalent)."""
+    """Arrow-batched decode/feature plumbing end-to-end.  The stub
+    features are sha256-derived, so DuckDB can reproduce them exactly:
+    the gate projects the float32 vector to (doc_id, i, feat) scalar
+    rows (the array column itself is unhashable for the driver's
+    canonicalizer)."""
     from partitioned_ef_ans_spark.operators import multimodal as mm
 
-    return mm.decode_features(mm.attach_payload(_docs(spark, sf_dir)))
+    feats = mm.decode_features(mm.attach_payload(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("i", "feat")
+    ).select(
+        "doc_id",
+        F.col("i").cast("int").alias("i"),
+        F.round(F.col("feat").cast("double"), 6).alias("feat"),
+    )
+
+
+def sql_multimodal_features() -> str:
+    """feature[i] = float32(uint32_le(sha256(payload)[4i:4i+4]) / 2^32)
+    (operators/multimodal.py decode_features stub), reproduced from the
+    sha256 hex string: little-endian byte reassembly, /2^32 in double
+    (exact), round-to-float32, then round(…, 6) in double on both
+    engines."""
+    le_hex = (
+        "substr(sha, 8*i+7, 2) || substr(sha, 8*i+5, 2) || "
+        "substr(sha, 8*i+3, 2) || substr(sha, 8*i+1, 2)"
+    )
+    return f"""
+WITH s AS (SELECT doc_id, sha256(text) AS sha FROM documents),
+b AS (
+  SELECT doc_id, i, CAST(('0x' || {le_hex}) AS BIGINT) AS u
+  FROM s, UNNEST(range(8)) AS t(i)
+)
+SELECT doc_id, CAST(i AS INT) AS i,
+       round(CAST(CAST(CAST(u AS DOUBLE) / 4294967296.0 AS REAL) AS DOUBLE), 6) AS feat
+FROM b"""
 
 
 TRAINING_QUERIES = {
@@ -402,7 +433,7 @@ TRAINING_ORACLES = {
     "corpus_sha": sql_corpus_sha(),
     # transform_queries: rows-only (no SQL Porter stemmer available)
     "multimodal_meta": sql_multimodal_meta(),
-    # multimodal_features: rows-only (stubbed decoder, no SQL oracle)
+    "multimodal_features": sql_multimodal_features(),
     "token_counts": sql_token_counts(),
     "quality_score": sql_quality_score(),
     "lang_id": sql_lang_id(),

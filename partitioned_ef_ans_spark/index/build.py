@@ -109,9 +109,15 @@ class IndexCodec:
     """
 
     def __init__(self, codec_name: str, models=None, num_docs: int = 0):
+        import uuid
+
         self.codec_name = codec_name
         self.models = models
         self.num_docs = num_docs
+        # per-bundle identity: worker-global decode/weight caches key on
+        # this so two indexes served by the same long-lived python
+        # worker (bench builds several per session) never collide
+        self.tag = uuid.uuid4().hex[:12]
         if codec_name == "ans":
             (enc_d, dec_d), (enc_f, dec_f) = models
             self.docs = blocks.AnsCodec(enc=enc_d, dec=dec_d)

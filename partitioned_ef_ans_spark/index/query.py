@@ -109,7 +109,9 @@ _CACHE_LIMIT = 4096
 def _decode_group(pdf: pd.DataFrame, codec) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """Group rows (term chunks) -> {term: (doc_ids, freqs)} decoded,
     chunks concatenated in chunk order; chunk payloads cached across
-    groups within the worker."""
+    groups within the worker (keys carry the codec's build tag so two
+    indexes served by one worker never alias)."""
+    tag = codec.tag
     pdf = pdf.sort_values(["term", "chunk_id"])
     out: dict[str, list] = {}
     misses = []
@@ -117,7 +119,7 @@ def _decode_group(pdf: pd.DataFrame, codec) -> dict[str, tuple[np.ndarray, np.nd
     for term, cid, n, fd, ld, p in zip(
         pdf["term"], pdf["chunk_id"], pdf["n"], pdf["first_doc"], pdf["last_doc"], pdf["payload"]
     ):
-        key = (term, int(cid), int(n), int(fd), int(ld))
+        key = (tag, term, int(cid), int(n), int(fd), int(ld))
         keys.append((term, key))
         if key not in _LIST_CACHE:
             misses.append((key, bytes(p)))
@@ -140,12 +142,12 @@ def _decode_group(pdf: pd.DataFrame, codec) -> dict[str, tuple[np.ndarray, np.nd
 
 
 def _term_weights(
-    lists: dict, norm: np.ndarray, dtype
+    lists: dict, norm: np.ndarray, dtype, tag: str = ""
 ) -> dict[str, np.ndarray]:
     """Query-independent doc-side weight array per term (cached)."""
     out = {}
     for t, (docs, freqs) in lists.items():
-        key = (t, len(docs), int(docs[0]) if len(docs) else -1, dtype == np.float32)
+        key = (tag, t, len(docs), int(docs[0]) if len(docs) else -1, dtype == np.float32)
         w = _WEIGHT_CACHE.get(key)
         if w is None or len(w) != len(docs):
             w = _doc_weights(freqs, norm[docs], dtype)
@@ -394,7 +396,7 @@ def make_ranked_kernel(codec_bc, norm_bc, num_docs, k, mode, dtype_name="float64
         codec = codec_bc.value
         norm = norm_bc.value.astype(dtype)
         lists = _decode_group(pdf, codec)
-        tws = _term_weights(lists, norm, dtype)
+        tws = _term_weights(lists, norm, dtype, tag=codec.tag)
         per_term = pdf.drop_duplicates("term").set_index("term")
         weights = {
             t: _q_weight(per_term.loc[t, "qtf"], per_term.loc[t, "df"], num_docs, dtype)
@@ -407,6 +409,15 @@ def make_ranked_kernel(codec_bc, norm_bc, num_docs, k, mode, dtype_name="float64
         max_weights = {
             t: float(per_term.loc[t, "max_weight"]) for t in lists
         }
+        if dtype == np.float64:
+            # stored term bounds are float32 (wand_data.hpp stores
+            # float); f64 scores can exceed them by ~1 ulp, and a bound
+            # below a true score lets would_enter prune a genuine
+            # top-k doc.  Inflate by a relative margin so the bound
+            # stays admissible (pruning power loss is negligible).
+            max_weights = {
+                t: mw * (1.0 + 1e-6) + 1e-12 for t, mw in max_weights.items()
+            }
         if mode == "taat":
             return _kernel_taat_pruned(
                 lists, tws, weights, max_weights, dtype, qid, k

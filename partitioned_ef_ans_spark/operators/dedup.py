@@ -67,18 +67,32 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
 
 
 def _jaccard_pairs(sh: DataFrame, candidates: DataFrame | None) -> DataFrame:
-    """Exact Jaccard for (doc_a, doc_b) pairs via shared-shingle join."""
+    """Exact Jaccard for (doc_a, doc_b) pairs via shared-shingle join.
+
+    When ``candidates`` is given, the verification plan only ever
+    touches candidate rows: the shingle table is semi-joined down to
+    candidate doc ids BEFORE the self-join, and the candidate PAIR set
+    prunes the pair stream BEFORE the (doc_a, doc_b) aggregation — so
+    the cost is O(candidate pairs x shared shingles), never the
+    all-pairs quadratic blowup LSH exists to avoid.  (candidates=None
+    is the small-scale exact oracle path.)
+    """
+    if candidates is not None:
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    pair_stream = a.join(b, "shingle").where(F.col("doc_a") < F.col("doc_b"))
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        pair_stream = pair_stream.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    inter = pair_stream.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")

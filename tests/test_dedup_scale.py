@@ -1,0 +1,80 @@
+"""Scale-shape regression tests for the dedup / text-analysis plane.
+
+1. LSH verification must be candidate-only: the exact-Jaccard join is
+   pruned by the candidate PAIR set BEFORE the (doc_a, doc_b)
+   aggregation (VERDICT r1 item 3 — the all-pairs verify was the
+   scale-killer), checked on the optimized logical plan.
+2. Fingerprint must be overflow-free on long documents (the int64 sum
+   wrapped past ~4k tokens while DuckDB summed in HUGEINT).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from partitioned_ef_ans_spark.operators import dedup as d_mod
+
+
+def _boilerplate_docs(spark, n_dup=6, n_noise=4):
+    """Docs sharing a big boilerplate prefix (every pair co-occurs in
+    many shingle buckets) plus unrelated noise docs."""
+    boiler = " ".join(f"common{i}" for i in range(40))
+    rows = [(i, boiler + f" tail{i} end{i}") for i in range(n_dup)]
+    rows += [
+        (100 + j, " ".join(f"noise{j}w{k}" for k in range(30)))
+        for j in range(n_noise)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_verify_is_candidate_only_plan(spark):
+    docs = _boilerplate_docs(spark)
+    pairs = d_mod.minhash_lsh_pairs(docs)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    # the exact-Jaccard pair aggregation must sit ABOVE a LeftSemi
+    # prune by the candidate pair set (children print after parents)
+    agg_at = plan.find("Aggregate [doc_a")
+    semi_at = plan.find("LeftSemi")
+    assert agg_at != -1 and semi_at != -1
+    assert semi_at > agg_at, (
+        "candidate semi-join must be below the pair aggregation "
+        "(verify restricted to LSH candidates before the groupBy)"
+    )
+
+
+def test_lsh_pairs_match_exact_oracle_on_boilerplate(spark):
+    docs = _boilerplate_docs(spark)
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in d_mod.minhash_lsh_pairs(docs).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in d_mod.ngram_jaccard_pairs(docs).collect()
+    }
+    # the boilerplate family is deliberately near-identical, so LSH
+    # with 8 hashes / 4 bands must recall all of its exact pairs
+    assert lsh, "boilerplate fixture produced no LSH pairs"
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+    dup_exact = {p for p in exact if p[0] < 100 and p[1] < 100}
+    assert dup_exact <= set(lsh)
+
+
+def test_fingerprint_overflow_free_on_long_doc(spark):
+    n_tokens = 5000  # far past the old int64-sum wrap point (~4k)
+    toks = [f"w{i % 97}" for i in range(n_tokens)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    from partitioned_ef_ans_spark.functions.text import fingerprint
+
+    got = fingerprint(docs).collect()[0]["fp"]
+    expect = 0
+    for pos, t in enumerate(toks):
+        h = int(hashlib.md5(f"{t}:{pos}".encode()).hexdigest()[:13], 16)
+        expect ^= h
+    assert got == expect
+    assert 0 <= got < (1 << 52)
