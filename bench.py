@@ -92,11 +92,13 @@ def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
     out["num_docs"] = metrics["num_docs"]
 
     if query_modes:
-        index_df, stats_df, codec, manifest = b_mod.load_index(spark, idx_dir)
+        index_df, _stats_df, term_stats, codec, manifest = b_mod.load_index(
+            spark, idx_dir
+        )
         index_df = index_df.cache()
         index_df.count()
-        stats_pd = stats_df.orderBy("doc_id").toPandas()
-        norm = stats_pd["norm_len"].to_numpy(dtype=np.float32)
+        term_stats = term_stats.cache()
+        term_stats.count()
         nd = manifest["num_docs"]
         qs = c_mod.synthesize_queries(N_QUERIES, vocab_size=20000)
         qdf = queries_to_df(spark, qs).cache()
@@ -104,15 +106,17 @@ def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
         for mode in ("wand", "maxscore", "taat", "ranked_or", "ranked_and"):
             t0 = time.perf_counter()
             n = q_mod.run_ranked(
-                spark, index_df, qdf, codec, norm, nd,
-                mode=mode, k=K, dtype="float32",
+                spark, index_df, qdf, codec, nd,
+                mode=mode, k=K, dtype="float32", term_stats_df=term_stats,
             ).count()
             dt = time.perf_counter() - t0
             out[f"{mode}_{N_QUERIES}q"] = round(dt, 3)
             out[f"{mode}_qps"] = round(N_QUERIES / dt, 1)
         for conj, name in ((True, "bool_and"), (False, "bool_or")):
             t0 = time.perf_counter()
-            q_mod.run_boolean(spark, index_df, qdf, codec, conj).count()
+            q_mod.run_boolean(
+                spark, index_df, qdf, codec, conj, term_stats_df=term_stats
+            ).count()
             out[f"{name}_{N_QUERIES}q"] = round(time.perf_counter() - t0, 3)
     out["total_wall"] = round(time.perf_counter() - t_start, 3)
     spark.stop()
@@ -164,9 +168,6 @@ def latency_mode():
     side = pickle.load(open(f"{idx_dir}/models.pkl", "rb"))
     codec = b_mod.IndexCodec(side["codec"], side["models"], num_docs=man["num_docs"])
     tbl = pq.read_table(f"{idx_dir}/index.parquet").to_pandas()
-    stats = pq.read_table(f"{idx_dir}/doc_stats.parquet").to_pandas()
-    norm = np.zeros(man["num_docs"], dtype=np.float32)
-    norm[stats["doc_id"].to_numpy()] = stats["norm_len"].to_numpy(np.float32)
     nd = man["num_docs"]
     by_term = {t: g for t, g in tbl.groupby("term")}
     qs = c_mod.synthesize_queries(N_QUERIES, vocab_size=20000)
@@ -184,10 +185,14 @@ def latency_mode():
                     query_id=qid, n_terms=len(c),
                 )
                 pdf["qtf"] = [c[t] for t in pdf["term"]]
-                pdf["max_weight"] = pdf["chunk_max_weight"]
+                # per-TERM bound = max over the term's chunks (a single
+                # chunk's max would under-bound multi-chunk lists)
+                pdf["max_weight"] = pdf.groupby("term")[
+                    "chunk_max_weight"
+                ].transform("max")
                 t0 = time.perf_counter()
-                lists = q_mod._decode_group(pdf, codec)
-                tws = q_mod._term_weights(lists, norm, np.float32)
+                lists, norms = q_mod._decode_group(pdf, codec)
+                tws = q_mod._term_weights(lists, norms, np.float32, tag=codec.tag)
                 per_term = pdf.drop_duplicates("term").set_index("term")
                 weights = {
                     t: q_mod._q_weight(per_term.loc[t, "qtf"], per_term.loc[t, "df"], nd, np.float32)

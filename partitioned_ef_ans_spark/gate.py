@@ -149,7 +149,6 @@ _INDEX_CACHE: dict = {}
 def _get_index(spark: SparkSession, sf_dir: str, codec: str = "ans"):
     """Build (once per sf_dir+codec) and load the compressed index."""
     import hashlib
-    import numpy as np
 
     from partitioned_ef_ans_spark.index import build as b_mod
 
@@ -164,13 +163,13 @@ def _get_index(spark: SparkSession, sf_dir: str, codec: str = "ans"):
         spark, docs, out_dir, codec=codec, chunk_postings=256,
         doc_col="doc_id", text_col="text",
     )
-    index_df, stats_df, codec_obj, manifest = b_mod.load_index(spark, out_dir)
-    stats_pd = stats_df.orderBy("doc_id").toPandas()
-    norm_lens = stats_pd["norm_len"].to_numpy(dtype=np.float64)
+    index_df, _stats_df, term_stats_df, codec_obj, manifest = b_mod.load_index(
+        spark, out_dir
+    )
     bundle = {
         "index_df": index_df.cache(),
+        "term_stats": term_stats_df.cache(),
         "codec": codec_obj,
-        "norm_lens": norm_lens,
         "num_docs": manifest["num_docs"],
         "manifest": manifest,
     }
@@ -187,11 +186,11 @@ def _indexed_ranked(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
         ix["index_df"],
         gate_queries_df(spark),
         ix["codec"],
-        ix["norm_lens"],
         ix["num_docs"],
         mode=mode,
         k=TOP_K,
         dtype="float64",
+        term_stats_df=ix["term_stats"],
     )
 
 
@@ -212,7 +211,7 @@ def q_ranked_or_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = _get_index(spark, sf_dir)
     return q_mod.run_ranked_docpartitioned(
         spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
-        ix["norm_lens"], ix["num_docs"], k=TOP_K,
+        ix["num_docs"], k=TOP_K, term_stats_df=ix["term_stats"],
     )
 
 
@@ -235,7 +234,8 @@ def _indexed_boolean(spark: SparkSession, sf_dir: str, conjunctive: bool) -> Dat
 
     ix = _get_index(spark, sf_dir)
     return q_mod.run_boolean(
-        spark, ix["index_df"], gate_queries_df(spark), ix["codec"], conjunctive
+        spark, ix["index_df"], gate_queries_df(spark), ix["codec"], conjunctive,
+        term_stats_df=ix["term_stats"],
     )
 
 
@@ -305,7 +305,8 @@ def q_wand_top10_pef(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = _get_index(spark, sf_dir, codec="pef")
     return q_mod.run_ranked(
         spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
-        ix["norm_lens"], ix["num_docs"], mode="wand", k=TOP_K, dtype="float64",
+        ix["num_docs"], mode="wand", k=TOP_K, dtype="float64",
+        term_stats_df=ix["term_stats"],
     )
 
 

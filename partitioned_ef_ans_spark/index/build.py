@@ -19,11 +19,15 @@ sidecar with the frozen models + collection stats — the reference's
 single frozen blob (succinct::mapper::freeze) becomes table + manifest.
 
 Scale notes: every stage is a single pass over the postings table; the
-only shuffle upstream is the salted (term, chunk) aggregation.  The
+only shuffles upstream are the salted (term, chunk) aggregation and
+the doc_id join that ships each chunk its ``norms`` slice.  The
 count-matrix collect is O(#partitions x 4 MB) regardless of data size.
-norm_lens is broadcast like the reference mmaps wand_data (wand_data
-.hpp:78-81); at 10^12-doc scale it would shard to a doc-range-keyed
-side table with the same semantics.
+Nothing num_docs-sized ever touches the driver: doc stats write
+straight to parquet, norm_lens ride inside the chunks (the sharded
+analogue of the reference's mmapped wand_data norm table,
+wand_data.hpp:78-81), and the per-term WAND metadata
+(``max_term_weight``, wand_data.hpp:35-50) freezes once into
+``term_stats.parquet`` so query batches never aggregate the index.
 """
 
 from __future__ import annotations
@@ -48,7 +52,8 @@ from partitioned_ef_ans_spark.tokenizer import term_frequencies, tokenize
 INDEX_SCHEMA = (
     "term string, df long, cf long, num_chunks int, chunk_id int, "
     "n int, first_doc long, last_doc long, payload binary, "
-    "block_maxs array<long>, chunk_max_weight float"
+    "block_maxs array<long>, block_max_weights array<float>, "
+    "chunk_max_weight float, norms array<double>"
 )
 
 
@@ -158,23 +163,31 @@ class IndexCodec:
         return blocks.decode_lists(payloads, self)
 
 
-def _encode_factory(codec_bc, norm_lens_bc):
+def _encode_factory(codec_bc):
+    """Encode pass: postings chunks (with their ``norms`` slice joined
+    in by build_postings) -> index rows.  No broadcast side state
+    beyond the frozen codec: the per-posting norm arrives WITH the
+    chunk, so the pass scales to any num_docs."""
+
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         codec: IndexCodec = codec_bc.value
-        norm = norm_lens_bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             doc_lists = [np.asarray(x, dtype=np.int64) for x in pdf["doc_ids"]]
             freq_lists = [np.asarray(x, dtype=np.int64) for x in pdf["freqs"]]
+            norm_lists = [np.asarray(x, dtype=np.float64) for x in pdf["norms"]]
             payloads = codec.encode_lists(doc_lists, freq_lists)
             maxw = np.empty(len(doc_lists), dtype=np.float32)
             bmax = []
-            for i, (d, f) in enumerate(zip(doc_lists, freq_lists)):
+            bmaxw = []
+            for i, (d, f, nl) in enumerate(zip(doc_lists, freq_lists, norm_lists)):
                 # float32 doc-side BM25 weight (bm25.hpp:11-15); list max
-                # is the WAND upper bound (wand_data.hpp:35-50)
+                # is the WAND upper bound (wand_data.hpp:35-50), block
+                # maxes are the block-max WAND bounds (wand_data block
+                # max table, queries.hpp block_max_* usage)
                 w = bm25.doc_term_weight_vec(
-                    f.astype(np.float32), norm[d].astype(np.float32)
+                    f.astype(np.float32), nl.astype(np.float32)
                 )
                 maxw[i] = np.float32(w.max()) if len(w) else np.float32(0)
                 nb = (len(d) + codec.block_size - 1) // codec.block_size
@@ -182,6 +195,9 @@ def _encode_factory(codec_bc, norm_lens_bc):
                     np.arange(1, nb + 1) * codec.block_size, len(d)
                 ) - 1
                 bmax.append(d[ends])
+                bmaxw.append(
+                    np.maximum.reduceat(w, np.arange(0, len(w), codec.block_size))
+                )
             yield pd.DataFrame(
                 {
                     "term": pdf["term"].to_numpy(),
@@ -194,7 +210,9 @@ def _encode_factory(codec_bc, norm_lens_bc):
                     "last_doc": [int(d[-1]) for d in doc_lists],
                     "payload": payloads,
                     "block_maxs": bmax,
+                    "block_max_weights": bmaxw,
                     "chunk_max_weight": maxw,
+                    "norms": norm_lists,
                 }
             )
 
@@ -215,6 +233,7 @@ def build_index(
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
+    os.makedirs(out_dir, exist_ok=True)
     t0 = time.perf_counter()
     tokens = tokenize(corpus_docs, doc_col=doc_col, text_col=text_col)
     tf = term_frequencies(tokens).cache()  # reused by stats + postings
@@ -222,18 +241,21 @@ def build_index(
         corpus_docs.select(F.col(doc_col).alias("doc_id")),
         tf.select("doc_id", "term", "tf"),
     )
-    # unsorted collect + index assignment (no global sort job); tf cache
-    # materializes during this first action
-    stats_pd = stats.select("doc_id", "doc_len", "norm_len").toPandas()
+    # doc stats stay DISTRIBUTED: straight to parquet (tf cache
+    # materializes during this first action); the driver only ever
+    # sees the 1-row (num_docs, avg_len) aggregate
+    stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats.parquet")
+    stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
+    agg = stats_df.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg")
+    ).collect()[0]
+    num_docs = int(agg["n"])
+    avg_len = float(agg["avg"] or 0.0)
     t_stats = time.perf_counter()
-    num_docs = len(stats_pd)
-    norm_lens = np.zeros(num_docs, dtype=np.float32)
-    norm_lens[stats_pd["doc_id"].to_numpy()] = stats_pd["norm_len"].to_numpy(
-        dtype=np.float32
-    )
-    avg_len = float(stats_pd["doc_len"].mean()) if num_docs else 0.0
 
-    postings = p_mod.build_postings(tf, num_docs=num_docs, chunk_postings=chunk_postings)
+    postings = p_mod.build_postings(
+        tf, num_docs=num_docs, chunk_postings=chunk_postings, doc_norms=stats_df
+    )
     postings = postings.cache()
 
     models = None
@@ -244,27 +266,28 @@ def build_index(
     sc = spark.sparkContext
     codec_bundle = IndexCodec(codec, models, num_docs=num_docs)
     codec_bc = sc.broadcast(codec_bundle)
-    norm_bc = sc.broadcast(norm_lens)
 
-    index_df = postings.mapInPandas(
-        _encode_factory(codec_bc, norm_bc), schema=INDEX_SCHEMA
-    )
-    os.makedirs(out_dir, exist_ok=True)
+    index_df = postings.mapInPandas(_encode_factory(codec_bc), schema=INDEX_SCHEMA)
     index_df.write.mode("overwrite").parquet(f"{out_dir}/index.parquet")
-    # doc_stats written from the already-collected pandas (no extra job)
-    spark.createDataFrame(stats_pd).write.mode("overwrite").parquet(
-        f"{out_dir}/doc_stats.parquet"
-    )
     t_enc = time.perf_counter()
 
     with open(f"{out_dir}/models.pkl", "wb") as fh:
         pickle.dump({"codec": codec, "models": models}, fh)
 
-    agg_row = (
-        spark.read.parquet(f"{out_dir}/index.parquet")
-        .agg(F.sum("n").alias("p"), F.sum(F.length("payload")).alias("b"))
-        .collect()[0]
-    )
+    # freeze the per-term WAND metadata ONCE (the reference's
+    # m_max_term_weight, wand_data.hpp:35-50,78-81): query batches join
+    # this table instead of re-aggregating the whole index
+    written = spark.read.parquet(f"{out_dir}/index.parquet")
+    written.groupBy("term").agg(
+        F.first("df").alias("df"),
+        F.first("cf").alias("cf"),
+        F.first("num_chunks").alias("num_chunks"),
+        F.max("chunk_max_weight").alias("max_term_weight"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/term_stats.parquet")
+
+    agg_row = written.agg(
+        F.sum("n").alias("p"), F.sum(F.length("payload")).alias("b")
+    ).collect()[0]
     total_postings = int(agg_row["p"] or 0)
     payload_bytes = int(agg_row["b"] or 0)
     metrics = {
@@ -287,12 +310,11 @@ def build_index(
         json.dump(metrics, fh, indent=2)
     postings.unpersist()
     codec_bc.destroy()
-    norm_bc.destroy()
     return metrics
 
 
 def load_index(spark: SparkSession, out_dir: str):
-    """(index_df, doc_stats_df, IndexCodec, manifest dict)."""
+    """(index_df, doc_stats_df, term_stats_df, IndexCodec, manifest)."""
     with open(f"{out_dir}/models.pkl", "rb") as fh:
         side = pickle.load(fh)
     with open(f"{out_dir}/manifest.json") as fh:
@@ -300,4 +322,5 @@ def load_index(spark: SparkSession, out_dir: str):
     codec = IndexCodec(side["codec"], side["models"], num_docs=manifest["num_docs"])
     index_df = spark.read.parquet(f"{out_dir}/index.parquet")
     stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
-    return index_df, stats_df, codec, manifest
+    term_stats_df = spark.read.parquet(f"{out_dir}/term_stats.parquet")
+    return index_df, stats_df, term_stats_df, codec, manifest

@@ -26,10 +26,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Iterator
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -88,18 +85,19 @@ def build_index_resumable(
             tf.select("doc_id", "term", "tf"),
         )
         stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats.parquet")
-        num_docs = spark.read.parquet(f"{out_dir}/doc_stats.parquet").count()
+        stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
+        num_docs = stats_df.count()
         postings = p_mod.build_postings(
-            tf, num_docs=num_docs, chunk_postings=chunk_postings
+            tf, num_docs=num_docs, chunk_postings=chunk_postings,
+            doc_norms=stats_df,
         ).withColumn("part_id", F.crc32(F.col("term")) % num_parts)
         postings.write.mode("overwrite").partitionBy("part_id").parquet(staging)
         tf.unpersist()
 
     staged = spark.read.parquet(staging)
-    stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
-    stats_pd = stats_df.orderBy("doc_id").toPandas()
-    num_docs = len(stats_pd)
-    norm_lens = stats_pd["norm_len"].to_numpy(dtype=np.float32)
+    # norms ride inside the staged chunks; the driver only needs the
+    # scalar num_docs (no num_docs-sized collect/broadcast)
+    num_docs = spark.read.parquet(f"{out_dir}/doc_stats.parquet").count()
 
     models_path = f"{out_dir}/models.pkl"
     if not os.path.exists(models_path):
@@ -116,7 +114,6 @@ def build_index_resumable(
 
     codec_bundle = b_mod.IndexCodec(codec, models, num_docs=num_docs)
     codec_bc = spark.sparkContext.broadcast(codec_bundle)
-    norm_bc = spark.sparkContext.broadcast(norm_lens)
 
     # ---- stage 2: per-part encode with checkpoints
     done: dict[int, dict] = {}
@@ -138,7 +135,7 @@ def build_index_resumable(
         part_df = staged.where(F.col("part_id") == part_id).drop("part_id")
         out_path = f"{out_dir}/index.parquet/part={part_id}"
         part_df.mapInPandas(
-            b_mod._encode_factory(codec_bc, norm_bc), schema=b_mod.INDEX_SCHEMA
+            b_mod._encode_factory(codec_bc), schema=b_mod.INDEX_SCHEMA
         ).write.mode("overwrite").parquet(out_path)
         stats_row = spark.read.parquet(out_path).agg(
             F.sum("n").alias("postings"), F.sum(F.length("payload")).alias("bytes")
@@ -158,6 +155,13 @@ def build_index_resumable(
             raise BuildInterrupted(f"injected failure after {encoded_parts} parts")
 
     total = spark.read.parquet(f"{out_dir}/index.parquet")
+    # freeze the per-term WAND metadata like the non-resumable build
+    total.groupBy("term").agg(
+        F.first("df").alias("df"),
+        F.first("cf").alias("cf"),
+        F.first("num_chunks").alias("num_chunks"),
+        F.max("chunk_max_weight").alias("max_term_weight"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/term_stats.parquet")
     agg = total.agg(
         F.sum("n").alias("postings"), F.sum(F.length("payload")).alias("bytes")
     ).collect()[0]

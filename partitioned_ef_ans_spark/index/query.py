@@ -106,21 +106,26 @@ _WEIGHT_CACHE: dict = {}
 _CACHE_LIMIT = 4096
 
 
-def _decode_group(pdf: pd.DataFrame, codec) -> dict[str, tuple[np.ndarray, np.ndarray]]:
-    """Group rows (term chunks) -> {term: (doc_ids, freqs)} decoded,
-    chunks concatenated in chunk order; chunk payloads cached across
-    groups within the worker (keys carry the codec's build tag so two
-    indexes served by one worker never alias)."""
+def _decode_group(pdf: pd.DataFrame, codec):
+    """Group rows (term chunks) -> ({term: (doc_ids, freqs)},
+    {term: norms}) decoded, chunks concatenated in chunk order; chunk
+    payloads cached across groups within the worker (keys carry the
+    codec's build tag so two indexes served by one worker never
+    alias).  ``norms`` are the per-posting norm slices the chunks ship
+    with — no num_docs-sized broadcast anywhere."""
     tag = codec.tag
     pdf = pdf.sort_values(["term", "chunk_id"])
     out: dict[str, list] = {}
+    norms_acc: dict[str, list] = {}
     misses = []
     keys = []
-    for term, cid, n, fd, ld, p in zip(
-        pdf["term"], pdf["chunk_id"], pdf["n"], pdf["first_doc"], pdf["last_doc"], pdf["payload"]
+    for term, cid, n, fd, ld, p, nl in zip(
+        pdf["term"], pdf["chunk_id"], pdf["n"], pdf["first_doc"],
+        pdf["last_doc"], pdf["payload"], pdf["norms"],
     ):
         key = (tag, term, int(cid), int(n), int(fd), int(ld))
         keys.append((term, key))
+        norms_acc.setdefault(term, []).append(np.asarray(nl, dtype=np.float64))
         if key not in _LIST_CACHE:
             misses.append((key, bytes(p)))
     if misses:
@@ -132,25 +137,32 @@ def _decode_group(pdf: pd.DataFrame, codec) -> dict[str, tuple[np.ndarray, np.nd
             _LIST_CACHE[key] = df_pair
     for term, key in keys:
         out.setdefault(term, []).append(_LIST_CACHE[key])
-    return {
+    lists = {
         t: (
             np.concatenate([d for d, _ in parts]) if len(parts) > 1 else parts[0][0],
             np.concatenate([f for _, f in parts]) if len(parts) > 1 else parts[0][1],
         )
         for t, parts in out.items()
     }
+    norms = {
+        t: (np.concatenate(parts) if len(parts) > 1 else parts[0])
+        for t, parts in norms_acc.items()
+    }
+    return lists, norms
 
 
 def _term_weights(
-    lists: dict, norm: np.ndarray, dtype, tag: str = ""
+    lists: dict, norms: dict, dtype, tag: str = ""
 ) -> dict[str, np.ndarray]:
-    """Query-independent doc-side weight array per term (cached)."""
+    """Query-independent doc-side weight array per term (cached).
+    ``norms`` maps term -> per-posting norm slice aligned with the
+    decoded doc_ids."""
     out = {}
     for t, (docs, freqs) in lists.items():
         key = (tag, t, len(docs), int(docs[0]) if len(docs) else -1, dtype == np.float32)
         w = _WEIGHT_CACHE.get(key)
         if w is None or len(w) != len(docs):
-            w = _doc_weights(freqs, norm[docs], dtype)
+            w = _doc_weights(freqs, norms[t], dtype)
             _WEIGHT_CACHE[key] = w
         out[t] = w
     return out
@@ -385,7 +397,7 @@ def _kernel_maxscore(lists, tws, weights, max_weights, dtype, qid, k, num_docs, 
     return _topk_rows([(s, -d) for s, d in heap], qid, k)
 
 
-def make_ranked_kernel(codec_bc, norm_bc, num_docs, k, mode, dtype_name="float64"):
+def make_ranked_kernel(codec_bc, num_docs, k, mode, dtype_name="float64"):
     dtype = np.float32 if dtype_name == "float32" else np.float64
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -394,9 +406,8 @@ def make_ranked_kernel(codec_bc, norm_bc, num_docs, k, mode, dtype_name="float64
         qid = int(pdf["query_id"].iloc[0])
         n_terms = int(pdf["n_terms"].iloc[0])
         codec = codec_bc.value
-        norm = norm_bc.value.astype(dtype)
-        lists = _decode_group(pdf, codec)
-        tws = _term_weights(lists, norm, dtype, tag=codec.tag)
+        lists, norms = _decode_group(pdf, codec)
+        tws = _term_weights(lists, norms, dtype, tag=codec.tag)
         per_term = pdf.drop_duplicates("term").set_index("term")
         weights = {
             t: _q_weight(per_term.loc[t, "qtf"], per_term.loc[t, "df"], num_docs, dtype)
@@ -449,7 +460,7 @@ def make_bool_kernel(codec_bc, conjunctive):
             return _empty()
         qid = int(pdf["query_id"].iloc[0])
         n_terms = int(pdf["n_terms"].iloc[0])
-        lists = _decode_group(pdf, codec_bc.value)
+        lists, _ = _decode_group(pdf, codec_bc.value)
         if conjunctive:
             if len(lists) < n_terms:
                 return _empty()
@@ -474,14 +485,32 @@ def make_bool_kernel(codec_bc, conjunctive):
     return kernel
 
 
-def query_lists_df(index_df: DataFrame, queries_df: DataFrame) -> DataFrame:
+def query_lists_df(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    term_stats_df: DataFrame | None = None,
+) -> DataFrame:
     """Join the (broadcast) query term multiset into the index table —
     only referenced chunks survive (Catalyst pushes the term filter
-    into the parquet scan)."""
+    into the parquet scan).
+
+    ``term_stats_df`` is the build-frozen per-term WAND metadata
+    (``max_term_weight``, the reference's m_max_term_weight,
+    wand_data.hpp:35-50): the vocabulary-sized table is semi-joined
+    down to the query's terms FIRST, so a query batch never scans or
+    aggregates the index itself.  The ``None`` fallback (full-index
+    groupBy) exists only for ad-hoc index DataFrames without a frozen
+    sidecar — never the scale path.
+    """
     qf = query_freqs(queries_df)  # query_id, term, qtf, n_terms
-    per_term_max = index_df.groupBy("term").agg(
-        F.max("chunk_max_weight").alias("max_weight")
-    )
+    if term_stats_df is not None:
+        per_term_max = term_stats_df.join(
+            F.broadcast(qf.select("term").distinct()), "term", "left_semi"
+        ).select("term", F.col("max_term_weight").alias("max_weight"))
+    else:
+        per_term_max = index_df.groupBy("term").agg(
+            F.max("chunk_max_weight").alias("max_weight")
+        )
     idx = index_df.join(F.broadcast(qf), "term")
     return idx.join(F.broadcast(per_term_max), "term")
 
@@ -491,20 +520,19 @@ def run_ranked(
     index_df: DataFrame,
     queries_df: DataFrame,
     codec,
-    norm_lens: np.ndarray,
     num_docs: int,
     mode: str = "wand",
     k: int = 10,
     dtype: str = "float64",
+    term_stats_df: DataFrame | None = None,
 ) -> DataFrame:
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
     sc = spark.sparkContext
     codec_bc = sc.broadcast(codec)
-    norm_bc = sc.broadcast(norm_lens)
-    joined = query_lists_df(index_df, queries_df)
-    kernel = make_ranked_kernel(codec_bc, norm_bc, num_docs, k, mode, dtype)
+    joined = query_lists_df(index_df, queries_df, term_stats_df)
+    kernel = make_ranked_kernel(codec_bc, num_docs, k, mode, dtype)
     return joined.groupBy("query_id").applyInPandas(kernel, schema=RESULT_SCHEMA)
 
 
@@ -513,9 +541,9 @@ def run_ranked_docpartitioned(
     index_df: DataFrame,
     queries_df: DataFrame,
     codec,
-    norm_lens: np.ndarray,
     num_docs: int,
     k: int = 10,
+    term_stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Document-partitioned exhaustive BM25 (the second parallelism
     axis).
@@ -536,22 +564,21 @@ def run_ranked_docpartitioned(
     ship_package(spark)
     sc = spark.sparkContext
     codec_bc = sc.broadcast(codec)
-    norm_bc = sc.broadcast(norm_lens.astype(np.float64))
-    joined = query_lists_df(index_df, queries_df)
+    joined = query_lists_df(index_df, queries_df, term_stats_df)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         codec_l = codec_bc.value
-        norm = norm_bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             decoded = codec_l.decode_lists([bytes(p) for p in pdf["payload"]])
             qids, docs_out, scores = [], [], []
-            for (qid, qtf, df_), (docs, freqs) in zip(
-                zip(pdf["query_id"], pdf["qtf"], pdf["df"]), decoded
+            for (qid, qtf, df_, nl), (docs, freqs) in zip(
+                zip(pdf["query_id"], pdf["qtf"], pdf["df"], pdf["norms"]), decoded
             ):
                 qw = _q_weight(qtf, df_, num_docs, np.float64)
-                w = _doc_weights(freqs, norm[docs], np.float64) * qw
+                nlv = np.asarray(nl, dtype=np.float64)
+                w = _doc_weights(freqs, nlv, np.float64) * qw
                 qids.append(np.full(len(docs), qid, dtype=np.int64))
                 docs_out.append(docs)
                 scores.append(w)
@@ -564,7 +591,7 @@ def run_ranked_docpartitioned(
             )
 
     per_doc = (
-        joined.select("query_id", "qtf", "df", "payload")
+        joined.select("query_id", "qtf", "df", "payload", "norms")
         .mapInPandas(partials, schema="query_id long, doc_id long, partial double")
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("partial"), bm25.ROUND_DECIMALS).alias("score"))
@@ -578,7 +605,12 @@ def run_ranked_docpartitioned(
 
 
 def run_boolean(
-    spark, index_df: DataFrame, queries_df: DataFrame, codec, conjunctive: bool
+    spark,
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    codec,
+    conjunctive: bool,
+    term_stats_df: DataFrame | None = None,
 ) -> DataFrame:
     from partitioned_ef_ans_spark.session import ship_package
 
@@ -587,6 +619,6 @@ def run_boolean(
     codec_bc = sc.broadcast(codec)
     # boolean ops dedup query terms first (queries.hpp:30-34)
     qdf = queries_df.select("query_id", F.array_distinct("terms").alias("terms"))
-    joined = query_lists_df(index_df, qdf)
+    joined = query_lists_df(index_df, qdf, term_stats_df)
     kernel = make_bool_kernel(codec_bc, conjunctive)
     return joined.groupBy("query_id").applyInPandas(kernel, schema=COUNT_SCHEMA)

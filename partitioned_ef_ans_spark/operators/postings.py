@@ -54,11 +54,19 @@ def build_postings(
     chunk_postings: int = DEFAULT_CHUNK_POSTINGS,
     dictionary: DataFrame | None = None,
     broadcast_dictionary: bool = True,
+    doc_norms: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, term, tf) -> chunked, sorted posting lists.
 
     ``num_docs`` bounds the doc-id universe (docIDs < num_docs, the
     reference's universe convention, compact_elias_fano.hpp:109-111).
+
+    ``doc_norms`` (doc_id, norm_len) distributes the reference's
+    wand_data norm table (wand_data.hpp:22-33) INTO the chunks: each
+    chunk row carries a ``norms`` array aligned with its doc_ids, so
+    neither the encode pass nor the query kernels ever need a
+    num_docs-sized driver collect/broadcast — the join is a doc_id
+    shuffle join that scales with the data.
     """
     dfs = term_doc_freqs(tf)
     dfs = dfs.withColumn(
@@ -70,6 +78,10 @@ def build_postings(
     )
     # df-histogram is V rows (vocabulary) — broadcast unless huge.
     joined = tf.join(F.broadcast(dfs) if broadcast_dictionary else dfs, "term")
+    struct_cols = ["doc_id", "tf"]
+    if doc_norms is not None:
+        joined = joined.join(doc_norms.select("doc_id", "norm_len"), "doc_id")
+        struct_cols.append("norm_len")
     chunked = joined.withColumn(
         "chunk_id", (F.col("doc_id") / F.col("doc_stride")).cast("int")
     )
@@ -77,9 +89,9 @@ def build_postings(
         F.first("df").alias("df"),
         F.first("cf").alias("cf"),
         F.first("num_chunks").alias("num_chunks"),
-        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("plist"),
+        F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("plist"),
     )
-    out = lists.select(
+    out_cols = [
         "term",
         "df",
         "cf",
@@ -87,7 +99,10 @@ def build_postings(
         "chunk_id",
         F.col("plist.doc_id").alias("doc_ids"),
         F.col("plist.tf").alias("freqs"),
-    )
+    ]
+    if doc_norms is not None:
+        out_cols.append(F.col("plist.norm_len").alias("norms"))
+    out = lists.select(*out_cols)
     if dictionary is not None:
         dict_side = F.broadcast(dictionary) if broadcast_dictionary else dictionary
         out = out.join(dict_side, "term")
