@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranked_and_top10": gate.q_ranked_and,
         "index_decode_flat": gate.q_index_decode_flat,
         "wand_top10": gate.q_wand_top10,
+        "wand_blockmax_top10": gate.q_wand_blockmax_top10,
+        "blockmax_docpart_top10": gate.q_blockmax_docpart_top10,
         "maxscore_top10": gate.q_maxscore_top10,
         "taat_top10": gate.q_taat_top10,
         "ranked_or_docpart": gate.q_ranked_or_docpart,
@@ -69,6 +71,8 @@ def oracle_sql() -> dict[str, str]:
         # have no SQL equivalent).
         "index_decode_flat": gate.sql_postings_flat(),
         "wand_top10": gate.sql_ranked_or(),
+        "wand_blockmax_top10": gate.sql_ranked_or(),
+        "blockmax_docpart_top10": gate.sql_ranked_or(),
         "maxscore_top10": gate.sql_ranked_or(),
         "taat_top10": gate.sql_ranked_or(),
         "ranked_or_docpart": gate.sql_ranked_or(),

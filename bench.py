@@ -103,7 +103,7 @@ def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
         qs = c_mod.synthesize_queries(N_QUERIES, vocab_size=20000)
         qdf = queries_to_df(spark, qs).cache()
         qdf.count()
-        for mode in ("wand", "maxscore", "taat", "ranked_or", "ranked_and"):
+        for mode in ("wand", "blockmax", "maxscore", "taat", "ranked_or", "ranked_and"):
             t0 = time.perf_counter()
             n = q_mod.run_ranked(
                 spark, index_df, qdf, codec, nd,
@@ -173,7 +173,9 @@ def latency_mode():
     qs = c_mod.synthesize_queries(N_QUERIES, vocab_size=20000)
     out = {"metric": "query_latency_us", "unit": "us", "num_docs": nd,
            "postings": man["total_postings"], "k": K, "queries": {}}
-    for mode in ("wand", "maxscore", "taat", "ranked_or", "ranked_and"):
+    from partitioned_ef_ans_spark.index import blockmax as bmx_mod
+
+    for mode in ("wand", "blockmax", "maxscore", "taat", "ranked_or", "ranked_and"):
         lat = []
         for run in range(2):  # first run untimed (warms caches), like the reference
             for qid, terms in qs:
@@ -190,6 +192,12 @@ def latency_mode():
                 pdf["max_weight"] = pdf.groupby("term")[
                     "chunk_max_weight"
                 ].transform("max")
+                if mode == "blockmax":
+                    t0 = time.perf_counter()
+                    bmx_mod.kernel_blockmax(pdf, codec, nd, K, np.float32)
+                    if run:
+                        lat.append((time.perf_counter() - t0) * 1e6)
+                    continue
                 t0 = time.perf_counter()
                 lists, norms = q_mod._decode_group(pdf, codec)
                 tws = q_mod._term_weights(lists, norms, np.float32, tag=codec.tag)

@@ -215,6 +215,27 @@ def q_ranked_or_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wand_blockmax_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized block-max WAND (index/blockmax.py): block-granular
+    pruning via the stored block_max_weights, selective decode, exact
+    scoring of survivors — rank-identical to the ranked-OR oracle."""
+    return _indexed_ranked(spark, sf_dir, "blockmax")
+
+
+def q_blockmax_docpart_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-partitioned block-max retrieval (the 100-TB shape): tau from
+    the strongest term's chunks, chunk-local block pruning, hash-agg +
+    global top-k — a single query never gathers a full list into one
+    task."""
+    from partitioned_ef_ans_spark.index import blockmax as bmx
+
+    ix = _get_index(spark, sf_dir)
+    return bmx.run_blockmax_docpartitioned(
+        spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
+        ix["num_docs"], ix["term_stats"], k=TOP_K,
+    )
+
+
 def q_taat_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized pruned TAAT (the NumPy scale path) — must be
     rank-identical to the ranked-OR oracle like WAND/MaxScore."""

@@ -1,0 +1,487 @@
+"""Vectorized block-max WAND over the compressed index.
+
+The reference's WAND/BMW walk posting lists one docID at a time
+(queries.hpp:203-322, block skipping block_posting_list.hpp:219-241).
+Python cannot afford a per-posting loop, so this module re-expresses
+the same pruning power as interval algebra over the index's block
+metadata — everything NumPy, decode only the blocks that can matter:
+
+1. threshold:  tau = (k-th best single-term score of the strongest
+   list) - margin — a valid lower bound on the k-th best final score
+   (single-term scores lower-bound final scores).
+2. sweep:      every block of every query list covers a doc-id range
+   [prev_block_max+1, block_max] with upper bound qw * block_max_w.
+   A +ub/-ub event sweep over all block boundaries yields the exact
+   per-position bound S(d) = sum of covering blocks' ubs (>= score(d)
+   for every doc).  Positions with S < tau cannot hold a top-k doc.
+3. selective decode: only blocks overlapping a live position decode
+   (one batched codec call across all terms); survivors score exactly
+   like ranked_or (same dtype, same term order), then round-then-rank.
+
+Exactness: every true top-k doc has S >= score >= tau at its position,
+so ALL its blocks decode and it is scored fully; a doc with any pruned
+block has score < tau - and tau sits > 1e-6 below the k-th true score
+while ranking rounds at 1e-7, so no partially-scored doc can displace
+a fully-scored one even after rounding.  Results are rank-identical to
+the exhaustive ranked_or oracle.
+
+Two execution shapes:
+- :func:`kernel_blockmax` — query-parallel applyInPandas kernel
+  (mode="blockmax" in index.query.run_ranked).
+- :func:`run_blockmax_docpartitioned` — the 100-TB shape: stage 1
+  derives tau per query from the strongest term's chunks only, stage 2
+  prunes blocks chunk-locally (no cross-chunk gather) against
+  tau and the frozen per-term bounds, then hash-agg + global top-k.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from partitioned_ef_ans_spark.codecs import blocks
+from partitioned_ef_ans_spark.functions import bm25
+
+#: bound inflation: stored block maxes are float32; scoring may be
+#: float64 — bounds stay admissible under a relative ulp margin
+B_REL = 1e-6
+B_ABS = 1e-12
+TAU_MARGIN = 1e-6
+
+
+def _inflate(x):
+    return x * (1.0 + B_REL) + B_ABS
+
+
+# ------------------------------------------------------ selective decode
+
+def ragged_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """concat([arange(s, s+l) for s, l in zip(starts, lens)]) without
+    the python loop."""
+    if not len(starts):
+        return np.empty(0, dtype=np.int64)
+    total = int(lens.sum())
+    out = np.ones(total, dtype=np.int64)
+    heads = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    out[heads] = starts
+    out[heads[1:]] -= starts[:-1] + lens[:-1] - 1
+    return np.cumsum(out)
+
+
+def decode_selected(payloads: list[bytes], masks: list[np.ndarray], codec):
+    """Decode only the selected blocks of each block-family list.
+
+    ``masks[i]`` is a bool array over list i's blocks.  Returns one
+    (docs, freqs, sel_block_idx) per list — empty arrays when nothing
+    is selected.  One batched codec call for all docs blocks, one for
+    all freqs blocks, exactly like blocks.decode_lists; doc-id
+    reconstruction is matrix-vectorized (no per-block loop).
+    """
+    bs = codec.block_size
+    bufs = [np.frombuffer(p, dtype=np.uint8) for p in payloads]
+    offsets_global = np.cumsum([0] + [len(b) for b in bufs[:-1]])
+    big = np.concatenate(bufs) if bufs else np.empty(0, dtype=np.uint8)
+
+    per_list = []
+    OFFs, NSs, SUMSs, PREVs = [], [], [], []
+    counts = []
+    for li, (buf, mask) in enumerate(zip(bufs, masks)):
+        n, maxs, block_offsets = blocks.read_list_headers(buf, codec)
+        nb = len(block_offsets)
+        sel = np.flatnonzero(np.asarray(mask, dtype=bool)[:nb])
+        counts.append(len(sel))
+        per_list.append(sel)
+        if not len(sel):
+            continue
+        ns = np.full(nb, bs, dtype=np.int64)
+        if n % bs:
+            ns[-1] = n % bs
+        prev = np.empty(nb, dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = maxs[:-1].astype(np.int64)
+        sums = maxs.astype(np.int64) - (prev + 1) - (ns - 1)
+        OFFs.append(block_offsets[sel] + offsets_global[li])
+        NSs.append(ns[sel])
+        SUMSs.append(sums[sel])
+        PREVs.append(prev[sel])
+    if not OFFs:
+        e = np.empty(0, dtype=np.int64)
+        return [(e, e, e) for _ in payloads]
+    OFF = np.concatenate(OFFs)
+    NS = np.concatenate(NSs)
+    SUMS = np.concatenate(SUMSs)
+    PREV = np.concatenate(PREVs)
+
+    doc_vals, doc_sizes = codec.decode_batch(big, OFF, NS, SUMS)
+    freq_vals, _ = codec.decode_batch(
+        big, OFF + doc_sizes, NS, np.full(len(NS), blocks.SUM_UNKNOWN, dtype=np.int64)
+    )
+    # vectorized reconstruction across ALL decoded blocks at once:
+    # docs = prev_max(block) + row-cumsum(gaps + 1), then take the
+    # valid prefix of each row
+    cum = np.cumsum(doc_vals.astype(np.int64) + 1, axis=1) + PREV[:, None]
+    valid = np.arange(doc_vals.shape[1]) < NS[:, None]
+    docs_flat = cum[valid]
+    freqs_flat = freq_vals.astype(np.int64)[valid] + 1
+
+    out = []
+    pos = 0
+    heads = np.concatenate([[0], np.cumsum(NS)])
+    for li, sel in enumerate(per_list):
+        m = counts[li]
+        if m == 0:
+            e = np.empty(0, dtype=np.int64)
+            out.append((e, e, np.empty(0, dtype=np.int64)))
+            continue
+        lo, hi = heads[pos], heads[pos + m]
+        out.append((docs_flat[lo:hi], freqs_flat[lo:hi], sel))
+        pos += m
+    return out
+
+
+# ------------------------------------------------------------- the sweep
+
+def _live_intervals(starts, ends, ubs, tau):
+    """Event sweep: S(pos) = sum of ubs of blocks covering pos.
+    Returns (uniq_positions, live_flags, prefix_live) where
+    live_flags[i] says S >= tau on [uniq[i], uniq[i+1])."""
+    pos = np.concatenate([starts, ends + 1])
+    val = np.concatenate([ubs, -ubs])
+    order = np.argsort(pos, kind="mergesort")
+    p_sorted = pos[order]
+    cum = np.cumsum(val[order])
+    is_last = np.empty(len(p_sorted), dtype=bool)
+    is_last[:-1] = p_sorted[1:] != p_sorted[:-1]
+    is_last[-1] = True
+    uniq = p_sorted[is_last]
+    s_at = cum[is_last]
+    live = s_at >= tau
+    prefix = np.concatenate([[0], np.cumsum(live)])
+    return uniq, prefix
+
+
+def _surviving(starts, ends, uniq, prefix_live):
+    """Bool per block: does [start, end] intersect a live interval?"""
+    i0 = np.searchsorted(uniq, starts, side="right") - 1
+    i1 = np.searchsorted(uniq, ends, side="right") - 1
+    i0 = np.maximum(i0, 0)
+    return (prefix_live[i1 + 1] - prefix_live[i0]) > 0
+
+
+# ------------------------------------------------- query-parallel kernel
+
+def kernel_blockmax(pdf: pd.DataFrame, codec, num_docs: int, k: int, dtype):
+    """One query's grouped index rows -> top-k rows (RESULT_SCHEMA).
+    Requires a block-family codec (pef has no intra-list blocks)."""
+    from partitioned_ef_ans_spark.index import query as q
+
+    if codec.codec_name == "pef":
+        raise ValueError("blockmax requires a block-family codec")
+    qid = int(pdf["query_id"].iloc[0])
+    pdf = pdf.sort_values(["term", "chunk_id"])
+    bs = codec.block_size
+
+    per_term: dict[str, dict] = {}
+    for row in pdf.itertuples(index=False):
+        t = row.term
+        d = per_term.setdefault(
+            t,
+            {
+                "payloads": [], "norms": [], "bm": [], "bw": [], "starts": [],
+                "nblocks": [], "keys": [], "qtf": int(row.qtf), "df": int(row.df),
+            },
+        )
+        bm = np.asarray(row.block_maxs, dtype=np.int64)
+        bw = np.asarray(row.block_max_weights, dtype=np.float64)
+        starts = np.empty(len(bm), dtype=np.int64)
+        starts[0] = int(row.first_doc)
+        starts[1:] = bm[:-1] + 1
+        d["payloads"].append(row.payload)
+        d["norms"].append(np.asarray(row.norms, dtype=np.float64))
+        d["bm"].append(bm)
+        d["bw"].append(bw)
+        d["starts"].append(starts)
+        d["nblocks"].append(len(bm))
+        # same cache key discipline as _decode_group: slices of an
+        # already-decoded chunk come from the worker cache for free
+        d["keys"].append(
+            (codec.tag, t, int(row.chunk_id), int(row.n),
+             int(row.first_doc), int(row.last_doc))
+        )
+
+    weights = {
+        t: q._q_weight(d["qtf"], d["df"], num_docs, dtype)
+        for t, d in per_term.items()
+    }
+
+    # 1. tau from the strongest list (deterministic tie-break by term).
+    #    Full decode of that one list, through the worker decode cache.
+    strongest = max(
+        sorted(per_term),
+        key=lambda t: float(weights[t])
+        * max(float(b.max()) for b in per_term[t]["bw"] if len(b)),
+    )
+    d0 = per_term[strongest]
+    sub = pdf[pdf["term"] == strongest]
+    lists0, norms0 = q._decode_group(sub, codec)
+    tws0 = q._term_weights(lists0, norms0, dtype, tag=codec.tag)
+    s0 = (tws0[strongest] * dtype(weights[strongest])).astype(np.float64)
+    if len(s0) > k:
+        tau = float(np.partition(s0, len(s0) - k)[len(s0) - k]) - TAU_MARGIN
+    else:
+        tau = -np.inf
+
+    # 2. sweep all terms' blocks
+    all_starts = np.concatenate(
+        [s for d in per_term.values() for s in d["starts"]]
+    )
+    all_ends = np.concatenate([b for d in per_term.values() for b in d["bm"]])
+    all_ubs = np.concatenate(
+        [
+            _inflate(float(weights[t]) * d["bw"][ci])
+            for t, d in per_term.items()
+            for ci in range(len(d["bw"]))
+        ]
+    )
+    uniq, prefix_live = _live_intervals(all_starts, all_ends, all_ubs, tau)
+    survive = _surviving(all_starts, all_ends, uniq, prefix_live)
+
+    # 3. gather surviving blocks: cached chunks are SLICED from the
+    #    worker decode cache; only cold chunks hit the codec, batched
+    lists: dict[str, list] = {}
+    payloads, masks, owners = [], [], []
+    off = 0
+    for t in sorted(per_term):
+        d = per_term[t]
+        for ci in range(len(d["payloads"])):
+            nb = d["nblocks"][ci]
+            mask = survive[off : off + nb]
+            off += nb
+            sel = np.flatnonzero(mask)
+            if not len(sel):
+                continue
+            nrm = d["norms"][ci]
+            n_chunk = len(nrm)
+            cached = q._LIST_CACHE.get(d["keys"][ci])
+            if cached is not None:
+                starts_pos = sel * bs
+                lens = np.minimum((sel + 1) * bs, n_chunk) - starts_pos
+                idx = ragged_ranges(starts_pos, lens)
+                lists.setdefault(t, []).append(
+                    (cached[0][idx], cached[1][idx], nrm[idx])
+                )
+            else:
+                payloads.append(bytes(d["payloads"][ci]))
+                masks.append(mask)
+                owners.append((t, ci))
+    if payloads:
+        decoded = decode_selected(payloads, masks, codec)
+        for (t, ci), (docs, freqs, sel) in zip(owners, decoded):
+            if not len(docs):
+                continue
+            nrm = per_term[t]["norms"][ci]
+            n_chunk = len(nrm)
+            starts_pos = sel * bs
+            lens = np.minimum((sel + 1) * bs, n_chunk) - starts_pos
+            nsl = nrm[ragged_ranges(starts_pos, lens)]
+            lists.setdefault(t, []).append((docs, freqs, nsl))
+
+    # 4. exact scoring of survivors — identical arithmetic/order to
+    #    _kernel_ranked_or so results are rank-identical to the oracle
+    if not lists:
+        return q._topk_rows([], qid, k)
+    merged = {
+        t: (
+            np.concatenate([x[0] for x in parts]),
+            np.concatenate([x[1] for x in parts]),
+            np.concatenate([x[2] for x in parts]),
+        )
+        for t, parts in lists.items()
+    }
+    terms = sorted(merged)
+    all_docs = np.unique(np.concatenate([merged[t][0] for t in terms]))
+    scores = np.zeros(len(all_docs), dtype=dtype)
+    for t in terms:
+        docs, freqs, nsl = merged[t]
+        w = q._doc_weights(freqs, nsl, dtype) * dtype(weights[t])
+        idx = np.searchsorted(all_docs, docs)
+        scores[idx] += w.astype(dtype)
+    return q._topk_rows_np(scores, all_docs, qid, k)
+
+
+# -------------------------------------------- doc-partitioned execution
+
+def run_blockmax_docpartitioned(
+    spark,
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    codec,
+    num_docs: int,
+    term_stats_df: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Block-max pruned retrieval with NO per-query gather: every task
+    prunes and scores only its own chunks.
+
+    stage 1 (tau):   per query, the strongest term's chunks emit their
+                     local top-k single-term scores; a window takes the
+                     global k-th -> tau (tiny: k x chunks(1 term) rows).
+    stage 2 (prune): every (query, term, chunk) row bounds each block
+                     by qw*block_max_w + sum of the OTHER query terms'
+                     frozen qw*max_term_weight; blocks that cannot
+                     reach tau never decode.  Partials of surviving
+                     blocks hash-aggregate per (query, doc) and a
+                     window takes the global top-k.
+
+    Upper bounds use the frozen term_stats (never an index aggregate);
+    SQL-computed bound components carry a 1e-9 relative inflation so
+    cross-engine 1-ulp drift cannot make a bound inadmissible.
+    Rank-identical to ranked_or (same argument as kernel_blockmax).
+    """
+    from partitioned_ef_ans_spark.index import query as q
+    from partitioned_ef_ans_spark.operators.ranked import query_freqs
+    from partitioned_ef_ans_spark.session import ship_package
+    from pyspark.sql.window import Window
+
+    if codec.codec_name == "pef":
+        raise ValueError("blockmax requires a block-family codec")
+    ship_package(spark)
+    codec_bc = spark.sparkContext.broadcast(codec)
+    bs = codec.block_size
+
+    qf = query_freqs(queries_df)  # query_id, term, qtf, n_terms
+    qw_expr = (
+        F.col("qtf").cast("double")
+        * F.greatest(
+            F.lit(float(bm25.EPSILON_SCORE)),
+            F.log(
+                (F.lit(float(num_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        * F.lit(1.0 + float(bm25.K1))
+    )
+    qstats = (
+        term_stats_df.join(F.broadcast(qf), "term")
+        .withColumn("qw", qw_expr)
+        .withColumn(
+            "contrib",
+            F.col("qw") * F.col("max_term_weight") * (1.0 + 1e-9) + 1e-12,
+        )
+    )
+
+    # ---- stage 1: tau per query from the strongest term only
+    w_str = Window.partitionBy("query_id").orderBy(
+        F.desc("contrib"), F.asc("term")
+    )
+    strongest = (
+        qstats.withColumn("r", F.row_number().over(w_str))
+        .where(F.col("r") == 1)
+        .select("query_id", "term", "qtf")  # df comes from the index rows
+    )
+    s_rows = index_df.join(F.broadcast(strongest), "term").select(
+        "query_id", "qtf", "df", "payload", "norms"
+    )
+
+    def singles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec_l = codec_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            decoded = codec_l.decode_lists([bytes(p) for p in pdf["payload"]])
+            qids, vals = [], []
+            for (qid, qtf, df_, nl), (_docs, freqs) in zip(
+                zip(pdf["query_id"], pdf["qtf"], pdf["df"], pdf["norms"]), decoded
+            ):
+                qw = q._q_weight(qtf, df_, num_docs, np.float64)
+                s = q._doc_weights(freqs, np.asarray(nl, np.float64), np.float64) * qw
+                top = -np.partition(-s, min(k, len(s)) - 1)[:k] if len(s) else s
+                qids.append(np.full(len(top), qid, dtype=np.int64))
+                vals.append(top.astype(np.float64))
+            yield pd.DataFrame(
+                {"query_id": np.concatenate(qids), "s": np.concatenate(vals)}
+            )
+
+    w_tau = Window.partitionBy("query_id").orderBy(F.desc("s"))
+    taus = (
+        s_rows.mapInPandas(singles, schema="query_id long, s double")
+        .withColumn("r", F.row_number().over(w_tau))
+        .where(F.col("r") == k)
+        .select("query_id", (F.col("s") - TAU_MARGIN).alias("tau"))
+    )
+
+    # ---- stage 2: chunk-local prune + partials
+    totals = qstats.groupBy("query_id").agg(F.sum("contrib").alias("total"))
+    joined = (
+        q.query_lists_df(index_df, queries_df, term_stats_df)
+        .join(F.broadcast(totals), "query_id")
+        .join(
+            F.broadcast(
+                qstats.select("query_id", "term", "contrib", "qw")
+            ),
+            ["query_id", "term"],
+        )
+        .join(F.broadcast(taus), "query_id", "left")
+        .withColumn("tau", F.coalesce(F.col("tau"), F.lit(float("-inf"))))
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec_l = codec_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads, masks, metas = [], [], []
+            for row in pdf.itertuples(index=False):
+                bw = np.asarray(row.block_max_weights, dtype=np.float64)
+                rest = (float(row.total) - float(row.contrib)) * (1.0 + 1e-9)
+                bound = _inflate(float(row.qw) * bw) + rest
+                mask = bound >= float(row.tau)
+                if not mask.any():
+                    continue
+                payloads.append(bytes(row.payload))
+                masks.append(mask)
+                metas.append(row)
+            if not payloads:
+                continue
+            decoded = decode_selected(payloads, masks, codec_l)
+            qids, docs_out, scores = [], [], []
+            for row, (docs, freqs, sel) in zip(metas, decoded):
+                if not len(docs):
+                    continue
+                nrm = np.asarray(row.norms, dtype=np.float64)
+                starts_pos = sel * bs
+                lens = np.minimum((sel + 1) * bs, len(nrm)) - starts_pos
+                nsl = nrm[ragged_ranges(starts_pos, lens)]
+                qw = q._q_weight(int(row.qtf), int(row.df), num_docs, np.float64)
+                w = q._doc_weights(freqs, nsl, np.float64) * qw
+                qids.append(np.full(len(docs), row.query_id, dtype=np.int64))
+                docs_out.append(docs)
+                scores.append(w)
+            if not qids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qids),
+                    "doc_id": np.concatenate(docs_out),
+                    "partial": np.concatenate(scores),
+                }
+            )
+
+    per_doc = (
+        joined.select(
+            "query_id", "qtf", "df", "qw", "contrib", "total", "tau",
+            "payload", "norms", "block_max_weights",
+        )
+        .mapInPandas(partials, schema="query_id long, doc_id long, partial double")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("partial"), bm25.ROUND_DECIMALS).alias("score"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w_top))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
+    )

@@ -406,6 +406,12 @@ def make_ranked_kernel(codec_bc, num_docs, k, mode, dtype_name="float64"):
         qid = int(pdf["query_id"].iloc[0])
         n_terms = int(pdf["n_terms"].iloc[0])
         codec = codec_bc.value
+        if mode == "blockmax":
+            # decodes selectively itself — whole blocks are pruned
+            # via block_max_weights before any payload is touched
+            from partitioned_ef_ans_spark.index import blockmax as bmx
+
+            return bmx.kernel_blockmax(pdf, codec, num_docs, k, dtype)
         lists, norms = _decode_group(pdf, codec)
         tws = _term_weights(lists, norms, dtype, tag=codec.tag)
         per_term = pdf.drop_duplicates("term").set_index("term")
