@@ -48,8 +48,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_or_indexed": gate.q_bool_or_indexed,
         "index_stats": gate.q_index_stats,
         "index_block_stats": gate.q_index_block_stats,
+        "index_stats_u32": gate.q_index_stats_u32,
+        "index_block_stats_u32": gate.q_index_block_stats_u32,
         "index_decode_flat_pef": gate.q_index_decode_flat_pef,
         "wand_top10_pef": gate.q_wand_top10_pef,
+        "index_decode_flat_ef": gate.q_index_decode_flat_ef,
+        "index_decode_flat_single": gate.q_index_decode_flat_single,
+        "index_decode_flat_uniform": gate.q_index_decode_flat_uniform,
+        "index_decode_flat_simple16": gate.q_index_decode_flat_simple16,
+        "index_decode_flat_interp": gate.q_index_decode_flat_interp,
+        "index_decode_flat_ans_max1d": gate.q_index_decode_flat_ans_max1d,
+        "index_decode_flat_ans_minmax2d": gate.q_index_decode_flat_ans_minmax2d,
+        "index_decode_flat_ans_med90p2d": gate.q_index_decode_flat_ans_med90p2d,
+        "index_decode_flat_ans_med90p2dm": gate.q_index_decode_flat_ans_med90p2dm,
+        "wand_top10_ef": gate.q_wand_top10_ef,
         **gate_training.TRAINING_QUERIES,
     }
 
@@ -82,5 +94,17 @@ def oracle_sql() -> dict[str, str]:
         "bool_or_indexed": gate.sql_bool_or(),
         "index_decode_flat_pef": gate.sql_postings_flat(),
         "wand_top10_pef": gate.sql_ranked_or(),
+        "index_stats_u32": gate.sql_index_stats_u32(),
+        "index_block_stats_u32": gate.sql_index_block_stats_u32(),
+        "index_decode_flat_ef": gate.sql_postings_flat(),
+        "index_decode_flat_single": gate.sql_postings_flat(),
+        "index_decode_flat_uniform": gate.sql_postings_flat(),
+        "index_decode_flat_simple16": gate.sql_postings_flat(),
+        "index_decode_flat_interp": gate.sql_postings_flat(),
+        "index_decode_flat_ans_max1d": gate.sql_postings_flat(),
+        "index_decode_flat_ans_minmax2d": gate.sql_postings_flat(),
+        "index_decode_flat_ans_med90p2d": gate.sql_postings_flat(),
+        "index_decode_flat_ans_med90p2dm": gate.sql_postings_flat(),
+        "wand_top10_ef": gate.sql_ranked_or(),
         **gate_training.TRAINING_ORACLES,
     }

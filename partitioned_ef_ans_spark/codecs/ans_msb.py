@@ -55,6 +55,22 @@ MAG2SEL = np.array(
     dtype=np.uint32,
 )
 
+#: model-family variants (ans_msb_model.hpp:23-305, index_types.hpp:50-53):
+#: name -> (raw model count, header format, merged?)
+#: header formats: packed1 = 1 byte (id<<4 | fsb) + 1 byte nwords
+#:                 (msb_model_max_1d:37-55), bytes3 = id, fsb, nwords
+#:                 bytes (minmax/med90p:84-101,133-150), packed2 =
+#:                 2-byte BE (id<<10 | (fsb-1)<<7 | nwords)
+#:                 (merged models:173-196,507-521)
+VARIANTS: dict[str, tuple[int, str, bool]] = {
+    "max_1d": (16, "packed1", False),
+    "minmax_2d": (256, "bytes3", False),
+    "med90p_2d": (256, "bytes3", False),
+    "med90p_2d_merged": (256, "packed2", True),
+    "medmax_2d_merged": (256, "packed2", True),
+}
+DEFAULT_VARIANT = "medmax_2d_merged"
+
 
 # ------------------------------------------------------------------ helpers
 
@@ -92,34 +108,56 @@ def undo_mapping(sym: np.ndarray) -> np.ndarray:
     return (((s - (b << 8)) << (b << 3))).astype(np.uint64)
 
 
-def pick_model_medmax(blocks: np.ndarray, ns: np.ndarray) -> np.ndarray:
-    """Vectorized msb_model_medmax_2d_merged::pick_model
-    (ans_msb_model.hpp:287-301) over a (B, BLOCK_SIZE) padded batch.
-
-    Selector = (MAG2SEL[mag(max+1)] << 4) + MAG2SEL[mag(median+1)],
-    bumped to 1 when 0 but the block isn't all-zero.
-    """
+def pick_model(
+    blocks: np.ndarray, ns: np.ndarray, variant: str = DEFAULT_VARIANT
+) -> np.ndarray:
+    """Vectorized per-variant pick_model (ans_msb_model.hpp:24-34
+    max_1d, :68-81 minmax_2d, :112-126 med90p_2d, :287-301
+    medmax_2d_merged) over a (B, BLOCK_SIZE) padded batch."""
     B = blocks.shape[0]
     pad = blocks.astype(np.int64, copy=True)
     idx = np.arange(BLOCK_SIZE)[None, :]
     pad[idx >= ns[:, None]] = np.iinfo(np.int64).max  # sort sentinel
     srt = np.sort(pad, axis=1)
     rows = np.arange(B)
-    med = srt[rows, ns // 2].astype(np.uint64)
     mx = srt[rows, ns - 1].astype(np.uint64)
+    if variant == "max_1d":
+        return MAG2SEL[magnitude(mx + 1)].astype(np.uint32)
+    if variant == "minmax_2d":
+        mn = srt[rows, 0].astype(np.uint64)
+        sel = (MAG2SEL[magnitude(mx + 1)] << 4) + MAG2SEL[magnitude(mn + 1)]
+        return sel.astype(np.uint32)
+    if variant in ("med90p_2d", "med90p_2d_merged"):
+        med = srt[rows, ns // 2].astype(np.uint64)
+        # C++ buf[size_t(n * 0.9)]: double multiply, truncation
+        p90 = srt[rows, (ns.astype(np.float64) * 0.9).astype(np.int64)].astype(
+            np.uint64
+        )
+        sel = (MAG2SEL[magnitude(p90 + 1)] << 4) + MAG2SEL[magnitude(med + 1)]
+        sel = np.where((sel == 0) & (mx != 0), 1, sel)
+        return sel.astype(np.uint32)
+    med = srt[rows, ns // 2].astype(np.uint64)
     sel = (MAG2SEL[magnitude(mx + 1)] << 4) + MAG2SEL[magnitude(med + 1)]
     sel = np.where((sel == 0) & (mx != 0), 1, sel)
     return sel.astype(np.uint32)
 
 
+def pick_model_medmax(blocks: np.ndarray, ns: np.ndarray) -> np.ndarray:
+    return pick_model(blocks, ns, DEFAULT_VARIANT)
+
+
 # ----------------------------------------------------------- model training
 
-def new_counts() -> np.ndarray:
-    return np.zeros((NUM_MODELS, MAX_VAL + 1), dtype=np.uint64)
+def new_counts(variant: str = DEFAULT_VARIANT) -> np.ndarray:
+    return np.zeros((VARIANTS[variant][0], MAX_VAL + 1), dtype=np.uint64)
 
 
 def accumulate_counts(
-    counts: np.ndarray, blocks: np.ndarray, ns: np.ndarray, sums: np.ndarray
+    counts: np.ndarray,
+    blocks: np.ndarray,
+    ns: np.ndarray,
+    sums: np.ndarray,
+    variant: str = DEFAULT_VARIANT,
 ) -> None:
     """Pass-1 modelling (ans_msb_model.hpp:491-505) for a batch of
     blocks.  ``sums``: exact block sum for docs streams, SUM_UNKNOWN for
@@ -129,7 +167,7 @@ def accumulate_counts(
         return
     blocks = blocks[keep]
     ns = ns[keep]
-    models = pick_model_medmax(blocks, ns)
+    models = pick_model(blocks, ns, variant)
     valid = np.arange(BLOCK_SIZE)[None, :] < ns[:, None]
     # map only the valid lanes (padding is ~30% of the matrix)
     vals = blocks[valid].astype(np.int64, copy=False) + 1
@@ -295,6 +333,8 @@ class EncModels:
     freq: np.ndarray
     base: np.ndarray
     SUB: np.ndarray
+    variant: str = DEFAULT_VARIANT
+    header: str = "packed2"
 
     def nonempty_slots(self) -> np.ndarray:
         return np.flatnonzero(self.M > 0)
@@ -310,21 +350,31 @@ class DecModels:
     except_bytes per symbol.
     """
 
-    M: np.ndarray           # uint64[64]
-    log2_M: np.ndarray      # uint64[64]
-    mask_M: np.ndarray      # uint64[64]
-    slot_sym: np.ndarray    # uint16[64, maxM]
-    slot_freq: np.ndarray   # uint32[64, maxM]
-    slot_off: np.ndarray    # uint32[64, maxM]
+    M: np.ndarray           # uint64[n_slots]
+    log2_M: np.ndarray      # uint64[n_slots]
+    mask_M: np.ndarray      # uint64[n_slots]
+    slot_sym: np.ndarray    # uint16[n_slots, maxM]
+    slot_freq: np.ndarray   # uint32[n_slots, maxM]
+    slot_off: np.ndarray    # uint32[n_slots, maxM]
+    header: str = "packed2"
 
 
-def freeze_models(counts: np.ndarray) -> tuple[EncModels, DecModels]:
+def freeze_models(
+    counts: np.ndarray, variant: str = DEFAULT_VARIANT
+) -> tuple[EncModels, DecModels]:
     """condense + normalize + build enc/dec tables
     (create_enc_model_from_counts / create_dec_models,
-    ans_msb_model.hpp:426-489)."""
+    ans_msb_model.hpp:426-489).  Non-merged variants keep the identity
+    remap (their condense_models is a no-op, ans_msb_model.hpp:57-64)."""
+    n_raw, header, merged = VARIANTS[variant]
     cnts = counts.copy()
-    remap = condense_models(cnts)
-    n_slots = MAX_NUM_MODELS + 1
+    if merged:
+        remap = condense_models(cnts)
+        n_slots = MAX_NUM_MODELS + 1
+    else:
+        remap = np.arange(n_raw, dtype=np.uint32)
+        cnts[0, :] = 0  # model 0 is the reserved all-zero selector
+        n_slots = n_raw
     M = np.zeros(n_slots, dtype=np.uint64)
     max_value = np.zeros(n_slots, dtype=np.uint32)
     freq = np.zeros((n_slots, MAX_VAL + 1), dtype=np.uint64)
@@ -346,7 +396,10 @@ def freeze_models(counts: np.ndarray) -> tuple[EncModels, DecModels]:
         base[slot, 1 : mv + 1] = np.cumsum(nf[:mv])
         tmp = (int(NORM_LOWER_BOUND) // target) * (1 << OUTPUT_BASE_LOG2)
         SUB[slot, : mv + 1] = np.uint64(tmp) * nf[: mv + 1]
-    enc = EncModels(remap=remap, M=M, max_value=max_value, freq=freq, base=base, SUB=SUB)
+    enc = EncModels(
+        remap=remap, M=M, max_value=max_value, freq=freq, base=base, SUB=SUB,
+        variant=variant, header=header,
+    )
 
     maxM = int(M.max()) if M.max() > 0 else 1
     slot_sym = np.zeros((n_slots, maxM), dtype=np.uint16)
@@ -373,6 +426,7 @@ def freeze_models(counts: np.ndarray) -> tuple[EncModels, DecModels]:
         slot_sym=slot_sym,
         slot_freq=slot_freq,
         slot_off=slot_off,
+        header=header,
     )
     return enc, dec
 
@@ -421,7 +475,9 @@ def encode_blocks(
         return out  # type: ignore[return-value]
     ab = blocks[idx]
     an = ns[idx]
-    raw_model = pick_model_medmax(ab, an)
+    variant = getattr(enc, "variant", DEFAULT_VARIANT)
+    header_fmt = getattr(enc, "header", "packed2")
+    raw_model = pick_model(ab, an, variant)
     mid = enc.remap[raw_model].astype(np.int64)
 
     # model 0 after remap -> single 0 header byte
@@ -465,7 +521,10 @@ def encode_blocks(
     # (__builtin_clzll(0), ans_util.hpp:141) — we pin fsb to >=1, which
     # round-trips cleanly through the same header format.
     fsb = np.maximum(_state_bytes(states), 1)
-    assert np.all(wcount <= 63), "ANS u32 count exceeds 6-bit header field"
+    if header_fmt == "packed2":
+        assert np.all(wcount <= 63), "ANS u32 count exceeds 6-bit header field"
+    else:
+        assert np.all(wcount <= 255), "ANS u32 count exceeds 1-byte header field"
 
     # ---- exceptions: forward symbol order, little-endian bytes
     eb = exception_bytes(syms)  # (nb, 256)
@@ -477,8 +536,15 @@ def encode_blocks(
         n = int(an[r])
         mid_r = int(mid[r])
         f_bytes = int(fsb[r])
-        header = (mid_r << 10) | ((f_bytes - 1) << 7) | int(wcount[r])
-        parts = [bytes([header >> 8, header & 0xFF])]
+        if header_fmt == "packed1":
+            # (model_id<<4 | fsb) byte + nwords byte (max_1d:37-44)
+            parts = [bytes([(mid_r << 4) | f_bytes, int(wcount[r])])]
+        elif header_fmt == "bytes3":
+            # model_id, fsb, nwords bytes (minmax/med90p:84-91)
+            parts = [bytes([mid_r, f_bytes, int(wcount[r])])]
+        else:
+            header = (mid_r << 10) | ((f_bytes - 1) << 7) | int(wcount[r])
+            parts = [bytes([header >> 8, header & 0xFF])]
         st = int(states[r])
         parts.append(st.to_bytes(8, "big")[8 - f_bytes :])
         if wcount[r]:
@@ -529,7 +595,8 @@ def decode_blocks(
     if ans_idx.size == 0:
         return out, sizes
 
-    # parse headers
+    # parse headers (format per model variant, see VARIANTS)
+    header_fmt = getattr(dec, "header", "packed2")
     off = np.asarray(offsets, dtype=np.int64)[ans_idx]
     first = payload[off]
     live = first != 0
@@ -538,16 +605,28 @@ def decode_blocks(
     if ans_idx.size == 0:
         return out, sizes
     off = off[live]
-    header = (payload[off].astype(np.uint32) << 8) | payload[off + 1]
-    mid = (header >> 10).astype(np.int64)
-    fsb = (((header >> 7) & 0x7) + 1).astype(np.int64)
-    nwords = (header & 0x3F).astype(np.int64)
+    if header_fmt == "packed1":
+        mid = (payload[off] >> 4).astype(np.int64)
+        fsb = (payload[off] & 0xF).astype(np.int64)
+        nwords = payload[off + 1].astype(np.int64)
+        hdr_len = 2
+    elif header_fmt == "bytes3":
+        mid = payload[off].astype(np.int64)
+        fsb = payload[off + 1].astype(np.int64)
+        nwords = payload[off + 2].astype(np.int64)
+        hdr_len = 3
+    else:
+        header = (payload[off].astype(np.uint32) << 8) | payload[off + 1]
+        mid = (header >> 10).astype(np.int64)
+        fsb = (((header >> 7) & 0x7) + 1).astype(np.int64)
+        nwords = (header & 0x3F).astype(np.int64)
+        hdr_len = 2
     nb = ans_idx.size
     an = ns[ans_idx]
 
     # init states from big-endian final-state bytes
     states = np.zeros(nb, dtype=np.uint64)
-    p = off + 2
+    p = off + hdr_len
     for i in range(8):
         m = i < fsb
         states[m] = (states[m] << np.uint64(8)) | payload[p[m] + i].astype(np.uint64)
@@ -610,7 +689,7 @@ def decode_blocks(
     res = (vals - np.uint64(1)).astype(np.uint32)
     res[~valid] = 0
     out[ans_idx] = res
-    sizes[ans_idx] = 2 + fsb + 4 * nwords + eb.sum(axis=1)
+    sizes[ans_idx] = hdr_len + fsb + 4 * nwords + eb.sum(axis=1)
     return out, sizes
 
 

@@ -92,7 +92,25 @@ class AnsCodec:
         return ans_msb.decode_blocks(payload, offsets, ns, sums, self.dec)
 
 
-CODECS = {"u32": U32Codec, "vbyte": VByteCodec, "ans": AnsCodec}
+def _simple16():
+    from partitioned_ef_ans_spark.codecs.simple16 import Simple16Codec
+
+    return Simple16Codec()
+
+
+def _interpolative():
+    from partitioned_ef_ans_spark.codecs.interpolative import InterpolativeCodec
+
+    return InterpolativeCodec()
+
+
+CODECS = {
+    "u32": U32Codec,
+    "vbyte": VByteCodec,
+    "ans": AnsCodec,
+    "simple16": _simple16,
+    "interpolative": _interpolative,
+}
 
 
 # ------------------------------------------------------- list <-> blocks

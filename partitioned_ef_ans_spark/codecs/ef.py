@@ -452,19 +452,59 @@ def positive_decode(br: BitReader, base: int, universe: int, n: int) -> tuple[np
 
 # ------------------------------------------------------ optimal partition
 
+def indexed_cost_fast(u: int, m: int) -> int:
+    """Closed-form indexed_sequence bitsize + type bit (equals
+    indexed_bitsize(u, m) + TYPE_BITS for m >= 1, pure-int fast path:
+    the DP calls this millions of times and must not build dataclasses)."""
+    if u == m:
+        return 0  # all_ones (no type bit, all_ones is implicit)
+    # compact EF (ef_offsets closed form, sampling 2^9 / 2^8)
+    lb = (u // m).bit_length() - 1 if u > m else 0
+    hbl = m + (u >> lb) + 2
+    ps = (hbl - 1).bit_length() if hbl > 1 else 0
+    efb = ((hbl - m) >> 9) * ps + (m >> 8) * ps + hbl + m * lb
+    # compact ranked bitvector
+    rss = m.bit_length()  # ceil_log2(m + 1)
+    rps = (u - 1).bit_length() if u > 1 else 0
+    rbb = (u >> 9) * rss + (m >> 8) * rps + u
+    return (efb if efb < rbb else rbb) + TYPE_BITS
+
+
+def strict_cost_fast(u: int, m: int) -> int:
+    """Closed-form strict_sequence bitsize + type bit (strict params:
+    0-pointers disabled, strict_sequence.hpp:24-30)."""
+    if u == m:
+        return 0
+    su = u - m + 1
+    lb = (su // m).bit_length() - 1 if su > m else 0
+    hbl = m + (su >> lb) + 2
+    ps = (hbl - 1).bit_length() if hbl > 1 else 0
+    efb = (m >> 8) * ps + hbl + m * lb  # log_sampling0=63: no 0-pointers
+    rss = m.bit_length()
+    rps = (u - 1).bit_length() if u > 1 else 0
+    rbb = (m >> 8) * rps + u  # log_rank1=63: no rank samples
+    return (efb if efb < rbb else rbb) + TYPE_BITS
+
+
 def optimal_partition(values: np.ndarray, universe: int, cost_fun,
-                      eps1: float = EPS1, eps2: float = EPS2) -> list[int]:
+                      eps1: float = EPS1, eps2: float = EPS2,
+                      kind: str | None = None) -> list[int]:
     """The (1+eps)-approximate space-optimal partition DP
     (optimal_partition.hpp:70-125): windows capped at geometrically
-    increasing cost bounds; returns partition endpoints (last == n)."""
+    increasing cost bounds; returns partition endpoints (last == n).
+
+    ``kind`` in ("indexed", "strict") selects an INLINED closed-form
+    window cost (identical values to cost_fun built from
+    indexed/strict_cost_fast + FIX_COST) — the DP evaluates the cost
+    millions of times and a python call per evaluation doubles encode
+    time.  cost_fun is still used for the single-block and lower-bound
+    costs, and for everything when kind is None."""
     size = len(values)
     single = int(cost_fun(universe, size))
     # costs are integral bit counts; the reference's cost_t is uint64,
     # so the geometric bound ladder truncates after every multiply
     # (optimal_partition.hpp:86) — float bounds would flip the
     # `wcost >= bound` window break when wcost == floor(bound)
-    min_cost = np.full(size + 1, single, dtype=np.int64)
-    min_cost[0] = 0
     cost_lb = int(cost_fun(1, 1))
     bounds = []
     cb = cost_lb
@@ -473,41 +513,74 @@ def optimal_partition(values: np.ndarray, universe: int, cost_fun,
         if cb >= single:
             break
         cb = int(cb * (1 + eps2))
-    # windows: (start, end) per bound
-    starts = [0] * len(bounds)
-    ends = [0] * len(bounds)
-    path = np.zeros(size + 1, dtype=np.int64)
-    v = np.asarray(values, dtype=np.int64)
+    # Tight pure-python DP (the hot path of every pef/opt encode):
+    # python lists + closed-form int costs, no numpy scalar boxing.
+    # Window start at outer step i is always i (the reference advances
+    # every window's start once per i, optimal_partition.hpp:96-124).
+    nb = len(bounds)
+    vv = [int(x) for x in np.asarray(values)]
+    min_cost = [single] * (size + 1)
+    min_cost[0] = 0
+    path = [0] * (size + 1)
+    ends = [0] * nb
     for i in range(size):
+        # window universe base: predecessor + 1 (v[0] on first window)
+        base = vv[i - 1] + 1 if i else vv[0]
+        mci = min_cost[i]
         last_end = i + 1
-        for wi, bound in enumerate(bounds):
-            if ends[wi] < last_end:
-                ends[wi] = last_end
+        # window ends are nondecreasing across the bound ladder, so
+        # when several bounds are stuck at the same end the cost (and
+        # its relaxation) is evaluated once and reused
+        last_e = -1
+        last_w = 0
+        for wi in range(nb):
+            e = ends[wi]
+            if e < last_end:
+                e = last_end
+            bound = bounds[wi]
             while True:
-                w_start, w_end = starts[wi], ends[wi]
-                # universe of window [start, end): max - min + 1 with
-                # min_p = predecessor + 1 (or v[0] on the first window)
-                if w_start == 0:
-                    min_pv = int(v[0])
+                if e == last_e:
+                    wcost = last_w
                 else:
-                    min_pv = int(v[w_start - 1]) + 1
-                max_pv = int(v[w_end - 1])
-                wcost = int(cost_fun(max_pv - min_pv + 1, w_end - w_start))
-                if min_cost[i] + wcost < min_cost[w_end]:
-                    min_cost[w_end] = min_cost[i] + wcost
-                    path[w_end] = i
-                last_end = w_end
-                if w_end == size:
+                    if kind is None:
+                        wcost = cost_fun(vv[e - 1] - base + 1, e - i)
+                    else:
+                        # inlined indexed/strict_cost_fast + FIX_COST
+                        u_w = vv[e - 1] - base + 1
+                        m_w = e - i
+                        if u_w == m_w:
+                            wcost = FIX_COST
+                        else:
+                            if kind == "strict":
+                                su = u_w - m_w + 1
+                                lb = (su // m_w).bit_length() - 1 if su > m_w else 0
+                                hbl = m_w + (su >> lb) + 2
+                                ps = (hbl - 1).bit_length()
+                                efb = (m_w >> 8) * ps + hbl + m_w * lb
+                                rbb = (m_w >> 8) * (u_w - 1).bit_length() + u_w
+                            else:
+                                lb = (u_w // m_w).bit_length() - 1 if u_w > m_w else 0
+                                hbl = m_w + (u_w >> lb) + 2
+                                ps = (hbl - 1).bit_length()
+                                efb = ((hbl - m_w) >> 9) * ps + (m_w >> 8) * ps + hbl + m_w * lb
+                                rbb = (u_w >> 9) * m_w.bit_length() + (m_w >> 8) * (u_w - 1).bit_length() + u_w
+                            wcost = (efb if efb < rbb else rbb) + 1 + FIX_COST
+                    last_e = e
+                    last_w = wcost
+                    c = mci + wcost
+                    if c < min_cost[e]:
+                        min_cost[e] = c
+                        path[e] = i
+                last_end = e
+                if e == size or wcost >= bound:
                     break
-                if wcost >= bound:
-                    break
-                ends[wi] += 1
-            starts[wi] += 1
+                e += 1
+            ends[wi] = e
     out = []
     cur = size
     while cur != 0:
         out.append(cur)
-        cur = int(path[cur])
+        cur = path[cur]
     return out[::-1]
 
 
@@ -530,10 +603,12 @@ def partitioned_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
     b_bitsize, b_write, _ = _BASES[base_seq]
 
     if partition is None:
-        def cost_fun(u, m):
-            return b_bitsize(u, m) + FIX_COST
+        fast = indexed_cost_fast if base_seq == "indexed" else strict_cost_fast
 
-        partition = optimal_partition(v, universe, cost_fun)
+        def cost_fun(u, m):
+            return fast(u, m) + FIX_COST
+
+        partition = optimal_partition(v, universe, cost_fun, kind=base_seq)
     partitions = len(partition)
     write_gamma_nonzero(bw, partitions)
 

@@ -38,6 +38,20 @@ def encode_lists(
     return out
 
 
+def partition_counts(payloads) -> list[tuple[int, int]]:
+    """(n, doc-sequence partitions) per list, parsed from the payload
+    prefix only (γ(n) γ(occ) γ(partitions)) — the V4 partition-length
+    stat (create_freq_index.cpp:200-220) without a full decode."""
+    out = []
+    for p in payloads:
+        br = ef.BitReader(p)
+        n = ef.read_gamma_nonzero(br)
+        ef.read_gamma_nonzero(br)  # occurrences
+        parts = ef.read_gamma_nonzero(br)
+        out.append((n, parts))
+    return out
+
+
 def decode_lists(payloads: list[bytes], num_docs: int):
     out = []
     for p in payloads:

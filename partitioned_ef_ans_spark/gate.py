@@ -318,6 +318,71 @@ def q_index_decode_flat_pef(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _index_decode_flat_impl(spark, sf_dir, codec="pef")
 
 
+def q_index_decode_flat_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-equality for the `ef` family (compact EF docs +
+    positive<strict EF> freqs, index_types.hpp:18-20)."""
+    return _index_decode_flat_impl(spark, sf_dir, codec="ef")
+
+
+def q_index_decode_flat_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-equality for the `single` family (indexed_sequence docs +
+    positive<strict_sequence> freqs, index_types.hpp:22-24)."""
+    return _index_decode_flat_impl(spark, sf_dir, codec="single")
+
+
+def q_index_decode_flat_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-equality for the `uniform` family (uniform-partitioned
+    sequences, index_types.hpp:26-28)."""
+    return _index_decode_flat_impl(spark, sf_dir, codec="uniform")
+
+
+def q_index_decode_flat_simple16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-equality for the simple16 block family (K7)."""
+    return _index_decode_flat_impl(spark, sf_dir, codec="simple16")
+
+
+def q_index_decode_flat_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-equality for the binary-interpolative block family (K4)."""
+    return _index_decode_flat_impl(spark, sf_dir, codec="interpolative")
+
+
+def q_index_decode_flat_ans_max1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-equality for the ANS-MSB max_1d model variant
+    (ans_msb_model.hpp:23-65)."""
+    return _index_decode_flat_impl(spark, sf_dir, codec="ans_max1d")
+
+
+def q_index_decode_flat_ans_minmax2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-equality for the ANS-MSB minmax_2d model variant
+    (ans_msb_model.hpp:67-110)."""
+    return _index_decode_flat_impl(spark, sf_dir, codec="ans_minmax2d")
+
+
+def q_index_decode_flat_ans_med90p2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-equality for the ANS-MSB med90p_2d model variant
+    (ans_msb_model.hpp:112-155)."""
+    return _index_decode_flat_impl(spark, sf_dir, codec="ans_med90p2d")
+
+
+def q_index_decode_flat_ans_med90p2dm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-equality for the ANS-MSB med90p_2d_merged model variant
+    (ans_msb_model.hpp:157-305)."""
+    return _index_decode_flat_impl(spark, sf_dir, codec="ans_med90p2dm")
+
+
+def q_wand_top10_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND over the `ef`-family index — rank-identical to the
+    relational ranked-OR oracle like the ANS and PEF paths."""
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix = _get_index(spark, sf_dir, codec="ef")
+    return q_mod.run_ranked(
+        spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
+        ix["num_docs"], mode="wand", k=TOP_K, dtype="float64",
+        term_stats_df=ix["term_stats"],
+    )
+
+
 def q_wand_top10_pef(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAND over the PEF-compressed index — must equal the relational
     ranked-OR oracle exactly like the ANS path."""
@@ -341,6 +406,95 @@ def q_index_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pdf.round({"docs_bpi": 4, "freqs_bpi": 4})
     )
+
+
+_U32_CHUNK_CTE = """
+dfs2 AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+strides AS (
+  SELECT term, CAST(CEIL((SELECT count(*) FROM documents) * 1.0
+                         / CEIL(df * 1.0 / 256)) AS BIGINT) AS stride
+  FROM dfs2
+),
+chunks AS (
+  SELECT t.term,
+         CAST(FLOOR(t.doc_id / s.stride) AS INT) AS chunk_id,
+         count(*) AS n
+  FROM tf t JOIN strides s USING (term)
+  GROUP BY 1, 2
+),
+csizes AS (
+  SELECT term, chunk_id, n,
+         CAST(CEIL(n / 128.0) AS BIGINT) AS nblocks,
+         (CASE WHEN n < 128 THEN 1 WHEN n < 16384 THEN 2 ELSE 3 END)
+           + 4 * CAST(CEIL(n / 128.0) AS BIGINT)
+           + 4 * (CAST(CEIL(n / 128.0) AS BIGINT) - 1)
+           + 8 * n AS bytes
+  FROM chunks
+)"""
+
+
+def q_index_stats_u32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 stats line with a REAL oracle: the u32 block family's payload
+    bytes are closed-form (vbyte(n) + 4*maxs + 4*endpoints + 8n per
+    chunk), so DuckDB can recount num_docs/postings/bytes/bpp
+    independently from the raw postings."""
+    ix = _get_index(spark, sf_dir, codec="u32")
+    m = ix["manifest"]
+    return spark.createDataFrame(
+        [
+            (
+                int(m["num_docs"]),
+                int(m["total_postings"]),
+                int(m["payload_bytes"]),
+                round(float(m["bits_per_posting"]), 6),
+            )
+        ],
+        "num_docs long, total_postings long, payload_bytes long, bits_per_posting double",
+    )
+
+
+def sql_index_stats_u32() -> str:
+    return f"""
+WITH {_TOK_CTE}, {_TF_CTE}, {_U32_CHUNK_CTE}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS num_docs,
+       CAST(sum(n) AS BIGINT) AS total_postings,
+       CAST(sum(bytes) AS BIGINT) AS payload_bytes,
+       round(sum(bytes) * 8.0 / sum(n), 6) AS bits_per_posting
+FROM csizes"""
+
+
+def q_index_block_stats_u32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 block-class byte accounting with a REAL oracle (u32 family:
+    4 bytes per posting per stream, classes small/full/last by block
+    position, ans_block_posting_list.hpp:10-136 semantics)."""
+    from partitioned_ef_ans_spark.index.stats import block_class_stats
+
+    ix = _get_index(spark, sf_dir, codec="u32")
+    pdf = block_class_stats(spark, ix["index_df"], ix["codec"])
+    return spark.createDataFrame(
+        pdf.round({"docs_bpi": 4, "freqs_bpi": 4})
+    )
+
+
+def sql_index_block_stats_u32() -> str:
+    cls_p = """
+cls AS (
+  SELECT 'small' AS cls, CAST(sum(CASE WHEN n < 128 THEN n ELSE 0 END) AS BIGINT) AS postings FROM csizes
+  UNION ALL
+  SELECT 'full', CAST(sum(CASE WHEN n >= 128 THEN (n // 128) * 128 ELSE 0 END) AS BIGINT) FROM csizes
+  UNION ALL
+  SELECT 'last', CAST(sum(CASE WHEN n >= 128 THEN n % 128 ELSE 0 END) AS BIGINT) FROM csizes
+  UNION ALL
+  SELECT 'total', CAST(sum(n) AS BIGINT) FROM csizes
+)"""
+    return f"""
+WITH {_TOK_CTE}, {_TF_CTE}, {_U32_CHUNK_CTE}, {cls_p}
+SELECT cls, postings,
+       CAST(4 * postings AS BIGINT) AS doc_bytes,
+       CAST(4 * postings AS BIGINT) AS freq_bytes,
+       round(32.0, 4) AS docs_bpi,
+       round(32.0, 4) AS freqs_bpi
+FROM cls WHERE postings > 0"""
 
 
 def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,61 +56,76 @@ INDEX_SCHEMA = (
     "chunk_max_weight float, norms array<double>"
 )
 
-
-def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    cd = ans_msb.new_counts()
-    cf = ans_msb.new_counts()
-    saw = False
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        saw = True
-        doc_lists = [np.asarray(x, dtype=np.int64) for x in pdf["doc_ids"]]
-        freq_lists = [np.asarray(x, dtype=np.int64) for x in pdf["freqs"]]
-        DB, FB, NS, SUMS, _, _ = blocks.blockize_many(
-            doc_lists, freq_lists, ans_msb.BLOCK_SIZE
-        )
-        ans_msb.accumulate_counts(cd, DB, NS, SUMS)
-        ans_msb.accumulate_counts(
-            cf, FB, NS, np.full(len(NS), ans_msb.SUM_UNKNOWN)
-        )
-    if saw:
-        # sparse partials: (model,sym) grids are ~99% zero; shipping
-        # nonzero triples keeps the driver collect O(active cells)
-        def sparse(c):
-            idx = np.flatnonzero(c.ravel())
-            return np.concatenate([idx.astype(np.int64), c.ravel()[idx].astype(np.int64)]).tobytes()
-
-        yield pd.DataFrame(
-            {
-                "stream": ["docs", "freqs"],
-                "counts": [sparse(cd), sparse(cf)],
-            }
-        )
+#: codec name -> ANS-MSB model variant (index_types.hpp:50-53)
+ANS_CODEC_VARIANTS = {
+    "ans": "medmax_2d_merged",
+    "ans_max1d": "max_1d",
+    "ans_minmax2d": "minmax_2d",
+    "ans_med90p2d": "med90p_2d",
+    "ans_med90p2dm": "med90p_2d_merged",
+}
 
 
-def train_ans_models(postings: DataFrame):
+def _count_batches_factory(variant: str):
+    def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cd = ans_msb.new_counts(variant)
+        cf = ans_msb.new_counts(variant)
+        saw = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            saw = True
+            doc_lists = [np.asarray(x, dtype=np.int64) for x in pdf["doc_ids"]]
+            freq_lists = [np.asarray(x, dtype=np.int64) for x in pdf["freqs"]]
+            DB, FB, NS, SUMS, _, _ = blocks.blockize_many(
+                doc_lists, freq_lists, ans_msb.BLOCK_SIZE
+            )
+            ans_msb.accumulate_counts(cd, DB, NS, SUMS, variant)
+            ans_msb.accumulate_counts(
+                cf, FB, NS, np.full(len(NS), ans_msb.SUM_UNKNOWN), variant
+            )
+        if saw:
+            # sparse partials: (model,sym) grids are ~99% zero; shipping
+            # nonzero triples keeps the driver collect O(active cells)
+            def sparse(c):
+                idx = np.flatnonzero(c.ravel())
+                return np.concatenate([idx.astype(np.int64), c.ravel()[idx].astype(np.int64)]).tobytes()
+
+            yield pd.DataFrame(
+                {
+                    "stream": ["docs", "freqs"],
+                    "counts": [sparse(cd), sparse(cf)],
+                }
+            )
+
+    return _count_batches
+
+
+def train_ans_models(postings: DataFrame, variant: str = ans_msb.DEFAULT_VARIANT):
     """Pass 1 + freeze: returns ((enc_d, dec_d), (enc_f, dec_f))."""
     rows = postings.select("doc_ids", "freqs").mapInPandas(
-        _count_batches, schema="stream string, counts binary"
+        _count_batches_factory(variant), schema="stream string, counts binary"
     ).collect()
-    cd = ans_msb.new_counts()
-    cf = ans_msb.new_counts()
+    cd = ans_msb.new_counts(variant)
+    cf = ans_msb.new_counts(variant)
     for r in rows:
         flat = np.frombuffer(r["counts"], dtype=np.int64)
         idx, vals = flat[: len(flat) // 2], flat[len(flat) // 2 :]
         tgt = cd if r["stream"] == "docs" else cf
         np.add.at(tgt.ravel(), idx, vals.astype(np.uint64))
-    return ans_msb.freeze_models(cd), ans_msb.freeze_models(cf)
+    return ans_msb.freeze_models(cd, variant), ans_msb.freeze_models(cf, variant)
 
 
 class IndexCodec:
     """Doc/freq dual-stream codec bundle used by encode/decode passes.
 
-    codec names: 'ans' (block family, headline), 'u32', 'vbyte'
-    (block family), 'pef' (whole-list partitioned Elias-Fano — the
-    reference's `opt` index type).  The list-level interface
-    (encode_lists/decode_lists) is what build/query use.
+    codec names (index_types.hpp:18-53 mapping):
+      block family: 'ans' (headline medmax-2d-merged), 'u32', 'vbyte',
+                    'simple16', 'interpolative'
+      whole-list EF family: 'pef' (= the reference's `opt`), 'ef',
+                    'single', 'uniform'
+    The list-level interface (encode_lists/decode_lists) is what
+    build/query use.
     """
 
     def __init__(self, codec_name: str, models=None, num_docs: int = 0):
@@ -123,12 +138,12 @@ class IndexCodec:
         # this so two indexes served by the same long-lived python
         # worker (bench builds several per session) never collide
         self.tag = uuid.uuid4().hex[:12]
-        if codec_name == "ans":
+        if codec_name in ANS_CODEC_VARIANTS:
             (enc_d, dec_d), (enc_f, dec_f) = models
             self.docs = blocks.AnsCodec(enc=enc_d, dec=dec_d)
             self.freqs = blocks.AnsCodec(enc=enc_f, dec=dec_f)
             self.block_size = self.docs.block_size
-        elif codec_name == "pef":
+        elif codec_name == "pef" or codec_name in ("ef", "single", "uniform"):
             self.docs = self.freqs = None
             self.block_size = 1 << 7  # maxs granularity for block_maxs col
         else:
@@ -153,6 +168,12 @@ class IndexCodec:
             from partitioned_ef_ans_spark.codecs import pef
 
             return pef.encode_lists(doc_lists, freq_lists, self.num_docs)
+        if self.codec_name in ("ef", "single", "uniform"):
+            from partitioned_ef_ans_spark.codecs import eflist
+
+            return eflist.encode_lists(
+                doc_lists, freq_lists, self.num_docs, self.codec_name
+            )
         return blocks.write_lists(doc_lists, freq_lists, self)
 
     def decode_lists(self, payloads):
@@ -160,6 +181,10 @@ class IndexCodec:
             from partitioned_ef_ans_spark.codecs import pef
 
             return pef.decode_lists(payloads, self.num_docs)
+        if self.codec_name in ("ef", "single", "uniform"):
+            from partitioned_ef_ans_spark.codecs import eflist
+
+            return eflist.decode_lists(payloads, self.num_docs, self.codec_name)
         return blocks.decode_lists(payloads, self)
 
 
@@ -259,8 +284,8 @@ def build_index(
     postings = postings.cache()
 
     models = None
-    if codec == "ans":
-        models = train_ans_models(postings)
+    if codec in ANS_CODEC_VARIANTS:
+        models = train_ans_models(postings, variant=ANS_CODEC_VARIANTS[codec])
     t_model = time.perf_counter()
 
     sc = spark.sparkContext
@@ -290,6 +315,43 @@ def build_index(
     ).collect()[0]
     total_postings = int(agg_row["p"] or 0)
     payload_bytes = int(agg_row["b"] or 0)
+
+    partition_stats = None
+    if codec == "pef":
+        # V4: average partition length of long lists
+        # (create_freq_index.cpp:200-220 prints it for lists >= 4096)
+        def pstats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from partitioned_ef_ans_spark.codecs import pef as pef_mod
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pc = pef_mod.partition_counts(
+                    [bytes(p) for p in pdf["payload"]]
+                )
+                longs = [(n, p) for n, p in pc if n >= 4096]
+                yield pd.DataFrame(
+                    {
+                        "lists": [len(longs)],
+                        "postings": [sum(n for n, _ in longs)],
+                        "partitions": [sum(p for _, p in longs)],
+                    }
+                )
+
+        prow = (
+            written.select("payload")
+            .mapInPandas(pstats, schema="lists long, postings long, partitions long")
+            .agg(F.sum("lists"), F.sum("postings"), F.sum("partitions"))
+            .collect()[0]
+        )
+        n_lists = int(prow[0] or 0)
+        n_parts = int(prow[2] or 0)
+        partition_stats = {
+            "min_list_len": 4096,
+            "lists": n_lists,
+            "partitions": n_parts,
+            "avg_partition_len": (int(prow[1] or 0) / n_parts) if n_parts else 0.0,
+        }
     metrics = {
         "codec": codec,
         "num_docs": num_docs,
@@ -306,6 +368,8 @@ def build_index(
         "postings_per_sec": total_postings / (t_enc - t0) if t_enc > t0 else 0.0,
         "chunk_postings": chunk_postings,
     }
+    if partition_stats is not None:
+        metrics["partition_stats"] = partition_stats
     with open(f"{out_dir}/manifest.json", "w") as fh:
         json.dump(metrics, fh, indent=2)
     postings.unpersist()

@@ -103,7 +103,13 @@ def build_index_resumable(
     if not os.path.exists(models_path):
         import pickle
 
-        models = b_mod.train_ans_models(staged) if codec == "ans" else None
+        models = (
+            b_mod.train_ans_models(
+                staged, variant=b_mod.ANS_CODEC_VARIANTS[codec]
+            )
+            if codec in b_mod.ANS_CODEC_VARIANTS
+            else None
+        )
         with open(models_path, "wb") as fh:
             pickle.dump({"codec": codec, "models": models}, fh)
     else:
