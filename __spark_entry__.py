@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_block_stats": gate.q_index_block_stats,
         "index_stats_u32": gate.q_index_stats_u32,
         "index_block_stats_u32": gate.q_index_block_stats_u32,
+        "index_decode_kinds": gate.q_index_decode_kinds,
         "index_decode_flat_pef": gate.q_index_decode_flat_pef,
         "wand_top10_pef": gate.q_wand_top10_pef,
         "index_decode_flat_ef": gate.q_index_decode_flat_ef,

@@ -100,13 +100,14 @@ def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
         term_stats = term_stats.cache()
         term_stats.count()
         nd = manifest["num_docs"]
+        avg_len = manifest["avg_doc_len"]
         qs = c_mod.synthesize_queries(N_QUERIES, vocab_size=20000)
         qdf = queries_to_df(spark, qs).cache()
         qdf.count()
         for mode in ("wand", "blockmax", "maxscore", "taat", "ranked_or", "ranked_and"):
             t0 = time.perf_counter()
             n = q_mod.run_ranked(
-                spark, index_df, qdf, codec, nd,
+                spark, index_df, qdf, codec, nd, avg_len,
                 mode=mode, k=K, dtype="float32", term_stats_df=term_stats,
             ).count()
             dt = time.perf_counter() - t0
@@ -169,6 +170,7 @@ def latency_mode():
     codec = b_mod.IndexCodec(side["codec"], side["models"], num_docs=man["num_docs"])
     tbl = pq.read_table(f"{idx_dir}/index.parquet").to_pandas()
     nd = man["num_docs"]
+    avg_len = man["avg_doc_len"]
     by_term = {t: g for t, g in tbl.groupby("term")}
     qs = c_mod.synthesize_queries(N_QUERIES, vocab_size=20000)
     out = {"metric": "query_latency_us", "unit": "us", "num_docs": nd,
@@ -194,12 +196,12 @@ def latency_mode():
                 ].transform("max")
                 if mode == "blockmax":
                     t0 = time.perf_counter()
-                    bmx_mod.kernel_blockmax(pdf, codec, nd, K, np.float32)
+                    bmx_mod.kernel_blockmax(pdf, codec, nd, avg_len, K, np.float32)
                     if run:
                         lat.append((time.perf_counter() - t0) * 1e6)
                     continue
                 t0 = time.perf_counter()
-                lists, norms = q_mod._decode_group(pdf, codec)
+                lists, norms = q_mod._decode_group(pdf, codec, avg_len)
                 tws = q_mod._term_weights(lists, norms, np.float32, tag=codec.tag)
                 per_term = pdf.drop_duplicates("term").set_index("term")
                 weights = {

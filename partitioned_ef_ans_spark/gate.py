@@ -171,6 +171,7 @@ def _get_index(spark: SparkSession, sf_dir: str, codec: str = "ans"):
         "term_stats": term_stats_df.cache(),
         "codec": codec_obj,
         "num_docs": manifest["num_docs"],
+        "avg_len": manifest["avg_doc_len"],
         "manifest": manifest,
     }
     _INDEX_CACHE[key] = bundle
@@ -187,6 +188,7 @@ def _indexed_ranked(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
         gate_queries_df(spark),
         ix["codec"],
         ix["num_docs"],
+        ix["avg_len"],
         mode=mode,
         k=TOP_K,
         dtype="float64",
@@ -211,7 +213,7 @@ def q_ranked_or_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = _get_index(spark, sf_dir)
     return q_mod.run_ranked_docpartitioned(
         spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
-        ix["num_docs"], k=TOP_K, term_stats_df=ix["term_stats"],
+        ix["num_docs"], ix["avg_len"], k=TOP_K, term_stats_df=ix["term_stats"],
     )
 
 
@@ -232,7 +234,7 @@ def q_blockmax_docpart_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = _get_index(spark, sf_dir)
     return bmx.run_blockmax_docpartitioned(
         spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
-        ix["num_docs"], ix["term_stats"], k=TOP_K,
+        ix["num_docs"], ix["avg_len"], ix["term_stats"], k=TOP_K,
     )
 
 
@@ -378,7 +380,7 @@ def q_wand_top10_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = _get_index(spark, sf_dir, codec="ef")
     return q_mod.run_ranked(
         spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
-        ix["num_docs"], mode="wand", k=TOP_K, dtype="float64",
+        ix["num_docs"], ix["avg_len"], mode="wand", k=TOP_K, dtype="float64",
         term_stats_df=ix["term_stats"],
     )
 
@@ -391,7 +393,7 @@ def q_wand_top10_pef(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = _get_index(spark, sf_dir, codec="pef")
     return q_mod.run_ranked(
         spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
-        ix["num_docs"], mode="wand", k=TOP_K, dtype="float64",
+        ix["num_docs"], ix["avg_len"], mode="wand", k=TOP_K, dtype="float64",
         term_stats_df=ix["term_stats"],
     )
 
@@ -495,6 +497,19 @@ SELECT cls, postings,
        round(32.0, 4) AS docs_bpi,
        round(32.0, 4) AS freqs_bpi
 FROM cls WHERE postings > 0"""
+
+
+def q_index_decode_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 per-kind decode counters (ans_decoding_stats.hpp:6-92):
+    blocks/postings/exception-bytes per decode kind.  Rows-only (kind
+    assignment depends on the trained model remap, which SQL cannot
+    reproduce); invariants are pytest-checked (test_decode_kinds)."""
+    from partitioned_ef_ans_spark.index.stats import ans_decode_kind_stats
+
+    ix = _get_index(spark, sf_dir)
+    return spark.createDataFrame(
+        ans_decode_kind_stats(spark, ix["index_df"], ix["codec"])
+    )
 
 
 def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -263,6 +263,91 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_mod.ivf_topk(_embs(spark, sf_dir))
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with trained Lloyd k-means centroids (2 iterations,
+    deterministic init + per-step rounding so DuckDB replays the exact
+    clustering)."""
+    embs = _embs(spark, sf_dir)
+    cent = ann_mod.kmeans_centroids(embs, n_centroids=8, iters=2)
+    return ann_mod.ivf_topk(embs, centroids=cent)
+
+
+def _sql_kmeans_iter(cent_in: str, assign_out: str, cent_out: str) -> str:
+    return f"""
+sim_{assign_out} AS (
+  SELECT e.vec_id, c.cent_id, e.embedding,
+         round(list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))
+               / (ne.nn * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))), 6) AS csim
+  FROM embeddings e JOIN nrm ne ON e.vec_id = ne.vec_id CROSS JOIN {cent_in} c
+),
+{assign_out} AS (
+  SELECT cent_id, embedding FROM (
+    SELECT cent_id, embedding,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS r
+    FROM sim_{assign_out}
+  ) WHERE r = 1
+),
+{cent_out} AS (
+  SELECT cent_id, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cent_id, pos, round(avg(CAST(v AS DOUBLE)), 6) AS m
+    FROM (
+      SELECT cent_id, unnest(embedding) AS v,
+             unnest(range(len(embedding))) AS pos
+      FROM {assign_out}
+    )
+    GROUP BY cent_id, pos
+  ) GROUP BY cent_id
+)"""
+
+
+def sql_ann_ivf_kmeans(k: int = 5, nprobe: int = 2) -> str:
+    iters = (
+        _sql_kmeans_iter("cent0", "asg1", "cent1")
+        + ","
+        + _sql_kmeans_iter("cent1", "asg2", "cent2")
+    )
+    return f"""
+WITH {_EMB_NORM_CTE},
+cent0 AS (
+  SELECT vec_id AS cent_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+  FROM embeddings WHERE vec_id < 8
+),{iters},
+csim AS (
+  SELECT e.vec_id, c.cent_id,
+         round(list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))
+               / (ne.nn * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))), 6) AS csim
+  FROM embeddings e JOIN nrm ne ON e.vec_id = ne.vec_id CROSS JOIN cent2 c
+),
+ranked AS (
+  SELECT vec_id, cent_id, csim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank
+  FROM csim
+),
+assign AS (SELECT vec_id, cent_id AS bucket FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id, cent_id AS bucket FROM ranked WHERE crank <= {nprobe}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS vec_id, t.vec_id AS neighbor
+  FROM probes q JOIN assign t ON q.bucket = t.bucket AND q.vec_id <> t.vec_id
+),
+dots AS (
+  SELECT c.vec_id AS qid, c.neighbor AS neighbor,
+         list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot
+  FROM cand c JOIN embeddings a ON a.vec_id = c.vec_id
+              JOIN embeddings b ON b.vec_id = c.neighbor
+),
+cosv AS (
+  SELECT dots.qid AS vec_id, dots.neighbor AS neighbor, round(dot / (na.nn * nb.nn), 6) AS cos
+  FROM dots JOIN nrm na ON dots.qid = na.vec_id JOIN nrm nb ON dots.neighbor = nb.vec_id
+)
+SELECT vec_id, CAST(row_number() OVER w AS INT) AS "rank", neighbor, cos
+FROM cosv
+WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
+QUALIFY "rank" <= {k}"""
+
+
 def sql_ann_ivf(k: int = 5, n_centroids: int = 8, nprobe: int = 2) -> str:
     return f"""
 WITH {_EMB_NORM_CTE},
@@ -427,6 +512,7 @@ TRAINING_QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
 }
 
 TRAINING_ORACLES = {
@@ -445,4 +531,5 @@ TRAINING_ORACLES = {
     "embedding_neardup": sql_embedding_neardup(),
     "ann_cosine_topk": sql_ann_topk(),
     "ann_ivf_topk": sql_ann_ivf(),
+    "ann_ivf_kmeans_topk": sql_ann_ivf_kmeans(),
 }

@@ -174,7 +174,7 @@ def _surviving(starts, ends, uniq, prefix_live):
 
 # ------------------------------------------------- query-parallel kernel
 
-def kernel_blockmax(pdf: pd.DataFrame, codec, num_docs: int, k: int, dtype):
+def kernel_blockmax(pdf: pd.DataFrame, codec, num_docs: int, avg_len: float, k: int, dtype):
     """One query's grouped index rows -> top-k rows (RESULT_SCHEMA).
     Requires a block-family codec (pef has no intra-list blocks)."""
     from partitioned_ef_ans_spark.index import query as q
@@ -201,7 +201,7 @@ def kernel_blockmax(pdf: pd.DataFrame, codec, num_docs: int, k: int, dtype):
         starts[0] = int(row.first_doc)
         starts[1:] = bm[:-1] + 1
         d["payloads"].append(row.payload)
-        d["norms"].append(np.asarray(row.norms, dtype=np.float64))
+        d["norms"].append(np.asarray(row.doc_lens, dtype=np.float64) / avg_len)
         d["bm"].append(bm)
         d["bw"].append(bw)
         d["starts"].append(starts)
@@ -227,7 +227,7 @@ def kernel_blockmax(pdf: pd.DataFrame, codec, num_docs: int, k: int, dtype):
     )
     d0 = per_term[strongest]
     sub = pdf[pdf["term"] == strongest]
-    lists0, norms0 = q._decode_group(sub, codec)
+    lists0, norms0 = q._decode_group(sub, codec, avg_len)
     tws0 = q._term_weights(lists0, norms0, dtype, tag=codec.tag)
     s0 = (tws0[strongest] * dtype(weights[strongest])).astype(np.float64)
     if len(s0) > k:
@@ -321,6 +321,7 @@ def run_blockmax_docpartitioned(
     queries_df: DataFrame,
     codec,
     num_docs: int,
+    avg_len: float,
     term_stats_df: DataFrame,
     k: int = 10,
 ) -> DataFrame:
@@ -383,7 +384,7 @@ def run_blockmax_docpartitioned(
         .select("query_id", "term", "qtf")  # df comes from the index rows
     )
     s_rows = index_df.join(F.broadcast(strongest), "term").select(
-        "query_id", "qtf", "df", "payload", "norms"
+        "query_id", "qtf", "df", "payload", "doc_lens"
     )
 
     def singles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -393,11 +394,12 @@ def run_blockmax_docpartitioned(
                 continue
             decoded = codec_l.decode_lists([bytes(p) for p in pdf["payload"]])
             qids, vals = [], []
-            for (qid, qtf, df_, nl), (_docs, freqs) in zip(
-                zip(pdf["query_id"], pdf["qtf"], pdf["df"], pdf["norms"]), decoded
+            for (qid, qtf, df_, dl), (_docs, freqs) in zip(
+                zip(pdf["query_id"], pdf["qtf"], pdf["df"], pdf["doc_lens"]), decoded
             ):
                 qw = q._q_weight(qtf, df_, num_docs, np.float64)
-                s = q._doc_weights(freqs, np.asarray(nl, np.float64), np.float64) * qw
+                nl = np.asarray(dl, np.float64) / avg_len
+                s = q._doc_weights(freqs, nl, np.float64) * qw
                 top = -np.partition(-s, min(k, len(s)) - 1)[:k] if len(s) else s
                 qids.append(np.full(len(top), qid, dtype=np.int64))
                 vals.append(top.astype(np.float64))
@@ -451,7 +453,7 @@ def run_blockmax_docpartitioned(
             for row, (docs, freqs, sel) in zip(metas, decoded):
                 if not len(docs):
                     continue
-                nrm = np.asarray(row.norms, dtype=np.float64)
+                nrm = np.asarray(row.doc_lens, dtype=np.float64) / avg_len
                 starts_pos = sel * bs
                 lens = np.minimum((sel + 1) * bs, len(nrm)) - starts_pos
                 nsl = nrm[ragged_ranges(starts_pos, lens)]
@@ -473,7 +475,7 @@ def run_blockmax_docpartitioned(
     per_doc = (
         joined.select(
             "query_id", "qtf", "df", "qw", "contrib", "total", "tau",
-            "payload", "norms", "block_max_weights",
+            "payload", "doc_lens", "block_max_weights",
         )
         .mapInPandas(partials, schema="query_id long, doc_id long, partial double")
         .groupBy("query_id", "doc_id")

@@ -53,7 +53,7 @@ INDEX_SCHEMA = (
     "term string, df long, cf long, num_chunks int, chunk_id int, "
     "n int, first_doc long, last_doc long, payload binary, "
     "block_maxs array<long>, block_max_weights array<float>, "
-    "chunk_max_weight float, norms array<double>"
+    "chunk_max_weight float, doc_lens array<int>"
 )
 
 #: codec name -> ANS-MSB model variant (index_types.hpp:50-53)
@@ -188,11 +188,14 @@ class IndexCodec:
         return blocks.decode_lists(payloads, self)
 
 
-def _encode_factory(codec_bc):
-    """Encode pass: postings chunks (with their ``norms`` slice joined
-    in by build_postings) -> index rows.  No broadcast side state
-    beyond the frozen codec: the per-posting norm arrives WITH the
-    chunk, so the pass scales to any num_docs."""
+def _encode_factory(codec_bc, avg_len: float):
+    """Encode pass: postings chunks (with their ``doc_lens`` slice
+    joined in by build_postings) -> index rows.  No broadcast side
+    state beyond the frozen codec and the scalar avg_len: the
+    per-posting doc_len arrives WITH the chunk, so the pass scales to
+    any num_docs.  norm = doc_len / avg_len is exact and engine-
+    independent (integer doc_len sums < 2^53 make avg_len a
+    deterministic double)."""
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         codec: IndexCodec = codec_bc.value
@@ -201,16 +204,17 @@ def _encode_factory(codec_bc):
                 continue
             doc_lists = [np.asarray(x, dtype=np.int64) for x in pdf["doc_ids"]]
             freq_lists = [np.asarray(x, dtype=np.int64) for x in pdf["freqs"]]
-            norm_lists = [np.asarray(x, dtype=np.float64) for x in pdf["norms"]]
+            len_lists = [np.asarray(x, dtype=np.int32) for x in pdf["doc_lens"]]
             payloads = codec.encode_lists(doc_lists, freq_lists)
             maxw = np.empty(len(doc_lists), dtype=np.float32)
             bmax = []
             bmaxw = []
-            for i, (d, f, nl) in enumerate(zip(doc_lists, freq_lists, norm_lists)):
+            for i, (d, f, dl) in enumerate(zip(doc_lists, freq_lists, len_lists)):
                 # float32 doc-side BM25 weight (bm25.hpp:11-15); list max
                 # is the WAND upper bound (wand_data.hpp:35-50), block
                 # maxes are the block-max WAND bounds (wand_data block
                 # max table, queries.hpp block_max_* usage)
+                nl = dl.astype(np.float64) / avg_len
                 w = bm25.doc_term_weight_vec(
                     f.astype(np.float32), nl.astype(np.float32)
                 )
@@ -237,7 +241,7 @@ def _encode_factory(codec_bc):
                     "block_maxs": bmax,
                     "block_max_weights": bmaxw,
                     "chunk_max_weight": maxw,
-                    "norms": norm_lists,
+                    "doc_lens": len_lists,
                 }
             )
 
@@ -292,7 +296,9 @@ def build_index(
     codec_bundle = IndexCodec(codec, models, num_docs=num_docs)
     codec_bc = sc.broadcast(codec_bundle)
 
-    index_df = postings.mapInPandas(_encode_factory(codec_bc), schema=INDEX_SCHEMA)
+    index_df = postings.mapInPandas(
+        _encode_factory(codec_bc, avg_len), schema=INDEX_SCHEMA
+    )
     index_df.write.mode("overwrite").parquet(f"{out_dir}/index.parquet")
     t_enc = time.perf_counter()
 
@@ -301,18 +307,24 @@ def build_index(
 
     # freeze the per-term WAND metadata ONCE (the reference's
     # m_max_term_weight, wand_data.hpp:35-50,78-81): query batches join
-    # this table instead of re-aggregating the whole index
+    # this table instead of re-aggregating the whole index.  Per-term
+    # postings/bytes ride along so the global metrics come from this
+    # (vocabulary-sized) table — one index scan, not two.
     written = spark.read.parquet(f"{out_dir}/index.parquet")
     written.groupBy("term").agg(
         F.first("df").alias("df"),
         F.first("cf").alias("cf"),
         F.first("num_chunks").alias("num_chunks"),
         F.max("chunk_max_weight").alias("max_term_weight"),
+        F.sum("n").alias("postings"),
+        F.sum(F.length("payload")).alias("payload_bytes"),
     ).write.mode("overwrite").parquet(f"{out_dir}/term_stats.parquet")
 
-    agg_row = written.agg(
-        F.sum("n").alias("p"), F.sum(F.length("payload")).alias("b")
-    ).collect()[0]
+    agg_row = (
+        spark.read.parquet(f"{out_dir}/term_stats.parquet")
+        .agg(F.sum("postings").alias("p"), F.sum("payload_bytes").alias("b"))
+        .collect()[0]
+    )
     total_postings = int(agg_row["p"] or 0)
     payload_bytes = int(agg_row["b"] or 0)
 

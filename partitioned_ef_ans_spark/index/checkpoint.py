@@ -95,9 +95,15 @@ def build_index_resumable(
         tf.unpersist()
 
     staged = spark.read.parquet(staging)
-    # norms ride inside the staged chunks; the driver only needs the
-    # scalar num_docs (no num_docs-sized collect/broadcast)
-    num_docs = spark.read.parquet(f"{out_dir}/doc_stats.parquet").count()
+    # doc_lens ride inside the staged chunks; the driver only needs
+    # the scalars (num_docs, avg_len) — no num_docs-sized collect
+    srow = (
+        spark.read.parquet(f"{out_dir}/doc_stats.parquet")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"))
+        .collect()[0]
+    )
+    num_docs = int(srow["n"])
+    avg_len = float(srow["avg"] or 0.0)
 
     models_path = f"{out_dir}/models.pkl"
     if not os.path.exists(models_path):
@@ -141,7 +147,7 @@ def build_index_resumable(
         part_df = staged.where(F.col("part_id") == part_id).drop("part_id")
         out_path = f"{out_dir}/index.parquet/part={part_id}"
         part_df.mapInPandas(
-            b_mod._encode_factory(codec_bc), schema=b_mod.INDEX_SCHEMA
+            b_mod._encode_factory(codec_bc, avg_len), schema=b_mod.INDEX_SCHEMA
         ).write.mode("overwrite").parquet(out_path)
         stats_row = spark.read.parquet(out_path).agg(
             F.sum("n").alias("postings"), F.sum(F.length("payload")).alias("bytes")
@@ -167,6 +173,8 @@ def build_index_resumable(
         F.first("cf").alias("cf"),
         F.first("num_chunks").alias("num_chunks"),
         F.max("chunk_max_weight").alias("max_term_weight"),
+        F.sum("n").alias("postings"),
+        F.sum(F.length("payload")).alias("payload_bytes"),
     ).write.mode("overwrite").parquet(f"{out_dir}/term_stats.parquet")
     agg = total.agg(
         F.sum("n").alias("postings"), F.sum(F.length("payload")).alias("bytes")
@@ -174,6 +182,7 @@ def build_index_resumable(
     metrics = {
         "codec": codec,
         "num_docs": num_docs,
+        "avg_doc_len": avg_len,
         "num_parts": num_parts,
         "parts_encoded_this_run": encoded_parts,
         "parts_skipped_resume": skipped,

@@ -106,26 +106,30 @@ _WEIGHT_CACHE: dict = {}
 _CACHE_LIMIT = 4096
 
 
-def _decode_group(pdf: pd.DataFrame, codec):
+def _decode_group(pdf: pd.DataFrame, codec, avg_len: float):
     """Group rows (term chunks) -> ({term: (doc_ids, freqs)},
     {term: norms}) decoded, chunks concatenated in chunk order; chunk
     payloads cached across groups within the worker (keys carry the
     codec's build tag so two indexes served by one worker never
-    alias).  ``norms`` are the per-posting norm slices the chunks ship
-    with — no num_docs-sized broadcast anywhere."""
+    alias).  norms = doc_lens / avg_len, computed from the int doc_len
+    slices the chunks ship with — no num_docs-sized broadcast
+    anywhere, and the division is exact/engine-independent (integer
+    sums < 2^53 make avg_len a deterministic double)."""
     tag = codec.tag
     pdf = pdf.sort_values(["term", "chunk_id"])
     out: dict[str, list] = {}
     norms_acc: dict[str, list] = {}
     misses = []
     keys = []
-    for term, cid, n, fd, ld, p, nl in zip(
+    for term, cid, n, fd, ld, p, dl in zip(
         pdf["term"], pdf["chunk_id"], pdf["n"], pdf["first_doc"],
-        pdf["last_doc"], pdf["payload"], pdf["norms"],
+        pdf["last_doc"], pdf["payload"], pdf["doc_lens"],
     ):
         key = (tag, term, int(cid), int(n), int(fd), int(ld))
         keys.append((term, key))
-        norms_acc.setdefault(term, []).append(np.asarray(nl, dtype=np.float64))
+        norms_acc.setdefault(term, []).append(
+            np.asarray(dl, dtype=np.float64) / avg_len
+        )
         if key not in _LIST_CACHE:
             misses.append((key, bytes(p)))
     if misses:
@@ -397,7 +401,7 @@ def _kernel_maxscore(lists, tws, weights, max_weights, dtype, qid, k, num_docs, 
     return _topk_rows([(s, -d) for s, d in heap], qid, k)
 
 
-def make_ranked_kernel(codec_bc, num_docs, k, mode, dtype_name="float64"):
+def make_ranked_kernel(codec_bc, num_docs, avg_len, k, mode, dtype_name="float64"):
     dtype = np.float32 if dtype_name == "float32" else np.float64
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -411,8 +415,8 @@ def make_ranked_kernel(codec_bc, num_docs, k, mode, dtype_name="float64"):
             # via block_max_weights before any payload is touched
             from partitioned_ef_ans_spark.index import blockmax as bmx
 
-            return bmx.kernel_blockmax(pdf, codec, num_docs, k, dtype)
-        lists, norms = _decode_group(pdf, codec)
+            return bmx.kernel_blockmax(pdf, codec, num_docs, avg_len, k, dtype)
+        lists, norms = _decode_group(pdf, codec, avg_len)
         tws = _term_weights(lists, norms, dtype, tag=codec.tag)
         per_term = pdf.drop_duplicates("term").set_index("term")
         weights = {
@@ -466,7 +470,8 @@ def make_bool_kernel(codec_bc, conjunctive):
             return _empty()
         qid = int(pdf["query_id"].iloc[0])
         n_terms = int(pdf["n_terms"].iloc[0])
-        lists, _ = _decode_group(pdf, codec_bc.value)
+        # avg_len=1.0: boolean kernels never score, norms are unused
+        lists, _ = _decode_group(pdf, codec_bc.value, 1.0)
         if conjunctive:
             if len(lists) < n_terms:
                 return _empty()
@@ -527,6 +532,7 @@ def run_ranked(
     queries_df: DataFrame,
     codec,
     num_docs: int,
+    avg_len: float,
     mode: str = "wand",
     k: int = 10,
     dtype: str = "float64",
@@ -538,7 +544,7 @@ def run_ranked(
     sc = spark.sparkContext
     codec_bc = sc.broadcast(codec)
     joined = query_lists_df(index_df, queries_df, term_stats_df)
-    kernel = make_ranked_kernel(codec_bc, num_docs, k, mode, dtype)
+    kernel = make_ranked_kernel(codec_bc, num_docs, avg_len, k, mode, dtype)
     return joined.groupBy("query_id").applyInPandas(kernel, schema=RESULT_SCHEMA)
 
 
@@ -548,6 +554,7 @@ def run_ranked_docpartitioned(
     queries_df: DataFrame,
     codec,
     num_docs: int,
+    avg_len: float,
     k: int = 10,
     term_stats_df: DataFrame | None = None,
 ) -> DataFrame:
@@ -579,11 +586,11 @@ def run_ranked_docpartitioned(
                 continue
             decoded = codec_l.decode_lists([bytes(p) for p in pdf["payload"]])
             qids, docs_out, scores = [], [], []
-            for (qid, qtf, df_, nl), (docs, freqs) in zip(
-                zip(pdf["query_id"], pdf["qtf"], pdf["df"], pdf["norms"]), decoded
+            for (qid, qtf, df_, dl), (docs, freqs) in zip(
+                zip(pdf["query_id"], pdf["qtf"], pdf["df"], pdf["doc_lens"]), decoded
             ):
                 qw = _q_weight(qtf, df_, num_docs, np.float64)
-                nlv = np.asarray(nl, dtype=np.float64)
+                nlv = np.asarray(dl, dtype=np.float64) / avg_len
                 w = _doc_weights(freqs, nlv, np.float64) * qw
                 qids.append(np.full(len(docs), qid, dtype=np.int64))
                 docs_out.append(docs)
@@ -597,7 +604,7 @@ def run_ranked_docpartitioned(
             )
 
     per_doc = (
-        joined.select("query_id", "qtf", "df", "payload", "norms")
+        joined.select("query_id", "qtf", "df", "payload", "doc_lens")
         .mapInPandas(partials, schema="query_id long, doc_id long, partial double")
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("partial"), bm25.ROUND_DECIMALS).alias("score"))

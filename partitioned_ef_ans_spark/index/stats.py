@@ -119,6 +119,99 @@ def block_class_stats(spark, index_df: DataFrame, codec) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+KIND_SCHEMA = "kind string, blocks long, postings long, except_bytes long"
+
+
+def _kind_factory(codec_bc):
+    """Per-kind decode accounting for the ANS block family
+    (ans_decoding_stats.hpp:6-92 semantics): every docs/freqs block is
+    one of zero_sum (dense docs run, empty payload), vbyte (short docs
+    list), model0 (header byte 0) or ans; ans blocks also account
+    their MSB exception side-stream bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from partitioned_ef_ans_spark.codecs import ans_msb
+        from partitioned_ef_ans_spark.codecs import blocks as blk
+
+        codec = codec_bc.value
+        bs = codec.block_size
+        hdr = ans_msb.VARIANTS[
+            getattr(codec.docs.enc, "variant", ans_msb.DEFAULT_VARIANT)
+        ][1]
+        hdr_len = 3 if hdr == "bytes3" else 2
+        acc: dict[str, list] = {}
+
+        def add(kind, postings, except_bytes=0):
+            a = acc.setdefault(kind, [0, 0, 0])
+            a[0] += 1
+            a[1] += int(postings)
+            a[2] += int(except_bytes)
+
+        for pdf in batches:
+            for payload in pdf["payload"]:
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n, maxs, offs = blk.read_list_headers(buf, codec)
+                nblocks = len(offs)
+                ns = np.full(nblocks, bs, dtype=np.int64)
+                if n % bs:
+                    ns[-1] = n % bs
+                bases = np.empty(nblocks, dtype=np.int64)
+                bases[0] = 0
+                bases[1:] = maxs[:-1].astype(np.int64) + 1
+                sums = maxs.astype(np.int64) - bases - (ns - 1)
+                _, dsizes = codec.decode_batch(buf, offs, ns, sums)
+                foffs = offs + dsizes
+                _, fsizes = codec.decode_batch(
+                    buf, foffs, ns, np.full(nblocks, blk.SUM_UNKNOWN)
+                )
+                for stream, soffs, ssizes, ssums in (
+                    ("docs", offs, dsizes, sums),
+                    ("freqs", foffs, fsizes, np.full(nblocks, -1)),
+                ):
+                    for b in range(nblocks):
+                        if ssums[b] == 0:
+                            add(f"{stream}_zero_sum", ns[b])
+                        elif ssums[b] != -1 and ns[b] <= ans_msb.VBYTE_THRESHOLD:
+                            add(f"{stream}_vbyte", ns[b])
+                        elif buf[soffs[b]] == 0:
+                            add(f"{stream}_model0", ns[b])
+                        else:
+                            if hdr == "packed1":
+                                nwords = int(buf[soffs[b] + 1])
+                                fsb = int(buf[soffs[b]] & 0xF)
+                            elif hdr == "bytes3":
+                                fsb = int(buf[soffs[b] + 1])
+                                nwords = int(buf[soffs[b] + 2])
+                            else:
+                                h = (int(buf[soffs[b]]) << 8) | int(buf[soffs[b] + 1])
+                                fsb = ((h >> 7) & 0x7) + 1
+                                nwords = h & 0x3F
+                            exc = int(ssizes[b]) - hdr_len - fsb - 4 * nwords
+                            add(f"{stream}_ans", ns[b], exc)
+        yield pd.DataFrame(
+            [
+                {"kind": k, "blocks": a[0], "postings": a[1], "except_bytes": a[2]}
+                for k, a in acc.items()
+            ]
+        )
+
+    return run
+
+
+def ans_decode_kind_stats(spark, index_df: DataFrame, codec) -> pd.DataFrame:
+    """Per-kind decode counters for an ANS-family index (A11)."""
+    from partitioned_ef_ans_spark.session import ship_package
+
+    ship_package(spark)
+    codec_bc = spark.sparkContext.broadcast(codec)
+    parts = (
+        index_df.select("payload")
+        .mapInPandas(_kind_factory(codec_bc), schema=KIND_SCHEMA)
+        .toPandas()
+    )
+    return parts.groupby("kind", as_index=False).sum().sort_values("kind")
+
+
 def stats_line(manifest: dict, class_stats: pd.DataFrame) -> dict:
     """The dump_stats JSON line (create_freq_index.cpp:170-187 spirit)."""
     tot = class_stats[class_stats["cls"] == "total"].iloc[0]

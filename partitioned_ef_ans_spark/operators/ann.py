@@ -65,21 +65,82 @@ def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame, n_centroids: int = 8, iters: int = 2
+) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding column:
+    init = the first ``n_centroids`` vec_ids, assignment by rounded
+    cosine (tie-break by cent_id), update = element-wise mean rounded
+    to 6 decimals.  Rounding at every step keeps the iteration
+    bit-reproducible ACROSS ENGINES, so the DuckDB oracle can replay
+    the exact same clustering; empty clusters drop on both sides.
+
+    Plan shape at scale: per iteration one broadcast join (centroids
+    are tiny) + one (cent_id, dim) hash aggregation — no all-pairs
+    anything."""
+    cent = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias("cvec"),
+    )
+    for _ in range(iters):
+        sim = embeddings.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("cvec"))
+                / (_norm(F.col("embedding")) * _norm(F.col("cvec"))),
+                6,
+            ).alias("csim"),
+        )
+        wassign = Window.partitionBy("vec_id").orderBy(
+            F.desc("csim"), F.asc("cent_id")
+        )
+        assign = (
+            sim.withColumn("r", F.row_number().over(wassign))
+            .where(F.col("r") == 1)
+            .select("cent_id", "embedding")
+        )
+        dims = assign.select(
+            "cent_id", F.posexplode("embedding").alias("pos", "v")
+        )
+        cent = (
+            dims.groupBy("cent_id", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+        )
+    return cent
+
+
 def ivf_topk(
-    embeddings: DataFrame, k: int = 5, n_centroids: int = 8, nprobe: int = 2
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed cosine top-k.
 
-    Centroids are the embeddings of vec_id 0..n_centroids-1
-    (deterministic; a seeded k-means would slot in the same place).
-    Each vector joins its nearest centroid's bucket; each query probes
-    its ``nprobe`` closest centroids.  Output shape == cosine_topk
-    (fewer/different neighbors possible — that's the recall tradeoff,
-    measured in tests against the brute-force baseline).
+    Default centroids are the embeddings of vec_id 0..n_centroids-1
+    (deterministic); pass ``centroids`` (cent_id, cvec) — e.g. from
+    :func:`kmeans_centroids` — for trained buckets.  Each vector joins
+    its nearest centroid's bucket; each query probes its ``nprobe``
+    closest centroids.  Output shape == cosine_topk (fewer/different
+    neighbors possible — that's the recall tradeoff, measured in tests
+    against the brute-force baseline).
     """
-    cent = embeddings.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
-    )
+    if centroids is not None:
+        cent = centroids.select("cent_id", "cvec")
+    else:
+        cent = embeddings.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+        )
     sim = embeddings.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "embedding",

@@ -61,12 +61,17 @@ def build_postings(
     ``num_docs`` bounds the doc-id universe (docIDs < num_docs, the
     reference's universe convention, compact_elias_fano.hpp:109-111).
 
-    ``doc_norms`` (doc_id, norm_len) distributes the reference's
+    ``doc_norms`` (doc_id, doc_len) distributes the reference's
     wand_data norm table (wand_data.hpp:22-33) INTO the chunks: each
-    chunk row carries a ``norms`` array aligned with its doc_ids, so
-    neither the encode pass nor the query kernels ever need a
-    num_docs-sized driver collect/broadcast — the join is a doc_id
-    shuffle join that scales with the data.
+    chunk row carries a ``doc_lens`` int array aligned with its
+    doc_ids, so neither the encode pass nor the query kernels ever
+    need a num_docs-sized driver collect/broadcast — the join is a
+    doc_id shuffle join that scales with the data.  The int32 doc_len
+    (not the double norm) rides the shuffle: norm = doc_len / avg_len
+    is recomputed exactly wherever needed (integer sums < 2^53 are
+    exact in double, so avg_len — and hence the norm — is the same
+    double in Spark, DuckDB and the kernels), and bit-packed ints cost
+    a fraction of raw doubles in shuffle and parquet I/O.
     """
     dfs = term_doc_freqs(tf)
     dfs = dfs.withColumn(
@@ -80,8 +85,13 @@ def build_postings(
     joined = tf.join(F.broadcast(dfs) if broadcast_dictionary else dfs, "term")
     struct_cols = ["doc_id", "tf"]
     if doc_norms is not None:
-        joined = joined.join(doc_norms.select("doc_id", "norm_len"), "doc_id")
-        struct_cols.append("norm_len")
+        joined = joined.join(
+            doc_norms.select(
+                "doc_id", F.col("doc_len").cast("int").alias("doc_len")
+            ),
+            "doc_id",
+        )
+        struct_cols.append("doc_len")
     chunked = joined.withColumn(
         "chunk_id", (F.col("doc_id") / F.col("doc_stride")).cast("int")
     )
@@ -101,7 +111,7 @@ def build_postings(
         F.col("plist.tf").alias("freqs"),
     ]
     if doc_norms is not None:
-        out_cols.append(F.col("plist.norm_len").alias("norms"))
+        out_cols.append(F.col("plist.doc_len").alias("doc_lens"))
     out = lists.select(*out_cols)
     if dictionary is not None:
         dict_side = F.broadcast(dictionary) if broadcast_dictionary else dictionary

@@ -59,7 +59,7 @@ def _run(spark, built, mode):
         (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
         for r in q_mod.run_ranked(
             spark, built["index_df"], gate_queries_df(spark), built["codec"],
-            built["num_docs"], mode=mode, k=10, dtype="float64",
+            built["num_docs"], built["avg_len"], mode=mode, k=10, dtype="float64",
             term_stats_df=built["term_stats"],
         ).collect()
     }
@@ -76,7 +76,7 @@ def test_blockmax_docpart_rank_identical_to_ranked_or(spark, built):
         (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
         for r in bmx.run_blockmax_docpartitioned(
             spark, built["index_df"], gate_queries_df(spark), built["codec"],
-            built["num_docs"], built["term_stats"], k=10,
+            built["num_docs"], built["avg_len"], built["term_stats"], k=10,
         ).collect()
     }
     assert got == _run(spark, built, "ranked_or")
@@ -98,5 +98,7 @@ def test_blockmax_prunes_blocks(spark, built):
     ).where("query_id = 11")  # ["dup", "spark"]: rare + stopword-like
     pdf = joined.toPandas()
     codec = built["codec"]
-    out = bmx.kernel_blockmax(pdf, codec, built["num_docs"], 10, np.float64)
+    out = bmx.kernel_blockmax(
+        pdf, codec, built["num_docs"], built["avg_len"], 10, np.float64
+    )
     assert len(out) == 10

@@ -49,6 +49,32 @@ def test_ivf_recall_vs_bruteforce(spark, sf_small):
     assert recall >= 0.3, recall  # IVF with nprobe=2/8 on weak clusters
 
 
+def test_ivf_kmeans_recall_at_least_matches_naive_centroids(spark, sf_small):
+    """Trained Lloyd centroids must not lose recall vs the naive
+    first-8-vectors centroids (and usually gain it)."""
+    from partitioned_ef_ans_spark.operators.ann import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    exact = {
+        (r["vec_id"], r["neighbor"]) for r in cosine_topk(emb, k=5).collect()
+    }
+    naive = {
+        (r["vec_id"], r["neighbor"]) for r in ivf_topk(emb, k=5).collect()
+    }
+    cent = kmeans_centroids(emb, n_centroids=8, iters=2)
+    trained = {
+        (r["vec_id"], r["neighbor"])
+        for r in ivf_topk(emb, k=5, centroids=cent).collect()
+    }
+    r_naive = len(exact & naive) / len(exact)
+    r_trained = len(exact & trained) / len(exact)
+    assert r_trained >= r_naive - 0.05, (r_trained, r_naive)
+
+
 def test_multimodal_features_shape(spark, sf_small):
     from partitioned_ef_ans_spark.operators import multimodal as mm
 

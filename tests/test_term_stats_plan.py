@@ -29,7 +29,7 @@ def _ranked_plan(spark, built, mode="wand"):
 
     df = q_mod.run_ranked(
         spark, built["index_df"], gate_queries_df(spark), built["codec"],
-        built["num_docs"], mode=mode, k=10, dtype="float64",
+        built["num_docs"], built["avg_len"], mode=mode, k=10, dtype="float64",
         term_stats_df=built["term_stats"],
     )
     return formatted_plan(df)
