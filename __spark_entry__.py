@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_decode_flat_ans_minmax2d": gate.q_index_decode_flat_ans_minmax2d,
         "index_decode_flat_ans_med90p2d": gate.q_index_decode_flat_ans_med90p2d,
         "index_decode_flat_ans_med90p2dm": gate.q_index_decode_flat_ans_med90p2dm,
+        "index_decode_flat_anspacked": gate.q_index_decode_flat_anspacked,
         "wand_top10_ef": gate.q_wand_top10_ef,
         **gate_training.TRAINING_QUERIES,
     }
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "index_decode_flat_ans_minmax2d": gate.sql_postings_flat(),
         "index_decode_flat_ans_med90p2d": gate.sql_postings_flat(),
         "index_decode_flat_ans_med90p2dm": gate.sql_postings_flat(),
+        "index_decode_flat_anspacked": gate.sql_postings_flat(),
         "wand_top10_ef": gate.sql_ranked_or(),
         **gate_training.TRAINING_ORACLES,
     }

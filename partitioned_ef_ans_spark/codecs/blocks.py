@@ -104,6 +104,26 @@ def _interpolative():
     return InterpolativeCodec()
 
 
+@dataclass
+class AnsPackedCodec:
+    """ans_packed family (per-magnitude models, A10), block size 256."""
+
+    enc: object | None = None
+    dec: object | None = None
+    name = "ans_packed_max1d"
+    block_size = ans_msb.BLOCK_SIZE
+
+    def encode_batch(self, blk, ns, sums) -> list[bytes]:
+        from partitioned_ef_ans_spark.codecs import ans_packed
+
+        return ans_packed.encode_blocks(blk, ns, sums, self.enc)
+
+    def decode_batch(self, payload, offsets, ns, sums):
+        from partitioned_ef_ans_spark.codecs import ans_packed
+
+        return ans_packed.decode_blocks(payload, offsets, ns, sums, self.dec)
+
+
 CODECS = {
     "u32": U32Codec,
     "vbyte": VByteCodec,

@@ -372,6 +372,12 @@ def q_index_decode_flat_ans_med90p2dm(spark: SparkSession, sf_dir: str) -> DataF
     return _index_decode_flat_impl(spark, sf_dir, codec="ans_med90p2dm")
 
 
+def q_index_decode_flat_anspacked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-equality for the ans_packed family (A10, per-magnitude
+    models, ans_packed_model.hpp:17-421 / index_types.hpp:55)."""
+    return _index_decode_flat_impl(spark, sf_dir, codec="ans_packed")
+
+
 def q_wand_top10_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAND over the `ef`-family index — rank-identical to the
     relational ranked-OR oracle like the ANS and PEF paths."""

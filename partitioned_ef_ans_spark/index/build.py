@@ -101,6 +101,57 @@ def _count_batches_factory(variant: str):
     return _count_batches
 
 
+def _count_batches_packed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from partitioned_ef_ans_spark.codecs import ans_packed as ap
+
+    cd, mvd = ap.new_counts()
+    cf, mvf = ap.new_counts()
+    saw = False
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        saw = True
+        doc_lists = [np.asarray(x, dtype=np.int64) for x in pdf["doc_ids"]]
+        freq_lists = [np.asarray(x, dtype=np.int64) for x in pdf["freqs"]]
+        DB, FB, NS, SUMS, _, _ = blocks.blockize_many(
+            doc_lists, freq_lists, ap.BLOCK_SIZE
+        )
+        ap.accumulate_counts(cd, mvd, DB, NS, SUMS)
+        ap.accumulate_counts(cf, mvf, FB, NS, np.full(len(NS), ap.SUM_UNKNOWN))
+    if saw:
+        def pack(c, mv):
+            return np.concatenate(
+                [c.ravel().astype(np.int64), mv.astype(np.int64)]
+            ).tobytes()
+
+        yield pd.DataFrame(
+            {"stream": ["docs", "freqs"], "counts": [pack(cd, mvd), pack(cf, mvf)]}
+        )
+
+
+def train_ans_packed_models(postings: DataFrame):
+    """Pass 1 + freeze for the ans_packed family: partial per-magnitude
+    count grids (tiny: 16x33) merge by sum, max_value by max."""
+    from partitioned_ef_ans_spark.codecs import ans_packed as ap
+
+    rows = postings.select("doc_ids", "freqs").mapInPandas(
+        _count_batches_packed, schema="stream string, counts binary"
+    ).collect()
+    cd, mvd = ap.new_counts()
+    cf, mvf = ap.new_counts()
+    ncells = cd.size
+    for r in rows:
+        flat = np.frombuffer(r["counts"], dtype=np.int64)
+        c, mv = flat[:ncells].reshape(cd.shape), flat[ncells:]
+        if r["stream"] == "docs":
+            cd += c.astype(np.uint64)
+            np.maximum(mvd, mv.astype(np.uint32), out=mvd)
+        else:
+            cf += c.astype(np.uint64)
+            np.maximum(mvf, mv.astype(np.uint32), out=mvf)
+    return ap.freeze_models(cd, mvd), ap.freeze_models(cf, mvf)
+
+
 def train_ans_models(postings: DataFrame, variant: str = ans_msb.DEFAULT_VARIANT):
     """Pass 1 + freeze: returns ((enc_d, dec_d), (enc_f, dec_f))."""
     rows = postings.select("doc_ids", "freqs").mapInPandas(
@@ -142,6 +193,11 @@ class IndexCodec:
             (enc_d, dec_d), (enc_f, dec_f) = models
             self.docs = blocks.AnsCodec(enc=enc_d, dec=dec_d)
             self.freqs = blocks.AnsCodec(enc=enc_f, dec=dec_f)
+            self.block_size = self.docs.block_size
+        elif codec_name == "ans_packed":
+            (enc_d, dec_d), (enc_f, dec_f) = models
+            self.docs = blocks.AnsPackedCodec(enc=enc_d, dec=dec_d)
+            self.freqs = blocks.AnsPackedCodec(enc=enc_f, dec=dec_f)
             self.block_size = self.docs.block_size
         elif codec_name == "pef" or codec_name in ("ef", "single", "uniform"):
             self.docs = self.freqs = None
@@ -290,6 +346,8 @@ def build_index(
     models = None
     if codec in ANS_CODEC_VARIANTS:
         models = train_ans_models(postings, variant=ANS_CODEC_VARIANTS[codec])
+    elif codec == "ans_packed":
+        models = train_ans_packed_models(postings)
     t_model = time.perf_counter()
 
     sc = spark.sparkContext
