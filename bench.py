@@ -264,7 +264,7 @@ def main():
                 postings = rec["queries"].get("total_postings")
         t_lo, t_hi = min(times[lo]), min(times[hi])
         eff = (t_lo / t_hi) / (hi / lo)
-        print(json.dumps({
+        rec = {
             "metric": f"build_scaling_efficiency_{lo}_to_{hi}_cores",
             "value": round(eff, 3),
             "unit": "ratio",
@@ -274,7 +274,12 @@ def main():
             "reps": reps,
             "aggregation": "min per leg (noisy-neighbor VM)",
             "postings": postings,
-        }))
+        }
+        # persist so the default bench run can surface the latest
+        # scaling evidence alongside its own timings
+        with open(Path(__file__).resolve().parent / "BENCH_SCALING.json", "w") as fh:
+            json.dump(rec, fh)
+        print(json.dumps(rec))
         return
     if "--child" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--child") + 1])
@@ -286,7 +291,7 @@ def main():
 
     q: dict = {}
     build_and_query(CPUS, q, query_modes=True)
-    print(json.dumps({
+    out = {
         "metric": "ans_index_build_plus_topk_query_suite",
         "value": q["total_wall"],
         "unit": "sec",
@@ -295,7 +300,16 @@ def main():
         "codec": "ans_msb_medmax_merged",
         "cpus": CPUS,
         "synth_docs": SYNTH_DOCS,
-    }))
+    }
+    # most recent `bench.py --scaling` record (measured separately at
+    # the 72M-posting corpus — see BENCH.md for methodology)
+    scaling_path = Path(__file__).resolve().parent / "BENCH_SCALING.json"
+    if scaling_path.exists():
+        try:
+            out["scaling_evidence"] = json.loads(scaling_path.read_text())
+        except Exception:
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

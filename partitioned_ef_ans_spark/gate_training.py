@@ -213,6 +213,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d_mod.embedding_neardup_pairs(_embs(spark, sf_dir))
 
 
+def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-means-bucketed threshold join (triangle-inequality
+    pruning) — must hash-match the brute-force oracle exactly (no
+    recall loss by construction)."""
+    return d_mod.embedding_neardup_bucketed(_embs(spark, sf_dir))
+
+
 _EMB_NORM_CTE = """
 nrm AS (
   SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nn
@@ -438,6 +445,66 @@ def q_transform_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transform_queries_uids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6, oracle-checkable projection: the UNSTEMMED id line plus the
+    whole-query OOV drop.  The drop is fully determined by the
+    unstemmed lookup (any corpus term's Porter stem is by construction
+    in the stemmed dictionary, so sid is null only when uid is), which
+    makes this half of transform_queries exactly SQL-expressible; the
+    stemmed line stays rows-only (no SQL Porter stemmer)."""
+    from partitioned_ef_ans_spark import tokenizer
+    from partitioned_ef_ans_spark.operators.dictionary import build_term_dictionary
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.operators.transform import (
+        stem_udf_df,
+        transform_queries,
+    )
+    from partitioned_ef_ans_spark.gate import GATE_QUERIES
+
+    docs = _docs(spark, sf_dir)
+    tokens = tokenizer.tokenize(docs, doc_col="doc_id", text_col="text")
+    udict = build_term_dictionary(tokens)
+    sdict = build_term_dictionary(
+        stem_udf_df(tokens.select("term").distinct())
+        .select(F.col("stemmed").alias("term"))
+        .distinct()
+    )
+    qdf = queries_to_df(spark, GATE_QUERIES)
+    out = transform_queries(qdf, sdict, udict)
+    return out.select(
+        "query_id",
+        F.concat_ws(
+            " ", F.transform("uterm_ids", lambda x: x.cast("string"))
+        ).alias("uline"),
+    )
+
+
+def sql_transform_queries_uids() -> str:
+    from partitioned_ef_ans_spark.gate import GATE_QUERIES, _TOK_CTE
+
+    rows = []
+    for qid, terms in GATE_QUERIES:
+        for pos, t in enumerate(terms):
+            rows.append(f"({qid}, {pos}, '{t.lower()}')")
+    q_vals = "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS q(query_id, pos, term)"
+    return f"""
+WITH {_TOK_CTE},
+dict AS (
+  SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS term_id
+  FROM (SELECT DISTINCT term FROM tok)
+),
+q AS ({q_vals}),
+m AS (SELECT q.query_id, q.pos, d.term_id FROM q LEFT JOIN dict d USING (term)),
+keep AS (
+  SELECT query_id FROM m GROUP BY query_id
+  HAVING max(CASE WHEN term_id IS NULL THEN 1 ELSE 0 END) = 0
+)
+SELECT m.query_id,
+       string_agg(CAST(term_id AS VARCHAR), ' ' ORDER BY pos) AS uline
+FROM m JOIN keep USING (query_id)
+GROUP BY m.query_id"""
+
+
 # ------------------------------------------------------------- multimodal
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,6 +566,7 @@ FROM b"""
 TRAINING_QUERIES = {
     "corpus_sha": q_corpus_sha,
     "transform_queries": q_transform_queries,
+    "transform_queries_uids": q_transform_queries_uids,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "token_counts": q_token_counts,
@@ -510,6 +578,7 @@ TRAINING_QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf,
     "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
@@ -517,7 +586,9 @@ TRAINING_QUERIES = {
 
 TRAINING_ORACLES = {
     "corpus_sha": sql_corpus_sha(),
-    # transform_queries: rows-only (no SQL Porter stemmer available)
+    # transform_queries: rows-only (no SQL Porter stemmer available);
+    # the unstemmed half is exactly checked by transform_queries_uids
+    "transform_queries_uids": sql_transform_queries_uids(),
     "multimodal_meta": sql_multimodal_meta(),
     "multimodal_features": sql_multimodal_features(),
     "token_counts": sql_token_counts(),
@@ -529,6 +600,7 @@ TRAINING_ORACLES = {
     "minhash_lsh_pairs": sql_minhash_lsh(),
     "simhash": sql_simhash(),
     "embedding_neardup": sql_embedding_neardup(),
+    "embedding_neardup_bucketed": sql_embedding_neardup(),
     "ann_cosine_topk": sql_ann_topk(),
     "ann_ivf_topk": sql_ann_ivf(),
     "ann_ivf_kmeans_topk": sql_ann_ivf_kmeans(),

@@ -191,12 +191,130 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
 EMB_NEARDUP_THRESHOLD = 0.4
 
 
+def embedding_neardup_bucketed(
+    embeddings: DataFrame,
+    threshold: float = EMB_NEARDUP_THRESHOLD,
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """EXACT cosine-threshold self-join without the all-pairs cross
+    join — the 100 TB shape for embedding near-dup.
+
+    Vectors bucket to their nearest k-means centroid; each bucket
+    keeps its angular radius r_b = max angle(v, c_b).  By the
+    spherical triangle inequality, angle(a, b) >= angle(c_a, c_b) -
+    r_a - r_b, so a bucket PAIR can only contain pairs with
+    cos >= threshold when angle(c_a, c_b) <= arccos(threshold) +
+    r_a + r_b (+1e-9 ulp margin keeps the bound admissible).  Only
+    surviving bucket pairs join — with tight clusters that's O(sum of
+    co-bucket sizes), never O(n^2) — and the survivors get the exact
+    cosine, so the OUTPUT IS IDENTICAL to the brute-force
+    :func:`embedding_neardup_pairs` (same DuckDB oracle, no recall
+    loss; completeness is proved by the inequality, checked by the
+    gate hash).
+    """
+    from partitioned_ef_ans_spark.operators.ann import kmeans_centroids
+
+    cent = kmeans_centroids(embeddings, n_centroids=n_centroids, iters=iters)
+    dot_ec = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("cvec"),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    norm_e = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0),
+            lambda s, v: s + v.cast("double") * v.cast("double"),
+        )
+    )
+    norm_c = F.sqrt(
+        F.aggregate(F.col("cvec"), F.lit(0.0), lambda s, v: s + v * v)
+    )
+    clip = lambda c: F.least(F.lit(1.0), F.greatest(F.lit(-1.0), c))
+    sim = embeddings.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cent_id",
+        F.round(dot_ec / (norm_e * norm_c), 6).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    assign = (
+        sim.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"), "csim")
+    )
+    radii = assign.groupBy("bucket").agg(
+        F.acos(clip(F.min("csim"))).alias("radius")
+    )
+    ca, cb = cent.alias("ca"), cent.alias("cb")
+    dot_cc = F.aggregate(
+        F.zip_with(F.col("ca.cvec"), F.col("cb.cvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    ncc = lambda side: F.sqrt(
+        F.aggregate(F.col(f"{side}.cvec"), F.lit(0.0), lambda s, v: s + v * v)
+    )
+    cpairs = (
+        ca.crossJoin(cb)
+        .where(F.col("ca.cent_id") <= F.col("cb.cent_id"))
+        .select(
+            F.col("ca.cent_id").alias("ba"),
+            F.col("cb.cent_id").alias("bb"),
+            F.acos(clip(dot_cc / (ncc("ca") * ncc("cb")))).alias("cangle"),
+        )
+    )
+    import math
+
+    theta = math.acos(threshold)
+    surviving = (
+        cpairs.join(radii.withColumnRenamed("bucket", "ba")
+                    .withColumnRenamed("radius", "ra"), "ba")
+        .join(radii.withColumnRenamed("bucket", "bb")
+              .withColumnRenamed("radius", "rb"), "bb")
+        .where(F.col("cangle") <= F.lit(theta) + F.col("ra") + F.col("rb") + 1e-9)
+        .select("ba", "bb")
+    )
+    both = surviving.unionByName(
+        surviving.select(F.col("bb").alias("ba"), F.col("ba").alias("bb"))
+    ).distinct()
+    a = assign.select(F.col("vec_id").alias("vec_a"),
+                      F.col("embedding").alias("ea"),
+                      F.col("bucket").alias("ba"))
+    b = assign.select(F.col("vec_id").alias("vec_b"),
+                      F.col("embedding").alias("eb"),
+                      F.col("bucket").alias("bb"))
+    cand = (
+        a.join(F.broadcast(both), "ba")
+        .join(b, "bb")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "ea", "eb")
+    )
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda s, v: s + v.cast("double") * v.cast("double"))
+    )
+    return (
+        cand.select(
+            "vec_a", "vec_b",
+            F.round(dot_ab / (nrm(F.col("ea")) * nrm(F.col("eb"))), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = EMB_NEARDUP_THRESHOLD
 ) -> DataFrame:
     """(vec_a, vec_b, cos): cosine >= threshold pairs, brute force.
-    Scale path: replace the cross join with LSH/IVF bucketing
-    (operators/ann.py) and verify only bucket-mates."""
+    Scale path: :func:`embedding_neardup_bucketed` (exact, k-means
+    bucketed, triangle-inequality pruned)."""
     dot = F.aggregate(
         F.zip_with(
             F.col("a.embedding"),

@@ -78,3 +78,37 @@ def test_fingerprint_overflow_free_on_long_doc(spark):
         expect ^= h
     assert got == expect
     assert 0 <= got < (1 << 52)
+
+
+def test_bucketed_neardup_exact_and_pruning(spark):
+    """The k-means-bucketed threshold join must (a) return EXACTLY the
+    brute-force pairs, (b) actually prune bucket pairs on clustered
+    data (else it is a cross join in disguise)."""
+    import numpy as np
+
+    from partitioned_ef_ans_spark.operators.dedup import (
+        embedding_neardup_bucketed,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = []
+    vid = 0
+    for c in range(4):  # 4 well-separated clusters
+        center = rng.normal(size=16)
+        center /= np.linalg.norm(center)
+        for _ in range(25):
+            v = center + rng.normal(scale=0.05, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["vec_a"], r["vec_b"], r["cos"])
+        for r in embedding_neardup_pairs(emb, threshold=0.8).collect()
+    }
+    bucketed = {
+        (r["vec_a"], r["vec_b"], r["cos"])
+        for r in embedding_neardup_bucketed(emb, threshold=0.8).collect()
+    }
+    assert bucketed == exact
+    assert len(exact) > 0
