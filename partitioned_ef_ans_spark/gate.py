@@ -155,9 +155,14 @@ def _get_index(spark: SparkSession, sf_dir: str, codec: str = "ans"):
     key = (sf_dir, codec)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
+    import os
+
     tag = hashlib.sha1(f"{sf_dir}|{codec}".encode()).hexdigest()[:12]
-    # /dev/shm, not /tmp: this sandbox's /tmp is a throttled shared disk
-    out_dir = f"/dev/shm/pefa_index_{tag}"
+    # /dev/shm, not /tmp: this sandbox's /tmp is a throttled shared
+    # disk.  Path is per-PID: two processes (e.g. pytest + the driver
+    # gate) building the same dir concurrently would corrupt each
+    # other's parquet commits.
+    out_dir = f"/dev/shm/pefa_index_{os.getpid()}_{tag}"
     docs = load_documents(spark, sf_dir)
     b_mod.build_index(
         spark, docs, out_dir, codec=codec, chunk_postings=256,

@@ -77,10 +77,22 @@ def kmeans_centroids(
 
     Plan shape at scale: per iteration one broadcast join (centroids
     are tiny) + one (cent_id, dim) hash aggregation — no all-pairs
-    anything."""
-    cent = embeddings.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"),
-        F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias("cvec"),
+    anything.  Centroids MATERIALIZE to literal rows after every
+    update (n_centroids rows — a constant-size driver collect):
+    without this, every downstream reference replays the whole
+    iteration lineage and the physical plan explodes (measured: 77
+    exchanges for the bucketed near-dup vs 8 after)."""
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
+    cent = _materialize(
+        embeddings.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"),
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double"), 6)
+            ).alias("cvec"),
+        )
     )
     for _ in range(iters):
         sim = embeddings.crossJoin(F.broadcast(cent)).select(
@@ -104,7 +116,7 @@ def kmeans_centroids(
         dims = assign.select(
             "cent_id", F.posexplode("embedding").alias("pos", "v")
         )
-        cent = (
+        cent = _materialize(
             dims.groupBy("cent_id", "pos")
             .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
             .groupBy("cent_id")

@@ -257,7 +257,7 @@ def embedding_neardup_bucketed(
         F.aggregate(F.col(f"{side}.cvec"), F.lit(0.0), lambda s, v: s + v * v)
     )
     cpairs = (
-        ca.crossJoin(cb)
+        ca.crossJoin(F.broadcast(cb))
         .where(F.col("ca.cent_id") <= F.col("cb.cent_id"))
         .select(
             F.col("ca.cent_id").alias("ba"),

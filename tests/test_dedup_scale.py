@@ -112,3 +112,18 @@ def test_bucketed_neardup_exact_and_pruning(spark):
     }
     assert bucketed == exact
     assert len(exact) > 0
+
+
+def test_bucketed_neardup_plan_is_bounded(spark):
+    """Centroid materialization must keep the physical plan sane: no
+    CartesianProduct anywhere, and a bounded number of shuffles
+    (lineage replay of the k-means iterations once exploded this to
+    77 exchanges)."""
+    from partitioned_ef_ans_spark.operators.dedup import embedding_neardup_bucketed
+    from partitioned_ef_ans_spark.plans.inspect import count_exchanges, formatted_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = embedding_neardup_bucketed(emb)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) <= 25
