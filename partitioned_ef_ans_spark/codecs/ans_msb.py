@@ -172,8 +172,12 @@ def accumulate_counts(
     # map only the valid lanes (padding is ~30% of the matrix)
     vals = blocks[valid].astype(np.int64, copy=False) + 1
     syms = mapping_alistair(vals)
-    mid = np.broadcast_to(models[:, None], valid.shape)[valid]
-    np.add.at(counts, (mid.astype(np.int64), syms.astype(np.int64)), 1)
+    mid = np.broadcast_to(models[:, None], valid.shape)[valid].astype(np.int64)
+    # bincount over the flattened (model, symbol) grid is ~2x add.at
+    flat = mid * (MAX_VAL + 1) + syms
+    counts += np.bincount(flat, minlength=counts.size).reshape(
+        counts.shape
+    ).astype(np.uint64)
 
 
 def _entropy(cnts: np.ndarray) -> tuple[float, int]:

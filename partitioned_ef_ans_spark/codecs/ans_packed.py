@@ -108,7 +108,10 @@ def accumulate_counts(
     vals = blocks[valid].astype(np.int64, copy=False) + 1
     mags = magnitude(vals.astype(np.uint64)).astype(np.int64)
     mid = np.broadcast_to(models[:, None], valid.shape)[valid].astype(np.int64)
-    np.add.at(counts, (mid, mags), 1)
+    flat = mid * (MAX_MAG + 1) + mags
+    counts += np.bincount(flat, minlength=counts.size).reshape(
+        counts.shape
+    ).astype(np.uint64)
     for m in range(NUM_MODELS):
         sel = mid == m
         if np.any(sel):
