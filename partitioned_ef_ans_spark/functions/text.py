@@ -93,6 +93,57 @@ def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.select("doc_id", pred.alias("pred_lang"))
 
 
+def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
+    repetition filters), pure Catalyst:
+
+      dup_token_frac  = 1 - distinct_tokens / tokens
+      top_token_frac  = occurrences of the most frequent token / tokens
+      dup_bigram_frac = 1 - distinct_bigrams / bigrams
+
+    High values flag boilerplate/spam documents in training-data
+    curation; all three are exactly SQL-expressible (DuckDB oracle).
+    """
+    toks = tokens_array(F.col(text_col))
+    base = documents.select("doc_id", toks.alias("w"))
+    n = F.size("w").cast("double")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("w") - 2, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, 2)),
+    )
+    per_doc = base.select(
+        "doc_id",
+        n.alias("n"),
+        F.size(F.array_distinct("w")).cast("double").alias("nd"),
+        F.when(F.size("w") >= 2, F.size(bigrams).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("nb"),
+        F.when(F.size("w") >= 2, F.size(F.array_distinct(bigrams)).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("nbd"),
+    )
+    tf = (
+        documents.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("double").alias("top"))
+    )
+    out = per_doc.join(tf, "doc_id", "left").fillna({"top": 0.0})
+    frac = lambda a, b: F.when(b > 0, a / b).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(frac(F.col("n") - F.col("nd"), F.col("n")), 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(frac(F.col("top"), F.col("n")), 6).alias("top_token_frac"),
+        F.round(frac(F.col("nb") - F.col("nbd"), F.col("nb")), 6).alias(
+            "dup_bigram_frac"
+        ),
+    )
+
+
 def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp): order-aware document fingerprint = XOR-fold of
     52-bit position-salted token hashes.  XOR is overflow-free by

@@ -103,6 +103,44 @@ e AS (SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos FROM 
 SELECT doc_id, CAST(bit_xor({h}) AS BIGINT) AS fp FROM e GROUP BY doc_id"""
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t_mod.repetition_signals(_docs(spark, sf_dir))
+
+
+def sql_repetition_signals() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+bi AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS bg,
+         w
+  FROM t
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(w) AS DOUBLE) AS n,
+         CAST(len(list_distinct(w)) AS DOUBLE) AS nd,
+         CAST(len(bg) AS DOUBLE) AS nb,
+         CAST(len(list_distinct(bg)) AS DOUBLE) AS nbd
+  FROM bi
+),
+tops AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) AS top FROM (
+    SELECT doc_id, term, count(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS term FROM t)
+    GROUP BY doc_id, term
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       round(CASE WHEN n > 0 THEN (n - nd) / n ELSE 0.0 END, 6) AS dup_token_frac,
+       round(CASE WHEN n > 0 THEN coalesce(tops.top, 0.0) / n ELSE 0.0 END, 6) AS top_token_frac,
+       round(CASE WHEN nb > 0 THEN (nb - nbd) / nb ELSE 0.0 END, 6) AS dup_bigram_frac
+FROM base b LEFT JOIN tops USING (doc_id)"""
+
+
 # ---------------------------------------------------------------- dedup
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,6 +609,7 @@ TRAINING_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "token_counts": q_token_counts,
     "quality_score": q_quality_score,
+    "repetition_signals": q_repetition_signals,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
@@ -593,6 +632,7 @@ TRAINING_ORACLES = {
     "multimodal_features": sql_multimodal_features(),
     "token_counts": sql_token_counts(),
     "quality_score": sql_quality_score(),
+    "repetition_signals": sql_repetition_signals(),
     "lang_id": sql_lang_id(),
     "doc_fingerprint": sql_fingerprint(),
     "exact_dedup": sql_exact_dedup(),

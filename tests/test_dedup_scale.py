@@ -127,3 +127,27 @@ def test_bucketed_neardup_plan_is_bounded(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert count_exchanges(df) <= 25
+
+
+def test_repetition_signals_edges_and_values(spark):
+    from partitioned_ef_ans_spark.functions.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a"),          # all dup: dup_token 0.75, top 1.0, bigrams all equal
+            (1, "a b c d"),          # no dup
+            (2, "one"),              # single token: bigram frac 0
+            (3, ""),                 # empty doc
+            (4, "x y x y x y"),      # alternating
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert rows[0]["dup_token_frac"] == 0.75
+    assert rows[0]["top_token_frac"] == 1.0
+    assert rows[0]["dup_bigram_frac"] == round(2 / 3, 6)
+    assert rows[1]["dup_token_frac"] == 0.0
+    assert rows[2]["dup_bigram_frac"] == 0.0 and rows[2]["n_tokens"] == 1
+    assert rows[3]["n_tokens"] == 0 and rows[3]["top_token_frac"] == 0.0
+    assert rows[4]["dup_token_frac"] == round(4 / 6, 6)
+    assert rows[4]["dup_bigram_frac"] == 0.6  # 5 bigrams, 2 distinct
