@@ -362,6 +362,22 @@ class DecModels:
     slot_off: np.ndarray    # uint32[n_slots, maxM]
     header: str = "packed2"
 
+    def packed_table(self) -> np.ndarray:
+        """(sym<<32 | freq<<16 | off) per slot — ONE gather per decode
+        step instead of three.  Fits: M <= 2^15 (frame = next_pow2(16 x
+        <=1025 syms)), so freq <= 2^15 (16 bits), off < freq (16 bits),
+        sym <= 1024.  Built lazily and memoized per process (field is
+        absent from older pickled models)."""
+        tbl = getattr(self, "_packed", None)
+        if tbl is None:
+            tbl = (
+                (self.slot_sym.astype(np.uint64) << np.uint64(32))
+                | (self.slot_freq.astype(np.uint64) << np.uint64(16))
+                | self.slot_off.astype(np.uint64)
+            ).ravel()
+            object.__setattr__(self, "_packed", tbl)
+        return tbl
+
 
 def freeze_models(
     counts: np.ndarray, variant: str = DEFAULT_VARIANT
@@ -649,24 +665,35 @@ def decode_blocks(
             | (payload[base + 3].astype(np.uint64) << np.uint64(24))
         )
 
-    # interleaved rANS decode
+    # interleaved rANS decode: one packed-table gather per step; while
+    # EVERY block is still alive (k < min length — the common case,
+    # most blocks are full) the masked bookkeeping is skipped entirely
     rows = np.arange(nb)
     rptr = np.zeros(nb, dtype=np.int64)
     remaining = nwords.copy()
     syms = np.zeros((nb, BLOCK_SIZE), dtype=np.uint16)
     maxn = int(an.max())
+    min_an = int(an.min())
     mask_M = dec.mask_M[mid]
     log2_M = dec.log2_M[mid]
+    packed = dec.packed_table()
+    maxM = dec.slot_sym.shape[1]
+    row_base = (mid * maxM).astype(np.uint64)
+    MASK16 = np.uint64(0xFFFF)
     for k in range(maxn):
-        alive = k < an
-        slot = (states & mask_M).astype(np.int64)
-        sym = dec.slot_sym[mid, slot]
-        f = dec.slot_freq[mid, slot].astype(np.uint64)
-        o = dec.slot_off[mid, slot].astype(np.uint64)
-        nxt = f * (states >> log2_M) + o
-        states = np.where(alive, nxt, states)
-        syms[rows[alive], k] = sym[alive]
-        need = alive & (remaining > 0) & (states < NORM_LOWER_BOUND)
+        slot = (states & mask_M) + row_base
+        e = packed[slot.astype(np.int64)]
+        f = (e >> np.uint64(16)) & MASK16
+        nxt = f * (states >> log2_M) + (e & MASK16)
+        if k < min_an:
+            states = nxt
+            syms[:, k] = (e >> np.uint64(32)).astype(np.uint16)
+            need = (remaining > 0) & (states < NORM_LOWER_BOUND)
+        else:
+            alive = k < an
+            states = np.where(alive, nxt, states)
+            syms[rows[alive], k] = (e >> np.uint64(32)).astype(np.uint16)[alive]
+            need = alive & (remaining > 0) & (states < NORM_LOWER_BOUND)
         if np.any(need):
             w = words[rows[need], rptr[need]]
             states[need] = (states[need] << np.uint64(OUTPUT_BASE_LOG2)) | w
