@@ -104,7 +104,7 @@ def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
         qs = c_mod.synthesize_queries(N_QUERIES, vocab_size=20000)
         qdf = queries_to_df(spark, qs).cache()
         qdf.count()
-        for mode in ("wand", "blockmax", "maxscore", "taat", "ranked_or", "ranked_and"):
+        for mode in ALL_MODES:
             t0 = time.perf_counter()
             n = q_mod.run_ranked(
                 spark, index_df, qdf, codec, nd, avg_len,
@@ -121,25 +121,114 @@ def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
             out[f"{name}_{N_QUERIES}q"] = round(time.perf_counter() - t0, 3)
     out["total_wall"] = round(time.perf_counter() - t_start, 3)
     spark.stop()
+
+    if query_modes:
+        # per-op latency tails like the reference's op_perftest
+        # (queries.cpp:23-52 prints mean/q50/q90/q95): sampled on the
+        # same freshly-built index, single-threaded in-process kernels
+        from partitioned_ef_ans_spark import corpus as c_mod2
+
+        n_lat = int(os.environ.get("PEFA_BENCH_LAT_QUERIES", "150"))
+        lat_qs = c_mod2.synthesize_queries(n_lat, vocab_size=20000)
+        out["latency_us"] = kernel_latency_stats(idx_dir, lat_qs)
     return out
 
 
-def latency_mode():
-    """Single-threaded sequential per-query latency — the reference's
-    op_perftest shape (queries.cpp:23-52: mean/q50/q90/q95 per query,
-    first run untimed).  Runs the kernels directly on a built index
-    (no Spark job per query), like the reference's in-process loop."""
+ALL_MODES = (
+    "wand", "blockmax", "maxscore", "maxscore_blockmax", "taat",
+    "ranked_or", "ranked_and",
+)
+
+
+def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2) -> dict:
+    """Single-threaded sequential per-query latency over a built index
+    — the reference's op_perftest shape (queries.cpp:23-52:
+    mean/q50/q90/q95 per query, first run untimed).  Runs the kernels
+    directly (no Spark job per query), like the reference's in-process
+    loop.  Returns {mode: {mean, q50, q90, q95}} in microseconds."""
     import pickle
+
+    from collections import Counter
 
     import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq
 
-    from collections import Counter
-
-    from partitioned_ef_ans_spark import corpus as c_mod
+    from partitioned_ef_ans_spark.index import blockmax as bmx_mod
     from partitioned_ef_ans_spark.index import build as b_mod
     from partitioned_ef_ans_spark.index import query as q_mod
+
+    man = json.load(open(f"{idx_dir}/manifest.json"))
+    side = pickle.load(open(f"{idx_dir}/models.pkl", "rb"))
+    codec = b_mod.IndexCodec(side["codec"], side["models"], num_docs=man["num_docs"])
+    tbl = pq.read_table(f"{idx_dir}/index.parquet").to_pandas()
+    nd = man["num_docs"]
+    avg_len = man["avg_doc_len"]
+    by_term = {t: g for t, g in tbl.groupby("term")}
+    stats = {}
+    for mode in modes:
+        lat = []
+        for run in range(runs):  # first run untimed (warms caches)
+            for qid, terms in qs:
+                c = Counter(terms)
+                rows = [by_term[t] for t in c if t in by_term]
+                if not rows:
+                    continue
+                pdf = pd.concat(rows).assign(
+                    query_id=qid, n_terms=len(c),
+                )
+                pdf["qtf"] = [c[t] for t in pdf["term"]]
+                # per-TERM bound = max over the term's chunks (a single
+                # chunk's max would under-bound multi-chunk lists)
+                pdf["max_weight"] = pdf.groupby("term")[
+                    "chunk_max_weight"
+                ].transform("max")
+                if mode in ("blockmax", "maxscore_blockmax"):
+                    fn = (
+                        bmx_mod.kernel_blockmax
+                        if mode == "blockmax"
+                        else bmx_mod.kernel_maxscore_blockmax
+                    )
+                    t0 = time.perf_counter()
+                    fn(pdf, codec, nd, avg_len, K, np.float32)
+                    if run:
+                        lat.append((time.perf_counter() - t0) * 1e6)
+                    continue
+                t0 = time.perf_counter()
+                lists, norms = q_mod._decode_group(pdf, codec, avg_len)
+                tws = q_mod._term_weights(lists, norms, np.float32, tag=codec.tag)
+                per_term = pdf.drop_duplicates("term").set_index("term")
+                weights = {
+                    t: q_mod._q_weight(per_term.loc[t, "qtf"], per_term.loc[t, "df"], nd, np.float32)
+                    for t in lists
+                }
+                maxw = {t: float(per_term.loc[t, "max_weight"]) for t in lists}
+                if mode == "wand":
+                    q_mod._kernel_wand(lists, tws, weights, maxw, np.float32, qid, K, nd)
+                elif mode == "maxscore":
+                    q_mod._kernel_maxscore(lists, tws, weights, maxw, np.float32, qid, K, nd)
+                elif mode == "taat":
+                    q_mod._kernel_taat_pruned(lists, tws, weights, maxw, np.float32, qid, K)
+                elif mode == "ranked_or":
+                    q_mod._kernel_ranked_or(lists, tws, weights, np.float32, qid, K)
+                else:
+                    q_mod._kernel_ranked_and(lists, tws, weights, np.float32, qid, K, len(c))
+                if run:
+                    lat.append((time.perf_counter() - t0) * 1e6)
+        arr = np.array(lat)
+        stats[mode] = {
+            "mean": round(float(arr.mean()), 1),
+            "q50": round(float(np.percentile(arr, 50)), 1),
+            "q90": round(float(np.percentile(arr, 90)), 1),
+            "q95": round(float(np.percentile(arr, 95)), 1),
+        }
+    return stats
+
+
+def latency_mode():
+    """`bench.py --latency`: full latency report on a dedicated index."""
+    from partitioned_ef_ans_spark import corpus as c_mod
+    from partitioned_ef_ans_spark.index import build as b_mod
     from partitioned_ef_ans_spark.session import get_spark
 
     idx_dir = "/dev/shm/pefa_bench_index_lat"
@@ -166,69 +255,13 @@ def latency_mode():
         spark.stop()
 
     man = json.load(open(f"{idx_dir}/manifest.json"))
-    side = pickle.load(open(f"{idx_dir}/models.pkl", "rb"))
-    codec = b_mod.IndexCodec(side["codec"], side["models"], num_docs=man["num_docs"])
-    tbl = pq.read_table(f"{idx_dir}/index.parquet").to_pandas()
-    nd = man["num_docs"]
-    avg_len = man["avg_doc_len"]
-    by_term = {t: g for t, g in tbl.groupby("term")}
-    qs = c_mod.synthesize_queries(N_QUERIES, vocab_size=20000)
-    out = {"metric": "query_latency_us", "unit": "us", "num_docs": nd,
-           "postings": man["total_postings"], "k": K, "queries": {}}
-    from partitioned_ef_ans_spark.index import blockmax as bmx_mod
+    from partitioned_ef_ans_spark import corpus as c_mod2
 
-    for mode in ("wand", "blockmax", "maxscore", "taat", "ranked_or", "ranked_and"):
-        lat = []
-        for run in range(2):  # first run untimed (warms caches), like the reference
-            for qid, terms in qs:
-                c = Counter(terms)
-                rows = [by_term[t] for t in c if t in by_term]
-                if not rows:
-                    continue
-                pdf = pd.concat(rows).assign(
-                    query_id=qid, n_terms=len(c),
-                )
-                pdf["qtf"] = [c[t] for t in pdf["term"]]
-                # per-TERM bound = max over the term's chunks (a single
-                # chunk's max would under-bound multi-chunk lists)
-                pdf["max_weight"] = pdf.groupby("term")[
-                    "chunk_max_weight"
-                ].transform("max")
-                if mode == "blockmax":
-                    t0 = time.perf_counter()
-                    bmx_mod.kernel_blockmax(pdf, codec, nd, avg_len, K, np.float32)
-                    if run:
-                        lat.append((time.perf_counter() - t0) * 1e6)
-                    continue
-                t0 = time.perf_counter()
-                lists, norms = q_mod._decode_group(pdf, codec, avg_len)
-                tws = q_mod._term_weights(lists, norms, np.float32, tag=codec.tag)
-                per_term = pdf.drop_duplicates("term").set_index("term")
-                weights = {
-                    t: q_mod._q_weight(per_term.loc[t, "qtf"], per_term.loc[t, "df"], nd, np.float32)
-                    for t in lists
-                }
-                maxw = {t: float(per_term.loc[t, "max_weight"]) for t in lists}
-                if mode == "wand":
-                    q_mod._kernel_wand(lists, tws, weights, maxw, np.float32, qid, K, nd)
-                elif mode == "maxscore":
-                    q_mod._kernel_maxscore(lists, tws, weights, maxw, np.float32, qid, K, nd)
-                elif mode == "taat":
-                    q_mod._kernel_taat_pruned(lists, tws, weights, maxw, np.float32, qid, K)
-                elif mode == "ranked_or":
-                    q_mod._kernel_ranked_or(lists, tws, weights, np.float32, qid, K)
-                else:
-                    q_mod._kernel_ranked_and(lists, tws, weights, np.float32, qid, K, len(c))
-                if run:
-                    lat.append((time.perf_counter() - t0) * 1e6)
-        arr = np.array(lat)
-        out["queries"][mode] = {
-            "mean": round(float(arr.mean()), 1),
-            "q50": round(float(np.percentile(arr, 50)), 1),
-            "q90": round(float(np.percentile(arr, 90)), 1),
-            "q95": round(float(np.percentile(arr, 95)), 1),
-        }
-    out["value"] = out["queries"]["wand"]["mean"]
+    qs = c_mod2.synthesize_queries(N_QUERIES, vocab_size=20000)
+    out = {"metric": "query_latency_us", "unit": "us", "num_docs": man["num_docs"],
+           "postings": man["total_postings"], "k": K,
+           "queries": kernel_latency_stats(idx_dir, qs)}
+    out["value"] = out["queries"]["blockmax"]["mean"]
     print(json.dumps(out))
 
 

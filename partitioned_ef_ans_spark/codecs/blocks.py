@@ -124,12 +124,26 @@ class AnsPackedCodec:
         return ans_packed.decode_blocks(payload, offsets, ns, sums, self.dec)
 
 
+def _optpfor():
+    from partitioned_ef_ans_spark.codecs.optpfor import OptPForCodec
+
+    return OptPForCodec()
+
+
+def _varintg8iu():
+    from partitioned_ef_ans_spark.codecs.varintg8iu import VarintG8IUCodec
+
+    return VarintG8IUCodec()
+
+
 CODECS = {
     "u32": U32Codec,
     "vbyte": VByteCodec,
     "ans": AnsCodec,
     "simple16": _simple16,
     "interpolative": _interpolative,
+    "optpfor": _optpfor,
+    "varintg8iu": _varintg8iu,
 }
 
 

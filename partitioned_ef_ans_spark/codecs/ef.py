@@ -453,9 +453,11 @@ def positive_decode(br: BitReader, base: int, universe: int, n: int) -> tuple[np
 # ------------------------------------------------------ optimal partition
 
 def indexed_cost_fast(u: int, m: int) -> int:
-    """Closed-form indexed_sequence bitsize + type bit (equals
-    indexed_bitsize(u, m) + TYPE_BITS for m >= 1, pure-int fast path:
-    the DP calls this millions of times and must not build dataclasses)."""
+    """Closed-form indexed_sequence cost: equals indexed_bitsize(u, m)
+    for m >= 1 (which already includes the TYPE_BITS selector; the
+    `+ TYPE_BITS` below re-adds it on top of the raw EF/RB body sizes).
+    Pure-int fast path: the DP calls this millions of times and must
+    not build dataclasses."""
     if u == m:
         return 0  # all_ones (no type bit, all_ones is implicit)
     # compact EF (ef_offsets closed form, sampling 2^9 / 2^8)
@@ -471,8 +473,10 @@ def indexed_cost_fast(u: int, m: int) -> int:
 
 
 def strict_cost_fast(u: int, m: int) -> int:
-    """Closed-form strict_sequence bitsize + type bit (strict params:
-    0-pointers disabled, strict_sequence.hpp:24-30)."""
+    """Closed-form strict_sequence cost: equals strict_bitsize(u, m)
+    for m >= 1 (TYPE_BITS already included there; re-added here on the
+    raw body sizes).  Strict params: 0-pointers disabled,
+    strict_sequence.hpp:24-30."""
     if u == m:
         return 0
     su = u - m + 1

@@ -209,6 +209,13 @@ def q_maxscore_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _indexed_ranked(spark, sf_dir, "maxscore")
 
 
+def q_maxscore_blockmax_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized MaxScore (essential/non-essential split over block
+    metadata + block-selective decode, queries.hpp:478-587 semantics)
+    — rank-identical to the ranked-OR oracle like blockmax."""
+    return _indexed_ranked(spark, sf_dir, "maxscore_blockmax")
+
+
 def q_ranked_or_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-partitioned exhaustive BM25 over the compressed index
     (second distribution axis: per-chunk partial scores + hash-agg +
@@ -394,6 +401,76 @@ def q_wand_top10_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
         ix["num_docs"], ix["avg_len"], mode="wand", k=TOP_K, dtype="float64",
         term_stats_df=ix["term_stats"],
     )
+
+
+def _wand_for_codec(spark: SparkSession, sf_dir: str, codec: str) -> DataFrame:
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix = _get_index(spark, sf_dir, codec=codec)
+    return q_mod.run_ranked(
+        spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
+        ix["num_docs"], ix["avg_len"], mode="wand", k=TOP_K, dtype="float64",
+        term_stats_df=ix["term_stats"],
+    )
+
+
+def q_wand_top10_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND over the `uniform` family (uniform_partitioned sequences)
+    — proves the ranked path over every EF family, not just decode."""
+    return _wand_for_codec(spark, sf_dir, "uniform")
+
+
+def q_wand_top10_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND over the `single` family (indexed_sequence lists)."""
+    return _wand_for_codec(spark, sf_dir, "single")
+
+
+#: codec groups for the collapsed decode-equality entries (the driver
+#: caps its correctness record at 50 entries; one union entry per
+#: family keeps every codec oracle-hashed without spending 13 slots)
+EF_FAMILY_CODECS = ("pef", "ef", "single", "uniform")
+ANS_FAMILY_CODECS = (
+    "ans_max1d", "ans_minmax2d", "ans_med90p2d", "ans_med90p2dm", "ans_packed",
+)
+BLOCK_FAMILY_CODECS = ("simple16", "interpolative", "optpfor", "varintg8iu")
+
+
+def _decode_flat_union(spark: SparkSession, sf_dir: str, codecs) -> DataFrame:
+    out = None
+    for c in codecs:
+        d = _index_decode_flat_impl(spark, sf_dir, codec=c).withColumn(
+            "codec", F.lit(c)
+        )
+        out = d if out is None else out.unionByName(d)
+    return out.select("codec", "term", "doc_id", "tf")
+
+
+def sql_decode_flat_union(codecs) -> str:
+    vals = ", ".join(f"('{c}')" for c in codecs)
+    return (
+        f"WITH {_TOK_CTE}, {_TF_CTE} "
+        f"SELECT c.codec, term, doc_id, tf FROM tf "
+        f"CROSS JOIN (VALUES {vals}) AS c(codec)"
+    )
+
+
+def q_index_decode_flat_ef_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-equality across the whole-list EF families in one entry:
+    pef (`opt`), ef, single, uniform (index_types.hpp:18-28)."""
+    return _decode_flat_union(spark, sf_dir, EF_FAMILY_CODECS)
+
+
+def q_index_decode_flat_ans_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-equality across the non-default ANS families: the four
+    ans_msb model variants (ans_msb_model.hpp:23-305) + ans_packed
+    (ans_packed_model.hpp:17-421)."""
+    return _decode_flat_union(spark, sf_dir, ANS_FAMILY_CODECS)
+
+
+def q_index_decode_flat_block_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-equality across the non-ANS block codecs: simple16 (K7),
+    interpolative (K4), optpfor (K2), varint-G8IU (K3)."""
+    return _decode_flat_union(spark, sf_dir, BLOCK_FAMILY_CODECS)
 
 
 def q_wand_top10_pef(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -254,8 +254,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-means-bucketed threshold join (triangle-inequality
     pruning) — must hash-match the brute-force oracle exactly (no
-    recall loss by construction)."""
-    return d_mod.embedding_neardup_bucketed(_embs(spark, sf_dir))
+    recall loss by construction).  n_centroids pinned to 8 so the
+    textual oracle replays the same clustering; production default is
+    data-driven (ann.auto_n_centroids)."""
+    return d_mod.embedding_neardup_bucketed(_embs(spark, sf_dir), n_centroids=8)
 
 
 _EMB_NORM_CTE = """
@@ -305,7 +307,9 @@ QUALIFY "rank" <= {k}"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_mod.ivf_topk(_embs(spark, sf_dir))
+    # n_centroids pinned (oracle SQL hard-codes vec_id < 8); the
+    # production default derives the count from the table size
+    return ann_mod.ivf_topk(_embs(spark, sf_dir), n_centroids=8)
 
 
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -174,17 +174,10 @@ def _surviving(starts, ends, uniq, prefix_live):
 
 # ------------------------------------------------- query-parallel kernel
 
-def kernel_blockmax(pdf: pd.DataFrame, codec, num_docs: int, avg_len: float, k: int, dtype):
-    """One query's grouped index rows -> top-k rows (RESULT_SCHEMA).
-    Requires a block-family codec (pef has no intra-list blocks)."""
-    from partitioned_ef_ans_spark.index import query as q
-
-    if codec.codec_name == "pef":
-        raise ValueError("blockmax requires a block-family codec")
-    qid = int(pdf["query_id"].iloc[0])
-    pdf = pdf.sort_values(["term", "chunk_id"])
-    bs = codec.block_size
-
+def _collect_per_term(pdf: pd.DataFrame, codec, avg_len: float) -> dict:
+    """Group rows -> per-term block metadata (payloads, norms, block
+    maxima/weights/starts, decode-cache keys) shared by the blockmax
+    and maxscore kernels."""
     per_term: dict[str, dict] = {}
     for row in pdf.itertuples(index=False):
         t = row.term
@@ -212,28 +205,51 @@ def kernel_blockmax(pdf: pd.DataFrame, codec, num_docs: int, avg_len: float, k: 
             (codec.tag, t, int(row.chunk_id), int(row.n),
              int(row.first_doc), int(row.last_doc))
         )
+    return per_term
 
-    weights = {
-        t: q._q_weight(d["qtf"], d["df"], num_docs, dtype)
-        for t, d in per_term.items()
-    }
 
-    # 1. tau from the strongest list (deterministic tie-break by term).
-    #    Full decode of that one list, through the worker decode cache.
+def _tau_from_strongest(
+    pdf: pd.DataFrame, per_term: dict, weights: dict, codec,
+    avg_len: float, k: int, dtype,
+):
+    """tau = (k-th best single-term score of the strongest list) -
+    margin — a valid lower bound on the k-th best final score.  Full
+    decode of that one list, through the worker decode cache."""
+    from partitioned_ef_ans_spark.index import query as q
+
     strongest = max(
         sorted(per_term),
         key=lambda t: float(weights[t])
         * max(float(b.max()) for b in per_term[t]["bw"] if len(b)),
     )
-    d0 = per_term[strongest]
     sub = pdf[pdf["term"] == strongest]
     lists0, norms0 = q._decode_group(sub, codec, avg_len)
     tws0 = q._term_weights(lists0, norms0, dtype, tag=codec.tag)
     s0 = (tws0[strongest] * dtype(weights[strongest])).astype(np.float64)
     if len(s0) > k:
-        tau = float(np.partition(s0, len(s0) - k)[len(s0) - k]) - TAU_MARGIN
-    else:
-        tau = -np.inf
+        return float(np.partition(s0, len(s0) - k)[len(s0) - k]) - TAU_MARGIN
+    return -np.inf
+
+
+def kernel_blockmax(pdf: pd.DataFrame, codec, num_docs: int, avg_len: float, k: int, dtype):
+    """One query's grouped index rows -> top-k rows (RESULT_SCHEMA).
+    Requires a block-family codec (pef has no intra-list blocks)."""
+    from partitioned_ef_ans_spark.index import query as q
+
+    if codec.codec_name == "pef":
+        raise ValueError("blockmax requires a block-family codec")
+    qid = int(pdf["query_id"].iloc[0])
+    pdf = pdf.sort_values(["term", "chunk_id"])
+    bs = codec.block_size
+
+    per_term = _collect_per_term(pdf, codec, avg_len)
+    weights = {
+        t: q._q_weight(d["qtf"], d["df"], num_docs, dtype)
+        for t, d in per_term.items()
+    }
+
+    # 1. threshold
+    tau = _tau_from_strongest(pdf, per_term, weights, codec, avg_len, k, dtype)
 
     # 2. sweep all terms' blocks
     all_starts = np.concatenate(
@@ -311,6 +327,156 @@ def kernel_blockmax(pdf: pd.DataFrame, codec, num_docs: int, avg_len: float, k: 
         idx = np.searchsorted(all_docs, docs)
         scores[idx] += w.astype(dtype)
     return q._topk_rows_np(scores, all_docs, qid, k)
+
+
+def _gather_term_blocks(d: dict, masks: list[np.ndarray], codec, bs: int):
+    """One term's chunks + per-chunk block masks -> (docs, freqs,
+    norm-slices) of the selected blocks, concatenated in chunk order;
+    hot chunks are SLICED from the worker decode cache, cold ones go
+    through one batched decode_selected call."""
+    from partitioned_ef_ans_spark.index import query as q
+
+    parts: dict[int, tuple] = {}
+    payloads, pmasks, order = [], [], []
+    for ci in range(len(d["payloads"])):
+        sel = np.flatnonzero(np.asarray(masks[ci], dtype=bool))
+        if not len(sel):
+            continue
+        nrm = d["norms"][ci]
+        n_chunk = len(nrm)
+        cached = q._LIST_CACHE.get(d["keys"][ci])
+        if cached is not None:
+            starts_pos = sel * bs
+            lens = np.minimum((sel + 1) * bs, n_chunk) - starts_pos
+            idx = ragged_ranges(starts_pos, lens)
+            parts[ci] = (cached[0][idx], cached[1][idx], nrm[idx])
+        else:
+            payloads.append(bytes(d["payloads"][ci]))
+            pmasks.append(masks[ci])
+            order.append(ci)
+    if payloads:
+        for ci, (docs, freqs, sel) in zip(
+            order, decode_selected(payloads, pmasks, codec)
+        ):
+            if not len(docs):
+                continue
+            nrm = d["norms"][ci]
+            starts_pos = sel * bs
+            lens = np.minimum((sel + 1) * bs, len(nrm)) - starts_pos
+            parts[ci] = (docs, freqs, nrm[ragged_ranges(starts_pos, lens)])
+    if not parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, np.empty(0, dtype=np.float64)
+    cis = sorted(parts)
+    return (
+        np.concatenate([parts[c][0] for c in cis]),
+        np.concatenate([parts[c][1] for c in cis]),
+        np.concatenate([parts[c][2] for c in cis]),
+    )
+
+
+def kernel_maxscore_blockmax(
+    pdf: pd.DataFrame, codec, num_docs: int, avg_len: float, k: int, dtype
+):
+    """Vectorized MaxScore with block-selective decode — the
+    essential/non-essential split of queries.hpp:478-587 re-expressed
+    over block metadata:
+
+    1. terms sort by inflated list upper bound ub_t = qw * max block
+       weight, ascending; prefix sums ``cum``.  Lists in the longest
+       prefix with cum <= tau are NON-ESSENTIAL: a doc appearing only
+       there is bounded by cum < tau and never materializes.
+    2. essential lists decode fully (worker cache) and seed the
+       candidate set with their exact partial scores.
+    3. non-essential lists probe best-first: candidates whose exact-so-
+       far + remaining prefix bound falls below tau drop; surviving
+       candidates pull ONLY the blocks that contain one of them
+       (searchsorted against block ranges, decode_selected).
+    4. final scores re-accumulate per-term contributions in sorted term
+       order — bit-identical arithmetic to ranked_or, so results are
+       rank-identical to the oracle (same tau/margin argument as
+       kernel_blockmax).
+    """
+    from partitioned_ef_ans_spark.index import query as q
+
+    if codec.codec_name == "pef":
+        raise ValueError("maxscore_blockmax requires a block-family codec")
+    qid = int(pdf["query_id"].iloc[0])
+    pdf = pdf.sort_values(["term", "chunk_id"])
+    bs = codec.block_size
+
+    per_term = _collect_per_term(pdf, codec, avg_len)
+    weights = {
+        t: q._q_weight(d["qtf"], d["df"], num_docs, dtype)
+        for t, d in per_term.items()
+    }
+    tau = _tau_from_strongest(pdf, per_term, weights, codec, avg_len, k, dtype)
+
+    ub_t = {
+        t: float(
+            _inflate(
+                float(weights[t])
+                * max(float(b.max()) for b in per_term[t]["bw"] if len(b))
+            )
+        )
+        for t in per_term
+    }
+    order = sorted(per_term, key=lambda t: (ub_t[t], t))
+    cum = np.cumsum([ub_t[t] for t in order])
+    first_ess = 0
+    while first_ess < len(order) and cum[first_ess] <= tau:
+        first_ess += 1
+    essential = order[first_ess:]
+
+    sub = pdf[pdf["term"].isin(essential)]
+    lists_e, norms_e = q._decode_group(sub, codec, avg_len)
+    tws_e = q._term_weights(lists_e, norms_e, dtype, tag=codec.tag)
+    cand = np.unique(np.concatenate([lists_e[t][0] for t in essential]))
+    acc = np.zeros(len(cand), dtype=np.float64)  # exact-so-far, bounds only
+    contribs: dict[str, tuple] = {}
+    for t in essential:
+        docs, _ = lists_e[t]
+        w = tws_e[t] * dtype(weights[t])
+        contribs[t] = (docs, w)
+        acc[np.searchsorted(cand, docs)] += w.astype(np.float64)
+
+    for j in range(first_ess - 1, -1, -1):
+        t = order[j]
+        keep = acc + cum[j] >= tau
+        cand, acc = cand[keep], acc[keep]
+        if not len(cand):
+            break
+        d = per_term[t]
+        masks = [
+            (
+                np.searchsorted(cand, d["bm"][ci], side="right")
+                - np.searchsorted(cand, d["starts"][ci], side="left")
+            )
+            > 0
+            for ci in range(len(d["payloads"]))
+        ]
+        docs, freqs, nsl = _gather_term_blocks(d, masks, codec, bs)
+        if not len(docs):
+            continue
+        pos = np.searchsorted(cand, docs)
+        ok = pos < len(cand)
+        hit = np.zeros(len(docs), dtype=bool)
+        hit[ok] = cand[pos[ok]] == docs[ok]
+        w = (q._doc_weights(freqs, nsl, dtype) * dtype(weights[t]))[hit]
+        contribs[t] = (docs[hit], w)
+        acc[pos[hit]] += w.astype(np.float64)
+
+    if not len(cand):
+        return q._topk_rows([], qid, k)
+    scores = np.zeros(len(cand), dtype=dtype)
+    for t in sorted(contribs):
+        docs, w = contribs[t]
+        pos = np.searchsorted(cand, docs)
+        ok = pos < len(cand)
+        hit = np.zeros(len(docs), dtype=bool)
+        hit[ok] = cand[pos[ok]] == docs[ok]
+        scores[pos[hit]] += w[hit].astype(dtype)
+    return q._topk_rows_np(scores, cand, qid, k)
 
 
 # -------------------------------------------- doc-partitioned execution

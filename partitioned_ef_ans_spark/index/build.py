@@ -129,14 +129,83 @@ def _count_batches_packed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         )
 
 
-def train_ans_packed_models(postings: DataFrame):
-    """Pass 1 + freeze for the ans_packed family: partial per-magnitude
-    count grids (tiny: 16x33) merge by sum, max_value by max."""
+#: fan-in of the executor-side merge level: the driver collects at most
+#: 2 x this many rows no matter how many input partitions (tasks) the
+#: count pass ran with — at 100 TB (10^5-10^6 tasks) a flat collect of
+#: per-partition partials would bottleneck the driver
+_MERGE_FANIN = 8
+
+
+def _merge_sparse_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Executor-side merge of sparse (idx, count) partials: same wire
+    format in and out, so the driver-side freeze loop is unchanged."""
+    idxs: dict[str, list] = {"docs": [], "freqs": []}
+    vals: dict[str, list] = {"docs": [], "freqs": []}
+    saw = False
+    for pdf in batches:
+        for stream, blob in zip(pdf["stream"], pdf["counts"]):
+            flat = np.frombuffer(blob, dtype=np.int64)
+            h = len(flat) // 2
+            idxs[stream].append(flat[:h])
+            vals[stream].append(flat[h:])
+            saw = True
+    if not saw:
+        return
+    rows = []
+    for stream in ("docs", "freqs"):
+        if not idxs[stream]:
+            continue
+        i = np.concatenate(idxs[stream])
+        v = np.concatenate(vals[stream])
+        ui, inv = np.unique(i, return_inverse=True)
+        sv = np.zeros(len(ui), dtype=np.int64)
+        np.add.at(sv, inv, v)
+        rows.append(
+            {"stream": stream, "counts": np.concatenate([ui, sv]).tobytes()}
+        )
+    yield pd.DataFrame(rows)
+
+
+def _merge_packed_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Executor-side merge of ans_packed dense partials (sum counts,
+    max max_value); wire format preserved."""
     from partitioned_ef_ans_spark.codecs import ans_packed as ap
 
-    rows = postings.select("doc_ids", "freqs").mapInPandas(
-        _count_batches_packed, schema="stream string, counts binary"
-    ).collect()
+    ncells = ap.new_counts()[0].size
+    acc: dict[str, list] = {}
+    for pdf in batches:
+        for stream, blob in zip(pdf["stream"], pdf["counts"]):
+            flat = np.frombuffer(blob, dtype=np.int64)
+            c, mv = flat[:ncells].copy(), flat[ncells:].copy()
+            if stream not in acc:
+                acc[stream] = [c, mv]
+            else:
+                acc[stream][0] += c
+                np.maximum(acc[stream][1], mv, out=acc[stream][1])
+    if not acc:
+        return
+    yield pd.DataFrame(
+        [
+            {"stream": s, "counts": np.concatenate([c, mv]).tobytes()}
+            for s, (c, mv) in acc.items()
+        ]
+    )
+
+
+def train_ans_packed_models(postings: DataFrame):
+    """Pass 1 + freeze for the ans_packed family: partial per-magnitude
+    count grids (tiny: 16x33) merge by sum, max_value by max — two
+    levels (executor merge tasks, then a bounded driver collect)."""
+    from partitioned_ef_ans_spark.codecs import ans_packed as ap
+
+    rows = (
+        postings.select("doc_ids", "freqs")
+        .mapInPandas(_count_batches_packed, schema="stream string, counts binary")
+        .repartition(_MERGE_FANIN)
+        .mapInPandas(_merge_packed_partials, schema="stream string, counts binary")
+        .collect()
+    )
+    train_ans_packed_models.last_partials_collected = len(rows)
     cd, mvd = ap.new_counts()
     cf, mvf = ap.new_counts()
     ncells = cd.size
@@ -153,10 +222,24 @@ def train_ans_packed_models(postings: DataFrame):
 
 
 def train_ans_models(postings: DataFrame, variant: str = ans_msb.DEFAULT_VARIANT):
-    """Pass 1 + freeze: returns ((enc_d, dec_d), (enc_f, dec_f))."""
-    rows = postings.select("doc_ids", "freqs").mapInPandas(
-        _count_batches_factory(variant), schema="stream string, counts binary"
-    ).collect()
+    """Pass 1 + freeze: returns ((enc_d, dec_d), (enc_f, dec_f)).
+
+    Two-level aggregation: per-partition sparse partials merge on
+    executors (_MERGE_FANIN tasks) before a bounded driver collect —
+    the reference's single-node accumulation (create_freq_index.cpp
+    model pass) becomes a treeAggregate, not a driver fan-in."""
+    rows = (
+        postings.select("doc_ids", "freqs")
+        .mapInPandas(
+            _count_batches_factory(variant), schema="stream string, counts binary"
+        )
+        .repartition(_MERGE_FANIN)
+        .mapInPandas(_merge_sparse_partials, schema="stream string, counts binary")
+        .collect()
+    )
+    # bounded by construction: <= 2 * _MERGE_FANIN rows regardless of
+    # input partitioning (recorded in the build manifest)
+    train_ans_models.last_partials_collected = len(rows)
     cd = ans_msb.new_counts(variant)
     cf = ans_msb.new_counts(variant)
     for r in rows:
@@ -344,10 +427,13 @@ def build_index(
     postings = postings.cache()
 
     models = None
+    partials_collected = 0
     if codec in ANS_CODEC_VARIANTS:
         models = train_ans_models(postings, variant=ANS_CODEC_VARIANTS[codec])
+        partials_collected = train_ans_models.last_partials_collected
     elif codec == "ans_packed":
         models = train_ans_packed_models(postings)
+        partials_collected = train_ans_packed_models.last_partials_collected
     t_model = time.perf_counter()
 
     sc = spark.sparkContext
@@ -437,6 +523,9 @@ def build_index(
         "build_sec": t_enc - t0,
         "postings_per_sec": total_postings / (t_enc - t0) if t_enc > t0 else 0.0,
         "chunk_postings": chunk_postings,
+        # driver fan-in of the model pass (two-level tree aggregation:
+        # bounded at 2 x _MERGE_FANIN rows at ANY input partitioning)
+        "model_partials_collected": partials_collected,
     }
     if partition_stats is not None:
         metrics["partition_stats"] = partition_stats

@@ -76,6 +76,17 @@ def build_index_resumable(
     ckpt_path = f"{out_dir}/checkpoints.jsonl"
     t0 = time.perf_counter()
 
+    # staging written by a pre-doc_lens version of this module cannot
+    # be resumed (the encode pass unpacks chunk-local doc_lens):
+    # invalidate it and its checkpoints instead of failing mid-encode
+    if os.path.exists(f"{staging}/_SUCCESS"):
+        if "doc_lens" not in spark.read.parquet(staging).columns:
+            import shutil
+
+            shutil.rmtree(staging)
+            if os.path.exists(ckpt_path):
+                os.remove(ckpt_path)
+
     # ---- stage 1: postings + stats + models (idempotent)
     if not os.path.exists(f"{staging}/_SUCCESS"):
         tokens = tokenize(corpus_docs, doc_col=doc_col, text_col=text_col)
@@ -109,13 +120,14 @@ def build_index_resumable(
     if not os.path.exists(models_path):
         import pickle
 
-        models = (
-            b_mod.train_ans_models(
+        if codec in b_mod.ANS_CODEC_VARIANTS:
+            models = b_mod.train_ans_models(
                 staged, variant=b_mod.ANS_CODEC_VARIANTS[codec]
             )
-            if codec in b_mod.ANS_CODEC_VARIANTS
-            else None
-        )
+        elif codec == "ans_packed":
+            models = b_mod.train_ans_packed_models(staged)
+        else:
+            models = None
         with open(models_path, "wb") as fh:
             pickle.dump({"codec": codec, "models": models}, fh)
     else:

@@ -410,12 +410,17 @@ def make_ranked_kernel(codec_bc, num_docs, avg_len, k, mode, dtype_name="float64
         qid = int(pdf["query_id"].iloc[0])
         n_terms = int(pdf["n_terms"].iloc[0])
         codec = codec_bc.value
-        if mode == "blockmax":
-            # decodes selectively itself — whole blocks are pruned
+        if mode in ("blockmax", "maxscore_blockmax"):
+            # decode selectively themselves — whole blocks are pruned
             # via block_max_weights before any payload is touched
             from partitioned_ef_ans_spark.index import blockmax as bmx
 
-            return bmx.kernel_blockmax(pdf, codec, num_docs, avg_len, k, dtype)
+            fn = (
+                bmx.kernel_blockmax
+                if mode == "blockmax"
+                else bmx.kernel_maxscore_blockmax
+            )
+            return fn(pdf, codec, num_docs, avg_len, k, dtype)
         lists, norms = _decode_group(pdf, codec, avg_len)
         tws = _term_weights(lists, norms, dtype, tag=codec.tag)
         per_term = pdf.drop_duplicates("term").set_index("term")
@@ -533,14 +538,23 @@ def run_ranked(
     codec,
     num_docs: int,
     avg_len: float,
-    mode: str = "wand",
+    mode: str = "blockmax",
     k: int = 10,
     dtype: str = "float64",
     term_stats_df: DataFrame | None = None,
 ) -> DataFrame:
+    """All modes are rank-identical; ``blockmax`` (vectorized block-max
+    WAND, index/blockmax.py) is the default/production path — 3-4x the
+    faithful per-posting ``wand``/``maxscore`` walks, which stay
+    selectable as reference-fidelity modes.  EF-family codecs have no
+    intra-list blocks, so the block-selective modes fall back to the
+    vectorized ``taat`` pruned kernel (same pruning power, whole-list
+    decode)."""
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
+    if mode in ("blockmax", "maxscore_blockmax") and codec.docs is None:
+        mode = "taat"
     sc = spark.sparkContext
     codec_bc = sc.broadcast(codec)
     joined = query_lists_df(index_df, queries_df, term_stats_df)

@@ -199,8 +199,20 @@ def _kind_factory(codec_bc):
 
 
 def ans_decode_kind_stats(spark, index_df: DataFrame, codec) -> pd.DataFrame:
-    """Per-kind decode counters for an ANS-family index (A11)."""
+    """Per-kind decode counters for an ANS-family index (A11).
+
+    Only the ans_msb codec family has the header formats _kind_factory
+    parses; ans_packed (different per-block header) and the non-ANS
+    block codecs would be silently misparsed, so reject them loudly.
+    """
+    from partitioned_ef_ans_spark.index.build import ANS_CODEC_VARIANTS
     from partitioned_ef_ans_spark.session import ship_package
+
+    if getattr(codec, "codec_name", None) not in ANS_CODEC_VARIANTS:
+        raise ValueError(
+            "ans_decode_kind_stats requires an ans_msb-family codec, got "
+            f"{getattr(codec, 'codec_name', codec)!r}"
+        )
 
     ship_package(spark)
     codec_bc = spark.sparkContext.broadcast(codec)

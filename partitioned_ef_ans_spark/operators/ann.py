@@ -65,8 +65,29 @@ def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def auto_n_centroids(
+    n: int, max_bucket: int = 1 << 14, lo: int = 8, hi: int = 1 << 16
+) -> int:
+    """Data-driven centroid count: ~sqrt(n) (the classic IVF sizing,
+    giving ~sqrt(n)-sized buckets), raised further if buckets would
+    still exceed ``max_bucket`` vectors.  A constant count is a skew
+    magnet at scale: a bucket join keyed on 8 values concentrates the
+    whole table on 8 reducers.  With sqrt scaling both the number of
+    join keys and the per-key payload grow as sqrt(n), so the bucketed
+    join stays balanced as the table grows 100x.  Residual hot buckets
+    (dense regions) are handled by AQE skew-join splitting (enabled in
+    session.py); for static planning, salt the bucket id with
+    ``pmod(hash(vec_id), s)`` and replicate the probe side s ways."""
+    import math
+
+    if n <= 0:
+        return lo
+    want = max(math.isqrt(n), -(-n // max_bucket))
+    return max(lo, min(hi, want))
+
+
 def kmeans_centroids(
-    embeddings: DataFrame, n_centroids: int = 8, iters: int = 2
+    embeddings: DataFrame, n_centroids: int | None = None, iters: int = 2
 ) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding column:
     init = the first ``n_centroids`` vec_ids, assignment by rounded
@@ -86,6 +107,8 @@ def kmeans_centroids(
     def _materialize(df: DataFrame) -> DataFrame:
         return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(embeddings.count())
     cent = _materialize(
         embeddings.where(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cent_id"),
@@ -133,7 +156,7 @@ def kmeans_centroids(
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
@@ -150,6 +173,8 @@ def ivf_topk(
     if centroids is not None:
         cent = centroids.select("cent_id", "cvec")
     else:
+        if n_centroids is None:
+            n_centroids = auto_n_centroids(embeddings.count())
         cent = embeddings.where(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
         )
@@ -166,11 +191,15 @@ def ivf_topk(
     wassign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
     ranked = sim.withColumn("crank", F.row_number().over(wassign))
     assign = ranked.where(F.col("crank") == 1).select(
-        "vec_id", "embedding", F.col("cent_id").alias("bucket")
+        "vec_id", F.col("cent_id").alias("bucket")
     )
     probes = ranked.where(F.col("crank") <= nprobe).select(
         "vec_id", F.col("cent_id").alias("bucket")
     )
+    # dedup on the ID PAIR only (a pair probed via several shared
+    # buckets must score once), then re-join the embeddings: hauling
+    # the vector payload through the distinct's exchange would ship
+    # dim x 4 bytes per candidate copy for no reason
     cand = (
         probes.alias("q")
         .join(assign.alias("t"), "bucket")
@@ -178,12 +207,14 @@ def ivf_topk(
         .select(
             F.col("q.vec_id").alias("vec_id"),
             F.col("t.vec_id").alias("neighbor"),
-            F.col("t.embedding").alias("temb"),
         )
         .distinct()
     )
+    temb = embeddings.select(
+        F.col("vec_id").alias("neighbor"), F.col("embedding").alias("temb")
+    )
     qemb = embeddings.select(F.col("vec_id"), F.col("embedding").alias("qemb"))
-    scored = cand.join(qemb, "vec_id").select(
+    scored = cand.join(temb, "neighbor").join(qemb, "vec_id").select(
         "vec_id",
         "neighbor",
         F.round(

@@ -191,28 +191,26 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
 EMB_NEARDUP_THRESHOLD = 0.4
 
 
-def embedding_neardup_bucketed(
+def bucketed_candidate_pairs(
     embeddings: DataFrame,
     threshold: float = EMB_NEARDUP_THRESHOLD,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     iters: int = 2,
 ) -> DataFrame:
-    """EXACT cosine-threshold self-join without the all-pairs cross
-    join — the 100 TB shape for embedding near-dup.
+    """(vec_a, vec_b, ea, eb) candidate pairs of the bucketed near-dup
+    join — the pruning stage of :func:`embedding_neardup_bucketed`,
+    exposed so tests can assert the candidate count stays far below
+    n^2 (the whole point of the bucketing).
 
-    Vectors bucket to their nearest k-means centroid; each bucket
-    keeps its angular radius r_b = max angle(v, c_b).  By the
-    spherical triangle inequality, angle(a, b) >= angle(c_a, c_b) -
-    r_a - r_b, so a bucket PAIR can only contain pairs with
-    cos >= threshold when angle(c_a, c_b) <= arccos(threshold) +
-    r_a + r_b (+1e-9 ulp margin keeps the bound admissible).  Only
-    surviving bucket pairs join — with tight clusters that's O(sum of
-    co-bucket sizes), never O(n^2) — and the survivors get the exact
-    cosine, so the OUTPUT IS IDENTICAL to the brute-force
-    :func:`embedding_neardup_pairs` (same DuckDB oracle, no recall
-    loss; completeness is proved by the inequality, checked by the
-    gate hash).
-    """
+    Vectors bucket to their nearest k-means centroid (count data-driven
+    via ann.auto_n_centroids unless pinned); each bucket keeps its
+    angular radius r_b = max angle(v, c_b).  By the spherical triangle
+    inequality, angle(a, b) >= angle(c_a, c_b) - r_a - r_b, so a
+    bucket PAIR can only contain pairs with cos >= threshold when
+    angle(c_a, c_b) <= arccos(threshold) + r_a + r_b (+1e-9 ulp margin
+    keeps the bound admissible).  Only surviving bucket pairs join —
+    with tight clusters that's O(sum of co-bucket sizes), never
+    O(n^2)."""
     from partitioned_ef_ans_spark.operators.ann import kmeans_centroids
 
     cent = kmeans_centroids(embeddings, n_centroids=n_centroids, iters=iters)
@@ -244,8 +242,12 @@ def embedding_neardup_bucketed(
         .where(F.col("r") == 1)
         .select("vec_id", "embedding", F.col("cent_id").alias("bucket"), "csim")
     )
+    # csim is rounded to 6 decimals, so the true cosine can be up to
+    # 5e-7 ABOVE the stored value (round-up would otherwise shrink the
+    # radius, e.g. true cos 0.9999995 -> 1.000000 -> radius 0) — widen
+    # by the rounding bound before acos so the radius stays admissible
     radii = assign.groupBy("bucket").agg(
-        F.acos(clip(F.min("csim"))).alias("radius")
+        F.acos(clip(F.min("csim") - F.lit(5e-7))).alias("radius")
     )
     ca, cb = cent.alias("ca"), cent.alias("cb")
     dot_cc = F.aggregate(
@@ -285,12 +287,33 @@ def embedding_neardup_bucketed(
     b = assign.select(F.col("vec_id").alias("vec_b"),
                       F.col("embedding").alias("eb"),
                       F.col("bucket").alias("bb"))
-    cand = (
+    return (
         a.join(F.broadcast(both), "ba")
         .join(b, "bb")
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", "ea", "eb")
     )
+
+
+def embedding_neardup_bucketed(
+    embeddings: DataFrame,
+    threshold: float = EMB_NEARDUP_THRESHOLD,
+    n_centroids: int | None = None,
+    iters: int = 2,
+) -> DataFrame:
+    """EXACT cosine-threshold self-join without the all-pairs cross
+    join — the 100 TB shape for embedding near-dup: candidates from
+    :func:`bucketed_candidate_pairs` (triangle-inequality bucket-pair
+    pruning, provably complete), then the exact cosine filter.  The
+    OUTPUT IS IDENTICAL to the brute-force
+    :func:`embedding_neardup_pairs` (same DuckDB oracle, no recall
+    loss; completeness proved by the inequality, checked by the gate
+    hash)."""
+    cand = bucketed_candidate_pairs(embeddings, threshold, n_centroids, iters)
+    return _score_candidate_pairs(cand, threshold)
+
+
+def _score_candidate_pairs(cand: DataFrame, threshold: float) -> DataFrame:
     dot_ab = F.aggregate(
         F.zip_with(F.col("ea"), F.col("eb"),
                    lambda x, y: x.cast("double") * y.cast("double")),

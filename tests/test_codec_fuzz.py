@@ -86,6 +86,30 @@ def test_fuzz_vbyte(vals):
 
 
 @settings(max_examples=30, deadline=None)
+@given(posting_list(max_n=400, max_universe=1 << 31))
+def test_fuzz_optpfor_roundtrip(pl):
+    from partitioned_ef_ans_spark.codecs.optpfor import OptPForCodec
+
+    docs, freqs, _ = pl
+    payloads = blocks.write_lists([docs], [freqs], OptPForCodec())
+    (d2, f2), = blocks.decode_lists(payloads, OptPForCodec())
+    np.testing.assert_array_equal(d2, docs)
+    np.testing.assert_array_equal(f2, freqs)
+
+
+@settings(max_examples=30, deadline=None)
+@given(posting_list(max_n=400, max_universe=1 << 31))
+def test_fuzz_varintg8iu_roundtrip(pl):
+    from partitioned_ef_ans_spark.codecs.varintg8iu import VarintG8IUCodec
+
+    docs, freqs, _ = pl
+    payloads = blocks.write_lists([docs], [freqs], VarintG8IUCodec())
+    (d2, f2), = blocks.decode_lists(payloads, VarintG8IUCodec())
+    np.testing.assert_array_equal(d2, docs)
+    np.testing.assert_array_equal(f2, freqs)
+
+
+@settings(max_examples=30, deadline=None)
 @given(posting_list(max_n=300, max_universe=1 << 24))
 def test_fuzz_partitioned_sequence(pl):
     docs, _, universe = pl

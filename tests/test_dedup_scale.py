@@ -129,6 +129,53 @@ def test_bucketed_neardup_plan_is_bounded(spark):
     assert count_exchanges(df) <= 25
 
 
+def test_auto_n_centroids_scales_with_n():
+    """Centroid count must grow with the table (sqrt law + bucket-size
+    cap), never sit at a constant that turns the bucket join into an
+    8-reducer hotspot."""
+    from partitioned_ef_ans_spark.operators.ann import auto_n_centroids
+
+    assert auto_n_centroids(0) == 8
+    assert auto_n_centroids(100) == 10
+    assert auto_n_centroids(10_000) == 100
+    assert auto_n_centroids(1_000_000) == 1000
+    # bucket-size cap dominates at extreme n: 10^10 vectors / 2^14
+    # target bucket > sqrt(10^10)
+    assert auto_n_centroids(10**10) == min(1 << 16, -(-10**10 // (1 << 14)))
+    ns = [auto_n_centroids(10**e) for e in range(2, 11)]
+    assert ns == sorted(ns)
+
+
+def test_bucketed_candidates_far_below_n_squared(spark):
+    """n >= 10^4 clustered vectors: the data-driven bucketed near-dup
+    candidate count must be a tiny fraction of n^2/2 (the brute-force
+    pair count) — the scale claim, measured, not asserted in prose."""
+    import numpy as np
+
+    from partitioned_ef_ans_spark.operators.dedup import bucketed_candidate_pairs
+
+    rng = np.random.default_rng(7)
+    n_clusters, per_cluster, dim = 50, 200, 8
+    n = n_clusters * per_cluster  # 10_000
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # interleave clusters (vec i ~ cluster i % n_clusters): the
+    # deterministic k-means init takes the FIRST sqrt(n) vec_ids, which
+    # must see diverse seeds like a shuffled real table would
+    vecs = centers[np.arange(n) % n_clusters] + rng.normal(
+        scale=0.02, size=(n, dim)
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    cand = bucketed_candidate_pairs(emb, threshold=0.9).count()
+    assert cand > 0
+    assert cand < (n * (n - 1) // 2) * 0.05, (
+        f"{cand} candidate pairs is not 'far below' n^2/2 = {n*(n-1)//2}"
+    )
+
+
 def test_repetition_signals_edges_and_values(spark):
     from partitioned_ef_ans_spark.functions.text import repetition_signals
 

@@ -1,7 +1,8 @@
-"""Round-trip suites for the simple16 (K7) and interpolative (K4)
-block codecs, mirroring the reference's test strategy
-(test_block_codecs.cpp:9-35: random values, known-sum docs streams,
-unknown-sum freqs streams, short/partial blocks)."""
+"""Round-trip suites for the simple16 (K7), interpolative (K4),
+optpfor (K2) and varint-G8IU (K3) block codecs, mirroring the
+reference's test strategy (test_block_codecs.cpp:9-35: random values,
+known-sum docs streams, unknown-sum freqs streams, short/partial
+blocks)."""
 
 from __future__ import annotations
 
@@ -10,7 +11,9 @@ import pytest
 
 from partitioned_ef_ans_spark.codecs import blocks
 from partitioned_ef_ans_spark.codecs.interpolative import InterpolativeCodec
+from partitioned_ef_ans_spark.codecs.optpfor import OptPForCodec
 from partitioned_ef_ans_spark.codecs.simple16 import Simple16Codec
+from partitioned_ef_ans_spark.codecs.varintg8iu import VarintG8IUCodec
 
 
 def _list_cases(rng, num_docs=60000):
@@ -22,7 +25,10 @@ def _list_cases(rng, num_docs=60000):
     return cases
 
 
-@pytest.mark.parametrize("codec_cls", [Simple16Codec, InterpolativeCodec])
+@pytest.mark.parametrize(
+    "codec_cls",
+    [Simple16Codec, InterpolativeCodec, OptPForCodec, VarintG8IUCodec],
+)
 def test_list_roundtrip_through_block_layout(codec_cls):
     rng = np.random.default_rng(21)
     codec = codec_cls()
@@ -36,7 +42,9 @@ def test_list_roundtrip_through_block_layout(codec_cls):
         assert np.array_equal(f, ff)
 
 
-@pytest.mark.parametrize("name", ["simple16", "interpolative"])
+@pytest.mark.parametrize(
+    "name", ["simple16", "interpolative", "optpfor", "varintg8iu"]
+)
 def test_codec_registry(name):
     codec = blocks.CODECS[name]()
     assert codec.block_size == 128
@@ -59,6 +67,71 @@ def test_simple16_rejects_wide_values():
 
     with pytest.raises(ValueError):
         simple16.encode(np.array([1 << 28], dtype=np.uint64))
+
+
+def test_optpfor_exception_path():
+    """A few huge outliers among small values must take the exception
+    stream (small chosen b), and the payload must beat raw u32."""
+    from partitioned_ef_ans_spark.codecs import optpfor
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 8, 128, dtype=np.uint64)
+    vals[rng.choice(128, 6, replace=False)] = rng.integers(1 << 24, 1 << 31, 6)
+    payload = optpfor.encode_full_block(vals)
+    header = int.from_bytes(payload[:4], "little")
+    b = header >> 26
+    n_exc = (header >> 16) & 0x3FF
+    assert b <= 4 and n_exc >= 6
+    out, sizes = optpfor.decode_full_blocks(payload, np.array([0]))
+    assert np.array_equal(out[0].astype(np.uint64), vals)
+    assert sizes[0] == len(payload)
+    assert len(payload) < 128 * 4 / 3
+
+
+def test_optpfor_uniform_no_exceptions():
+    """Uniform-width values: b = max bitlen, zero exceptions."""
+    from partitioned_ef_ans_spark.codecs import optpfor
+
+    vals = np.arange(100, 228, dtype=np.uint64)  # all 7-8 bit
+    payload = optpfor.encode_full_block(vals)
+    header = int.from_bytes(payload[:4], "little")
+    assert (header >> 16) & 0x3FF == 0  # no exceptions
+    out, _ = optpfor.decode_full_blocks(payload, np.array([0]))
+    assert np.array_equal(out[0].astype(np.uint64), vals)
+
+
+def test_varintg8iu_group_shape():
+    """The stream is whole 9-byte groups; 1-byte values pack 8 per
+    group, 4-byte values pack 2 per group."""
+    from partitioned_ef_ans_spark.codecs import varintg8iu
+
+    small = np.arange(128, dtype=np.uint64)  # 1 byte each -> 16 groups
+    p = varintg8iu.encode_full_block(small)
+    assert len(p) == 16 * 9
+    big = np.full(128, (1 << 31) + 5, dtype=np.uint64)  # 4 bytes -> 2/group
+    p2 = varintg8iu.encode_full_block(big)
+    assert len(p2) == 64 * 9
+    for payload, vals in ((p, small), (p2, big)):
+        out, sizes = varintg8iu.decode_full_blocks(payload, np.array([0]))
+        assert np.array_equal(out[0].astype(np.uint64), vals)
+        assert sizes[0] == len(payload)
+
+
+def test_varintg8iu_incomplete_unit_padding():
+    """A value that would straddle the 8-byte boundary starts the next
+    group (the IU in G8IU); mixed widths still round-trip."""
+    from partitioned_ef_ans_spark.codecs import varintg8iu
+
+    # 7 x 1-byte then a 3-byte value: the 3-byte value cannot fit the
+    # 1 remaining data byte, so group 1 holds 7 values + 1 pad byte
+    vals = np.concatenate(
+        [np.arange(7), [1 << 20], np.arange(120)]
+    ).astype(np.uint64)
+    p = varintg8iu.encode_full_block(vals)
+    desc0 = p[0]
+    assert bin(desc0).count("1") == 7  # 7 values end in group 0
+    out, _ = varintg8iu.decode_full_blocks(p, np.array([0]))
+    assert np.array_equal(out[0].astype(np.uint64), vals)
 
 
 def test_interpolative_clustered_beats_u32():

@@ -43,7 +43,8 @@ def test_ivf_recall_vs_bruteforce(spark, sf_small):
         (r["vec_id"], r["neighbor"]) for r in cosine_topk(emb, k=5).collect()
     }
     approx = {
-        (r["vec_id"], r["neighbor"]) for r in ivf_topk(emb, k=5).collect()
+        (r["vec_id"], r["neighbor"])
+        for r in ivf_topk(emb, k=5, n_centroids=8).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, recall  # IVF with nprobe=2/8 on weak clusters
