@@ -265,9 +265,51 @@ def latency_mode():
     print(json.dumps(out))
 
 
+def codecs_mode():
+    """`bench.py --codecs`: build every index family on the same corpus
+    and report bits/posting + build seconds side by side (the
+    reference's experiments_space_wsdm.sh space comparison)."""
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.session import get_spark
+
+    sf = os.environ.get("PEFA_CODECS_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    fams = (
+        "ans", "ans_max1d", "ans_minmax2d", "ans_med90p2d", "ans_med90p2dm",
+        "ans_packed", "pef", "ef", "single", "uniform",
+        "optpfor", "varintg8iu", "simple16", "interpolative", "vbyte", "u32",
+    )
+    out = {"metric": "bits_per_posting_by_codec", "unit": "bits",
+           "sf": sf, "queries": {}}
+    for codec in fams:
+        d = f"/dev/shm/pefa_codecs_{os.getpid()}_{codec}"
+        m = b_mod.build_index(
+            spark, docs, d, codec=codec, chunk_postings=1 << 16
+        )
+        out["queries"][codec] = {
+            "bits_per_posting": round(m["bits_per_posting"], 3),
+            "build_sec": round(m["build_sec"], 2),
+            "payload_bytes": m["payload_bytes"],
+        }
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+    out["value"] = out["queries"]["ans"]["bits_per_posting"]
+    out["total_postings"] = m["total_postings"]
+    spark.stop()
+    print(json.dumps(out))
+
+
 def main():
     if "--latency" in sys.argv:
         latency_mode()
+        return
+    if "--codecs" in sys.argv:
+        codecs_mode()
         return
     if "--scaling" in sys.argv:
         # N -> 4N parallelism on identical input.  The pair is (2, 8):

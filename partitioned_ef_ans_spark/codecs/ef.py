@@ -17,10 +17,13 @@ formulas:
 Bit conventions follow succinct::bit_vector (LSB-first within 64-bit
 words); γ/δ codes follow integer_codes.hpp.  All ``bitsize`` formulas —
 including the sampled-pointer areas — are reproduced exactly, so
-partition decisions and bits-per-posting match the reference.  One
-documented divergence: the pointer areas are allocated but left zero;
-our decoders reconstruct whole sequences vectorized (Arrow-batch
-execution) instead of using skip pointers (SURVEY.md §4).
+partition decisions and bits-per-posting match the reference.  The
+pointer areas are POPULATED at write time (0-pointers = sampled zero
+positions, 1-pointers = sampled one positions) and power the lazy
+``ef_next_geq``/``ef_select`` enumerator operations (Q12,
+compact_elias_fano.hpp:264-335); the batch decode path still
+reconstructs whole sequences vectorized (Arrow-batch execution wins
+there, SURVEY.md §4).
 
 Knobs (global_parameters.hpp:6-13, configuration.hpp:28-31):
 ef_log_sampling0=9, ef_log_sampling1=8, rb_log_rank1_sampling=9,
@@ -296,8 +299,22 @@ def ef_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
         lows = v & ((1 << of.lower_bits) - 1)
         offs = of.lower_bits_offset + np.arange(n, dtype=np.int64) * of.lower_bits
         bw.set_bits_vec(offs, lows.astype(np.uint64), of.lower_bits)
-    # pointer areas reserved (sizes counted) but left zero — decoders
-    # are vectorized full-sequence (module docstring).
+    # skip pointers (compact_elias_fano.hpp:264-335 sampling):
+    # pointers0[i] = high-bits position of the ((i+1) << log_s0)-th
+    # zero (powers next_geq's jump to a high-value group), pointers1[i]
+    # = position of the ((i+1) << log_s1)-th one (powers select/move).
+    # Vectorized: the z-th zero sits at z - 1 + |{j : o_j - j < z}|.
+    if of.pointers0:
+        z = (np.arange(1, of.pointers0 + 1, dtype=np.int64)) << log_s0
+        zeros_before_one = high - np.arange(n)  # o_j - j, non-decreasing
+        r = np.searchsorted(zeros_before_one, z, side="left")
+        p0 = z - 1 + r
+        offs0 = of.pointers0_offset + np.arange(of.pointers0, dtype=np.int64) * of.pointer_size
+        bw.set_bits_vec(offs0, p0.astype(np.uint64), of.pointer_size)
+    if of.pointers1:
+        k = (np.arange(1, of.pointers1 + 1, dtype=np.int64) << log_s1) - 1
+        offs1 = of.pointers1_offset + np.arange(of.pointers1, dtype=np.int64) * of.pointer_size
+        bw.set_bits_vec(offs1, high[k].astype(np.uint64), of.pointer_size)
 
 
 def ef_decode(br: BitReader, base: int, universe: int, n: int,
@@ -312,6 +329,123 @@ def ef_decode(br: BitReader, base: int, universe: int, n: int,
     else:
         lows = np.zeros(n, dtype=np.int64)
     return (high << of.lower_bits) | lows
+
+
+def _ef_low(br: BitReader, of: EFOffsets, idx: int) -> int:
+    if not of.lower_bits:
+        return 0
+    return br.read_bits(
+        of.lower_bits_offset + idx * of.lower_bits, of.lower_bits
+    )
+
+
+def _scan_zeros(br: BitReader, of: EFOffsets, pos: int, zeros_seen: int, target: int) -> tuple[int, int]:
+    """Advance ``pos`` (relative to the high-bits area) until
+    ``target`` zeros have been consumed; returns (pos, zeros_seen) with
+    pos just past the target-th zero.  Word-at-a-time popcounts, so the
+    gap between two skip pointers (<= 2^log_s0 zeros) costs a handful
+    of 64-bit reads, not a per-bit loop."""
+    hb = of.higher_bits_offset
+    while zeros_seen < target and pos < of.higher_bits_length:
+        width = min(64, of.higher_bits_length - pos)
+        word = br.read_bits(hb + pos, width)
+        zw = width - int(word).bit_count()
+        if zeros_seen + zw < target:
+            zeros_seen += zw
+            pos += width
+            continue
+        # target zero is inside this word: bit scan
+        for b in range(width):
+            pos += 1
+            if not (word >> b) & 1:
+                zeros_seen += 1
+                if zeros_seen == target:
+                    return pos, zeros_seen
+        break
+    return pos, zeros_seen
+
+
+def ef_next_geq(br: BitReader, base: int, universe: int, n: int, lb: int,
+                log_s0=EF_LOG_SAMPLING0, log_s1=EF_LOG_SAMPLING1) -> tuple[int, int]:
+    """(index, value) of the first element >= ``lb`` WITHOUT decoding
+    the sequence — the reference enumerator's next_geq
+    (compact_elias_fano.hpp:264-335): jump close to the lb's high-bits
+    group via the sampled 0-pointers, scan to the group start, then
+    check at most the ones inside that group.  Returns (n, universe)
+    when exhausted.  This is the lazy skip behavior (Q12); the
+    vectorized whole-list ef_decode remains the batch path."""
+    of = ef_offsets(base, universe, n, log_s0, log_s1)
+    if lb <= 0:
+        return 0, int(ef_select(br, base, universe, n, 0, log_s0, log_s1))
+    if lb > universe:
+        return n, universe
+    h_lb = lb >> of.lower_bits
+    pos, zeros_seen = 0, 0
+    if h_lb > 0:
+        j = min(h_lb >> log_s0, of.pointers0)
+        if j > 0:
+            ptr = br.read_bits(
+                of.pointers0_offset + (j - 1) * of.pointer_size, of.pointer_size
+            )
+            pos, zeros_seen = ptr + 1, j << log_s0
+        pos, zeros_seen = _scan_zeros(br, of, pos, zeros_seen, h_lb)
+        if zeros_seen < h_lb:
+            return n, universe  # fewer than h_lb zeros -> all highs < h_lb
+    rank = pos - zeros_seen  # ones consumed so far = index of next value
+    hb = of.higher_bits_offset
+    while rank < n:
+        # next one from pos (chunked window scan)
+        width = min(256, of.higher_bits_length - pos)
+        if width <= 0:
+            break
+        ones = br.ones_in_window(hb + pos, width)
+        for o in ones:
+            q = pos + int(o)
+            high = q - (rank + 1)
+            val = (high << of.lower_bits) | _ef_low(br, of, rank)
+            if high > h_lb or val >= lb:
+                return rank, val
+            rank += 1
+            if rank == n:
+                return n, universe
+        pos += width
+    return n, universe
+
+
+def ef_select(br: BitReader, base: int, universe: int, n: int, i: int,
+              log_s0=EF_LOG_SAMPLING0, log_s1=EF_LOG_SAMPLING1) -> int:
+    """Value of the i-th element WITHOUT decoding the sequence: jump
+    via the sampled 1-pointers (move(i) of the reference enumerator),
+    then scan at most 2^log_s1 ones."""
+    of = ef_offsets(base, universe, n, log_s0, log_s1)
+    if not 0 <= i < n:
+        raise IndexError(i)
+    m = min((i + 1) >> log_s1, of.pointers1)
+    if m > 0:
+        ptr = int(
+            br.read_bits(
+                of.pointers1_offset + (m - 1) * of.pointer_size, of.pointer_size
+            )
+        )
+        ones_seen = m << log_s1  # ptr is the position of the ones_seen-th one
+        pos = ptr + 1
+        if ones_seen - 1 == i:
+            high = ptr - (i + 1)
+            return (high << of.lower_bits) | _ef_low(br, of, i)
+    else:
+        ones_seen, pos = 0, 0
+    hb = of.higher_bits_offset
+    while pos < of.higher_bits_length:
+        width = min(256, of.higher_bits_length - pos)
+        ones = br.ones_in_window(hb + pos, width)
+        for o in ones:
+            if ones_seen == i:
+                q = pos + int(o)
+                high = q - (i + 1)
+                return (high << of.lower_bits) | _ef_low(br, of, i)
+            ones_seen += 1
+        pos += width
+    raise ValueError("ef_select: ran out of ones")
 
 
 # -------------------------------------------------- compact ranked bitvector

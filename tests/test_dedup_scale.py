@@ -176,6 +176,24 @@ def test_bucketed_candidates_far_below_n_squared(spark):
     )
 
 
+def test_ivf_candidate_dedup_carries_no_vectors(spark):
+    """ivf_topk's candidate distinct must key on the id PAIR only —
+    hauling the embedding array through that exchange would ship the
+    vector payload once per duplicate candidate at scale."""
+    from partitioned_ef_ans_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = ivf_topk(emb, k=5, n_centroids=8)._jdf.queryExecution().optimizedPlan().toString()
+    # the distinct optimizes to a grouping Aggregate on the id pair
+    dedup_lines = [
+        l for l in plan.splitlines()
+        if "Aggregate [vec_id" in l or "Deduplicate" in l
+    ]
+    assert dedup_lines, f"expected the candidate distinct in the plan:\n{plan}"
+    for l in dedup_lines:
+        assert "emb" not in l, f"vector column inside the dedup keys: {l}"
+
+
 def test_repetition_signals_edges_and_values(spark):
     from partitioned_ef_ans_spark.functions.text import repetition_signals
 

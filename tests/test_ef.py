@@ -176,3 +176,56 @@ def test_uniform_partition_roundtrip():
     br = ef.BitReader(bw.tobytes())
     out, _ = ef.partitioned_decode(br, 0, 1 << 18, 1000)
     np.testing.assert_array_equal(out, vals)
+
+
+def test_ef_select_and_next_geq_pointer_guided():
+    """Q12: the sampled skip pointers are real behavior now — select(i)
+    and next_geq(lb) without whole-sequence decode, exact against the
+    decoded array at sizes that exercise BOTH pointer tables (n > 2^8
+    ones, > 2^9 zeros)."""
+    rng = np.random.default_rng(5)
+    for n, universe in ((1, 10), (300, 2000), (2000, 300000), (5000, 6000)):
+        vals = random_sorted(n, universe, rng)
+        bw = ef.BitWriter()
+        ef.ef_write(bw, vals, universe, n)
+        br = ef.BitReader(bw.tobytes())
+        np.testing.assert_array_equal(ef.ef_decode(br, 0, universe, n), vals)
+        for i in list(range(0, n, max(1, n // 37))) + [n - 1]:
+            assert ef.ef_select(br, 0, universe, n, i) == vals[i]
+        lbs = list(rng.integers(0, universe + 1, 150)) + [
+            0, int(vals[0]), int(vals[-1]), universe,
+        ]
+        for lb in lbs:
+            idx = int(np.searchsorted(vals, lb, side="left"))
+            want = (idx, int(vals[idx])) if idx < n else (n, universe)
+            assert ef.ef_next_geq(br, 0, universe, n, int(lb)) == want
+
+
+def test_ef_pointers_are_written():
+    """The pointer areas must contain the sampled positions (not the
+    zero padding of earlier rounds): check pointers1[m-1] is the
+    position of the (m<<log_s1)-th one and pointers0[j-1] the position
+    of the (j<<log_s0)-th zero."""
+    rng = np.random.default_rng(11)
+    n, universe = 3000, 400000
+    vals = random_sorted(n, universe, rng)
+    bw = ef.BitWriter()
+    ef.ef_write(bw, vals, universe, n)
+    br = ef.BitReader(bw.tobytes())
+    of = ef.ef_offsets(0, universe, n)
+    assert of.pointers0 > 0 and of.pointers1 > 0
+    bits = np.array(
+        [br.read_bits(of.higher_bits_offset + p, 1) for p in range(of.higher_bits_length)]
+    )
+    one_pos = np.flatnonzero(bits)
+    zero_pos = np.flatnonzero(bits == 0)
+    for m in range(1, of.pointers1 + 1):
+        got = br.read_bits(
+            of.pointers1_offset + (m - 1) * of.pointer_size, of.pointer_size
+        )
+        assert got == one_pos[(m << ef.EF_LOG_SAMPLING1) - 1]
+    for j in range(1, of.pointers0 + 1):
+        got = br.read_bits(
+            of.pointers0_offset + (j - 1) * of.pointer_size, of.pointer_size
+        )
+        assert got == zero_pos[(j << ef.EF_LOG_SAMPLING0) - 1]
