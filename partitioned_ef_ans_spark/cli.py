@@ -1,0 +1,377 @@
+"""spark-submit CLI — the reference's four executables, Spark-first.
+
+Mirrors the entry-point surface a partitioned_ef_ans user drives today
+(SURVEY.md §3):
+
+  create_freq_index <type> <corpus> <out> [--check]
+      create_freq_index.cpp:309-347 — build one of the 16 index types
+      over a corpus table; ``--check`` re-reads the frozen index and
+      verifies full decode equality (create_freq_index.cpp:15-62).
+  create_wand_data <index_dir> <out>
+      create_wand_data.cpp:25-29 — freeze the per-term WAND metadata.
+      (Our build already freezes term_stats.parquet; this re-derives it
+      from the frozen index alone, proving the sidecar reproducible.)
+  queries <index_dir> [--mode M] [-k K] [--runs R] < queries.tsv
+      queries.cpp:63-115 — run the timed top-k suite over stdin
+      queries; prints per-run wall/qps and (``--print-topk``) results.
+  transform_queries <corpus> < raw_queries.txt
+      transform_queries.cpp:49-198 — text queries to (stemmed-id,
+      unstemmed-id) lines with whole-query OOV drop.
+  package [--out pefa.zip]
+      writes the ``--py-files`` zip for cluster submission.
+
+Index type names accept BOTH the reference's QS_INDEX_TYPES spellings
+(index_types.hpp:57 — ``ef single uniform opt block_optpfor
+block_varint block_interpolative block_u32 block_vbyte block_simple16
+block_anspacked block_ansmsb block_ansmsbminmax block_ansmsbmed90p
+block_ansmsbmed90pmerged block_ansmsbmedmaxmerged``) and this engine's
+internal codec names.
+
+Cluster usage (north_rule packaging):
+
+    python -m partitioned_ef_ans_spark.cli package --out pefa.zip
+    spark-submit --master <cluster> --py-files pefa.zip \
+        partitioned_ef_ans_spark/cli.py create_freq_index \
+        block_ansmsbmedmaxmerged s3://corpus out_dir/
+
+Local smoke (identical code path — spark-submit only changes the
+master):  python -m partitioned_ef_ans_spark.cli ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+#: reference index-type name -> internal codec name (index_types.hpp)
+TYPE_MAP = {
+    "ef": "ef",
+    "single": "single",
+    "uniform": "uniform",
+    "opt": "pef",
+    "block_optpfor": "optpfor",
+    "block_varint": "varintg8iu",
+    "block_interpolative": "interpolative",
+    "block_u32": "u32",
+    "block_vbyte": "vbyte",
+    "block_simple16": "simple16",
+    "block_anspacked": "ans_packed",
+    "block_ansmsb": "ans_max1d",
+    "block_ansmsbminmax": "ans_minmax2d",
+    "block_ansmsbmed90p": "ans_med90p2d",
+    "block_ansmsbmed90pmerged": "ans_med90p2dm",
+    "block_ansmsbmedmaxmerged": "ans",
+}
+INTERNAL_CODECS = set(TYPE_MAP.values())
+
+
+def resolve_type(name: str) -> str:
+    if name in TYPE_MAP:
+        return TYPE_MAP[name]
+    if name in INTERNAL_CODECS:
+        return name
+    raise SystemExit(
+        f"unknown index type {name!r}; expected one of "
+        f"{sorted(TYPE_MAP)} or internal {sorted(INTERNAL_CODECS)}"
+    )
+
+
+def _spark(args):
+    from partitioned_ef_ans_spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _read_corpus(spark, path: str, args):
+    """Corpus parquet in either driver shape (doc_id, text) or the
+    Iceberg source-code shape (repo, path, commit, lang, content) —
+    the latter gets deterministic dense doc ids from (repo, path)
+    ordering (BASELINE input_hint)."""
+    from partitioned_ef_ans_spark import corpus as c_mod
+
+    df = spark.read.parquet(path)
+    cols = set(df.columns)
+    if {"doc_id", args.text_col} <= cols:
+        return df, "doc_id", args.text_col
+    if {"repo", "path", "content"} <= cols:
+        return c_mod.assign_doc_ids(df), "doc_id", "content"
+    if {"doc_id", "text"} <= cols:
+        return df, "doc_id", "text"
+    raise SystemExit(
+        f"corpus at {path} has columns {sorted(cols)}; need "
+        "(doc_id, text|content) or (repo, path, ..., content)"
+    )
+
+
+def cmd_create_freq_index(args) -> int:
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.tokenizer import term_frequencies, tokenize
+
+    codec = resolve_type(args.type)
+    spark = _spark(args)
+    docs, doc_col, text_col = _read_corpus(spark, args.corpus, args)
+    m = b_mod.build_index(
+        spark, docs, args.out, codec=codec,
+        doc_col=doc_col, text_col=text_col,
+        chunk_postings=args.chunk_postings,
+    )
+    # the reference's stats lines (create_freq_index.cpp:290-299)
+    print(f"{args.type} collection built in {m['build_sec']:.3f} seconds")
+    print(json.dumps({
+        "type": args.type, "codec": codec, "worker_threads": None,
+        "construction_time": m["build_sec"],
+        "construction_user_time": m["build_sec"],
+        "postings": m["total_postings"],
+        "bits_per_doc": None,
+        "bits_per_posting": m["bits_per_posting"],
+        "postings_per_sec": round(m["total_postings"] / m["build_sec"], 1),
+        "num_docs": m["num_docs"],
+    }))
+    rc = 0
+    if args.check:
+        # full verification pass (create_freq_index.cpp:15-62): decode
+        # the frozen index and diff against the relational truth
+        index_df, _stats, _ts, ixcodec, man = b_mod.load_index(spark, args.out)
+        truth = (
+            term_frequencies(tokenize(docs, doc_col=doc_col, text_col=text_col))
+            .select("term", "doc_id", F.col("tf").cast("long").alias("tf"))
+        )
+        decoded = _decode_flat(spark, index_df, ixcodec)
+        bad = decoded.exceptAll(truth).count() + truth.exceptAll(decoded).count()
+        n = truth.count()
+        if bad:
+            print(f"CHECK FAILED: {bad} mismatched postings", file=sys.stderr)
+            rc = 1
+        else:
+            print(f"check ok: {n} postings decode-identical")
+    spark.stop()
+    return rc
+
+
+def _decode_flat(spark, index_df, codec):
+    """(term, doc_id, tf) from the compressed chunks — the CLI-side
+    twin of gate._index_decode_flat_impl, operating on an arbitrary
+    already-built index directory."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from partitioned_ef_ans_spark.session import ship_package
+
+    ship_package(spark)
+    codec_bc = spark.sparkContext.broadcast(codec)
+
+    def decode_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        c = codec_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            decoded = c.decode_lists([bytes(p) for p in pdf["payload"]])
+            terms, docs, tfs = [], [], []
+            for term, (d, f) in zip(pdf["term"], decoded):
+                terms.extend([term] * len(d))
+                docs.append(np.asarray(d, dtype=np.int64))
+                tfs.append(np.asarray(f, dtype=np.int64))
+            if not terms:
+                continue
+            yield pd.DataFrame({
+                "term": terms,
+                "doc_id": np.concatenate(docs),
+                "tf": np.concatenate(tfs),
+            })
+
+    return index_df.select("term", "payload").mapInPandas(
+        decode_all, schema="term string, doc_id long, tf long"
+    )
+
+
+def cmd_create_wand_data(args) -> int:
+    """Re-derive the WAND sidecar from the frozen index ALONE (the
+    reference computes it from the collection + .sizes;
+    wand_data.hpp:18-54).  Our chunks carry doc_lens + per-chunk max
+    weights, so one vocabulary-sized aggregation reproduces
+    term_stats.parquet bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    index_df = spark.read.parquet(f"{args.index_dir}/index.parquet")
+    out = (
+        index_df.groupBy("term")
+        .agg(
+            F.first("df").alias("df"),
+            F.first("cf").alias("cf"),
+            F.first("num_chunks").alias("num_chunks"),
+            F.max("chunk_max_weight").alias("max_term_weight"),
+            F.sum("n").alias("postings"),
+            F.sum(F.length("payload")).alias("payload_bytes"),
+        )
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"wand data: {n} terms -> {args.out}")
+    spark.stop()
+    return 0
+
+
+def _read_query_lines(lines) -> list[tuple[int, list[str]]]:
+    """queries.tsv from stdin: ``qid<TAB>terms...`` or bare ``terms...``
+    (qid = line number), the reference's parse_query shape
+    (queries.hpp:15-28)."""
+    qs = []
+    for i, line in enumerate(lines):
+        line = line.strip()
+        if not line:
+            continue
+        if "\t" in line:
+            qid, rest = line.split("\t", 1)
+            qs.append((int(qid), rest.split()))
+        else:
+            qs.append((i, line.split()))
+    return qs
+
+
+def cmd_queries(args) -> int:
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    qs = _read_query_lines(sys.stdin)
+    if not qs:
+        print("no queries on stdin", file=sys.stderr)
+        return 1
+    spark = _spark(args)
+    index_df, _stats, term_stats, codec, man = b_mod.load_index(
+        spark, args.index_dir
+    )
+    index_df = index_df.cache()
+    index_df.count()  # warmup, like the reference's mmap warmup
+    qdf = queries_to_df(spark, qs).cache()
+    qdf.count()
+    for mode in args.mode.split(","):
+        for run in range(args.runs):
+            t0 = time.perf_counter()
+            res = q_mod.run_ranked(
+                spark, index_df, qdf, codec, man["num_docs"],
+                man["avg_doc_len"], mode=mode, k=args.k,
+                dtype="float32", term_stats_df=term_stats,
+            )
+            nrows = res.count()
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "mode": mode, "run": run, "queries": len(qs),
+                "results": nrows, "wall_sec": round(dt, 3),
+                "qps": round(len(qs) / dt, 1),
+            }))
+        if args.print_topk:
+            for r in res.orderBy("query_id", "rank").collect():
+                print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']}")
+    spark.stop()
+    return 0
+
+
+def cmd_transform_queries(args) -> int:
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark import tokenizer
+    from partitioned_ef_ans_spark.operators.dictionary import build_term_dictionary
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.operators.transform import (
+        stem_udf_df,
+        transform_queries,
+    )
+
+    raw = _read_query_lines(sys.stdin)
+    if not raw:
+        print("no queries on stdin", file=sys.stderr)
+        return 1
+    spark = _spark(args)
+    docs, doc_col, text_col = _read_corpus(spark, args.corpus, args)
+    tokens = tokenizer.tokenize(docs, doc_col=doc_col, text_col=text_col)
+    udict = build_term_dictionary(tokens)
+    sdict = build_term_dictionary(
+        stem_udf_df(tokens.select("term").distinct())
+        .select(F.col("stemmed").alias("term"))
+        .distinct()
+    )
+    out = transform_queries(queries_to_df(spark, raw), sdict, udict)
+    # the reference emits one stemmed-id line and one unstemmed-id
+    # line per surviving query (transform_queries.cpp:162-196)
+    for r in out.orderBy("query_id").collect():
+        print(" ".join(str(t) for t in r["term_ids"]))
+        print(" ".join(str(t) for t in r["uterm_ids"]))
+    spark.stop()
+    return 0
+
+
+def cmd_package(args) -> int:
+    import zipfile
+
+    pkg_dir = Path(__file__).resolve().parent
+    out = Path(args.out)
+    with zipfile.ZipFile(out, "w") as zf:
+        for f in sorted(pkg_dir.rglob("*.py")):
+            if "__pycache__" in f.parts:
+                continue
+            zf.write(f, f"partitioned_ef_ans_spark/{f.relative_to(pkg_dir)}")
+    print(f"wrote {out} ({out.stat().st_size} bytes) — pass via "
+          "spark-submit --py-files")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="partitioned_ef_ans_spark")
+    p.add_argument("--master", default=None,
+                   help="Spark master (default: local[$SPARK_GRAFT_CPUS])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("create_freq_index")
+    b.add_argument("type")
+    b.add_argument("corpus")
+    b.add_argument("out")
+    b.add_argument("--check", action="store_true")
+    b.add_argument("--chunk-postings", type=int, default=1 << 16)
+    b.add_argument("--text-col", default="text")
+    b.set_defaults(fn=cmd_create_freq_index)
+
+    w = sub.add_parser("create_wand_data")
+    w.add_argument("index_dir")
+    w.add_argument("out")
+    w.set_defaults(fn=cmd_create_wand_data)
+
+    q = sub.add_parser("queries")
+    q.add_argument("index_dir")
+    q.add_argument("--mode", default="blockmax",
+                   help="comma-separated run_ranked modes")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--runs", type=int, default=1)
+    q.add_argument("--print-topk", action="store_true")
+    q.set_defaults(fn=cmd_queries)
+
+    t = sub.add_parser("transform_queries")
+    t.add_argument("corpus")
+    t.add_argument("--text-col", default="text")
+    t.set_defaults(fn=cmd_transform_queries)
+
+    z = sub.add_parser("package")
+    z.add_argument("--out", default="pefa.zip")
+    z.set_defaults(fn=cmd_package)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    raise SystemExit(main())

@@ -1,0 +1,117 @@
+"""CLI surface parity (SURVEY.md §3): the reference's four
+executables driven end-to-end through subprocesses, exactly the way a
+spark-submit user would run them."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+ENV = {**os.environ, "SPARK_GRAFT_CPUS": "4", "PYTHONPATH": REPO}
+
+
+def run_cli(*args, stdin=None, timeout=420):
+    r = subprocess.run(
+        [sys.executable, "-m", "partitioned_ef_ans_spark.cli", *args],
+        input=stdin, capture_output=True, text=True, cwd=REPO, env=ENV,
+        timeout=timeout,
+    )
+    assert r.returncode == 0, f"cli {args} failed:\n{r.stdout}\n{r.stderr}"
+    return r.stdout
+
+
+def test_type_map_covers_all_16_reference_types():
+    from partitioned_ef_ans_spark.cli import TYPE_MAP, resolve_type
+
+    assert len(TYPE_MAP) == 16  # QS_INDEX_TYPES, index_types.hpp:57
+    for ref_name, internal in TYPE_MAP.items():
+        assert resolve_type(ref_name) == internal
+        assert resolve_type(internal) == internal
+    with pytest.raises(SystemExit):
+        resolve_type("block_nope")
+
+
+def test_cli_pipeline_end_to_end(tmp_path):
+    """create_freq_index --check -> create_wand_data -> queries ->
+    transform_queries, each as its own process (fresh JVM, like
+    separate spark-submit invocations)."""
+    idx = f"/dev/shm/pefa_cli_test_{os.getpid()}"
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        out = run_cli(
+            "create_freq_index", "block_ansmsbmedmaxmerged",
+            f"{SF}/documents.parquet", idx, "--check",
+        )
+        assert "collection built in" in out
+        assert "check ok:" in out
+        stats = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
+        assert stats["postings"] > 0 and stats["bits_per_posting"] > 0
+
+        wand_out = str(tmp_path / "wand.parquet")
+        out = run_cli("create_wand_data", idx, wand_out)
+        assert "terms ->" in out
+        import duckdb
+
+        diff = duckdb.sql(
+            f"""SELECT count(*) FROM (
+                 SELECT * FROM '{wand_out}/*.parquet'
+                 EXCEPT SELECT * FROM '{idx}/term_stats.parquet/*.parquet')"""
+        ).fetchone()[0]
+        assert diff == 0, "re-derived WAND sidecar differs from the frozen one"
+
+        qtsv = "1\tdup spark\n2\tthe dup\n"
+        out = run_cli("queries", idx, "--mode", "blockmax,taat",
+                      "--print-topk", stdin=qtsv)
+        recs = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+        assert {r["mode"] for r in recs} == {"blockmax", "taat"}
+        topk = [l.split("\t") for l in out.splitlines()
+                if l and not l.startswith("{")]
+        assert topk and all(len(t) == 4 for t in topk)
+        # both modes were printed from the same rank-identical engine;
+        # the TSV block is the last mode's result set
+        assert {t[0] for t in topk} == {"1", "2"}
+
+        out = run_cli("transform_queries", f"{SF}/documents.parquet",
+                      stdin="dup spark\nzzz_not_a_term dup\n")
+        lines = [l for l in out.splitlines() if l.strip()]
+        # query 2 has an OOV token -> dropped whole (skip semantics);
+        # query 1 emits a stemmed-id line + an unstemmed-id line
+        assert len(lines) == 2
+        assert all(all(tok.isdigit() for tok in l.split()) for l in lines)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_cli_package_and_spark_submit(tmp_path):
+    """The --py-files packaging story: build the zip, then run a real
+    ``spark-submit --py-files pefa.zip cli.py`` (north_rule's cluster
+    submission path; local master, identical launcher)."""
+    zip_path = str(tmp_path / "pefa.zip")
+    out = run_cli("package", "--out", zip_path)
+    assert "wrote" in out and os.path.getsize(zip_path) > 10_000
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit binary not on PATH")
+    idx = f"/dev/shm/pefa_cli_submit_{os.getpid()}"
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        r = subprocess.run(
+            [spark_submit, "--master", "local[4]", "--py-files", zip_path,
+             os.path.join(REPO, "partitioned_ef_ans_spark", "cli.py"),
+             "create_freq_index", "opt", f"{SF}/documents.parquet", idx],
+            capture_output=True, text=True, timeout=420,
+            env={k: v for k, v in ENV.items() if k != "PYTHONPATH"},
+        )
+        assert r.returncode == 0, f"spark-submit failed:\n{r.stdout}\n{r.stderr}"
+        assert "collection built in" in r.stdout
+        assert os.path.exists(f"{idx}/manifest.json")
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
