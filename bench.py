@@ -134,95 +134,12 @@ def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
     return out
 
 
-ALL_MODES = (
-    "wand", "blockmax", "maxscore", "maxscore_blockmax", "taat",
-    "ranked_or", "ranked_and",
+# kernel_latency_stats lives in the package so the `queries --latency`
+# CLI shares the exact op_perftest implementation with the bench
+from partitioned_ef_ans_spark.latency import (  # noqa: E402
+    ALL_MODES,
+    kernel_latency_stats,
 )
-
-
-def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2) -> dict:
-    """Single-threaded sequential per-query latency over a built index
-    — the reference's op_perftest shape (queries.cpp:23-52:
-    mean/q50/q90/q95 per query, first run untimed).  Runs the kernels
-    directly (no Spark job per query), like the reference's in-process
-    loop.  Returns {mode: {mean, q50, q90, q95}} in microseconds."""
-    import pickle
-
-    from collections import Counter
-
-    import numpy as np
-    import pandas as pd
-    import pyarrow.parquet as pq
-
-    from partitioned_ef_ans_spark.index import blockmax as bmx_mod
-    from partitioned_ef_ans_spark.index import build as b_mod
-    from partitioned_ef_ans_spark.index import query as q_mod
-
-    man = json.load(open(f"{idx_dir}/manifest.json"))
-    side = pickle.load(open(f"{idx_dir}/models.pkl", "rb"))
-    codec = b_mod.IndexCodec(side["codec"], side["models"], num_docs=man["num_docs"])
-    tbl = pq.read_table(f"{idx_dir}/index.parquet").to_pandas()
-    nd = man["num_docs"]
-    avg_len = man["avg_doc_len"]
-    by_term = {t: g for t, g in tbl.groupby("term")}
-    stats = {}
-    for mode in modes:
-        lat = []
-        for run in range(runs):  # first run untimed (warms caches)
-            for qid, terms in qs:
-                c = Counter(terms)
-                rows = [by_term[t] for t in c if t in by_term]
-                if not rows:
-                    continue
-                pdf = pd.concat(rows).assign(
-                    query_id=qid, n_terms=len(c),
-                )
-                pdf["qtf"] = [c[t] for t in pdf["term"]]
-                # per-TERM bound = max over the term's chunks (a single
-                # chunk's max would under-bound multi-chunk lists)
-                pdf["max_weight"] = pdf.groupby("term")[
-                    "chunk_max_weight"
-                ].transform("max")
-                if mode in ("blockmax", "maxscore_blockmax"):
-                    fn = (
-                        bmx_mod.kernel_blockmax
-                        if mode == "blockmax"
-                        else bmx_mod.kernel_maxscore_blockmax
-                    )
-                    t0 = time.perf_counter()
-                    fn(pdf, codec, nd, avg_len, K, np.float32)
-                    if run:
-                        lat.append((time.perf_counter() - t0) * 1e6)
-                    continue
-                t0 = time.perf_counter()
-                lists, norms = q_mod._decode_group(pdf, codec, avg_len)
-                tws = q_mod._term_weights(lists, norms, np.float32, tag=codec.tag)
-                per_term = pdf.drop_duplicates("term").set_index("term")
-                weights = {
-                    t: q_mod._q_weight(per_term.loc[t, "qtf"], per_term.loc[t, "df"], nd, np.float32)
-                    for t in lists
-                }
-                maxw = {t: float(per_term.loc[t, "max_weight"]) for t in lists}
-                if mode == "wand":
-                    q_mod._kernel_wand(lists, tws, weights, maxw, np.float32, qid, K, nd)
-                elif mode == "maxscore":
-                    q_mod._kernel_maxscore(lists, tws, weights, maxw, np.float32, qid, K, nd)
-                elif mode == "taat":
-                    q_mod._kernel_taat_pruned(lists, tws, weights, maxw, np.float32, qid, K)
-                elif mode == "ranked_or":
-                    q_mod._kernel_ranked_or(lists, tws, weights, np.float32, qid, K)
-                else:
-                    q_mod._kernel_ranked_and(lists, tws, weights, np.float32, qid, K, len(c))
-                if run:
-                    lat.append((time.perf_counter() - t0) * 1e6)
-        arr = np.array(lat)
-        stats[mode] = {
-            "mean": round(float(arr.mean()), 1),
-            "q50": round(float(np.percentile(arr, 50)), 1),
-            "q90": round(float(np.percentile(arr, 90)), 1),
-            "q95": round(float(np.percentile(arr, 95)), 1),
-        }
-    return stats
 
 
 def latency_mode():

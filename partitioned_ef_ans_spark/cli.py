@@ -248,6 +248,18 @@ def cmd_queries(args) -> int:
     if not qs:
         print("no queries on stdin", file=sys.stderr)
         return 1
+    if args.latency:
+        # the reference's op_perftest: sequential in-process per-query
+        # timing, quantiles per operator (queries.cpp:23-52)
+        from partitioned_ef_ans_spark.latency import kernel_latency_stats
+
+        stats = kernel_latency_stats(
+            args.index_dir, qs, modes=tuple(args.mode.split(",")),
+            runs=max(2, args.runs), k=args.k,
+        )
+        for mode, s in stats.items():
+            print(json.dumps({"mode": mode, "unit": "us", **s}))
+        return 0
     spark = _spark(args)
     index_df, _stats, term_stats, codec, man = b_mod.load_index(
         spark, args.index_dir
@@ -354,6 +366,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--runs", type=int, default=1)
     q.add_argument("--print-topk", action="store_true")
+    q.add_argument("--latency", action="store_true",
+                   help="per-query in-process latency quantiles "
+                        "(op_perftest shape) instead of the Spark suite")
     q.set_defaults(fn=cmd_queries)
 
     t = sub.add_parser("transform_queries")

@@ -78,6 +78,12 @@ def test_cli_pipeline_end_to_end(tmp_path):
         # the TSV block is the last mode's result set
         assert {t[0] for t in topk} == {"1", "2"}
 
+        out = run_cli("queries", idx, "--mode", "blockmax,ranked_or",
+                      "--latency", stdin=qtsv)
+        recs = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+        assert {r["mode"] for r in recs} == {"blockmax", "ranked_or"}
+        assert all(r["unit"] == "us" and r["q95"] >= r["q50"] for r in recs)
+
         out = run_cli("transform_queries", f"{SF}/documents.parquet",
                       stdin="dup spark\nzzz_not_a_term dup\n")
         lines = [l for l in out.splitlines() if l.strip()]
