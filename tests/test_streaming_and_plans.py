@@ -38,6 +38,54 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
     assert (1, "alpha") not in got  # old version of doc 1 superseded
 
 
+def test_streaming_stateful_dedup_matches_batch(spark, tmp_path):
+    """applyInPandasWithState exact dedup: cross-batch duplicates are
+    caught via the per-sha256 state recovered from the checkpoint, and
+    the verdict set equals the batch exact_dedup on the union (inputs
+    arrive in doc_id order, so first-seen == global-min canonical)."""
+    from partitioned_ef_ans_spark.operators.dedup import exact_dedup
+    from partitioned_ef_ans_spark.streaming.dedup import (
+        start_streaming_dedup,
+        streaming_dedup_result,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [(0, "same text"), (1, "same text"), (2, "unique one")],
+        "doc_id long, content string",
+    )
+    b1.write.mode("append").parquet(inp)
+    start_streaming_dedup(spark, inp, out, ckpt)
+
+    # second wave (separate run = state recovery from checkpoint):
+    # doc 3 duplicates doc 0 ACROSS batches, doc 4 is fresh
+    b2 = spark.createDataFrame(
+        [(3, "same text"), (4, "unique two")], "doc_id long, content string"
+    )
+    b2.write.mode("append").parquet(inp)
+    start_streaming_dedup(spark, inp, out, ckpt)
+
+    got = {
+        r["doc_id"]: (r["canonical_doc_id"], r["is_duplicate"])
+        for r in streaming_dedup_result(spark, out).collect()
+    }
+    assert len(got) == 5  # every doc verdict emitted exactly once
+    assert got[3] == (0, True), "cross-batch duplicate missed (state lost)"
+    assert got[1] == (0, True) and got[0] == (0, False)
+    assert got[2][1] is False and got[4][1] is False
+
+    batch = {
+        r["doc_id"]: r["canonical_doc_id"]
+        for r in exact_dedup(
+            spark.read.parquet(inp).withColumnRenamed("content", "text")
+        ).collect()
+    }
+    assert {d: c for d, (c, _) in got.items()} == batch
+
+
 def test_plans_pushdown_and_broadcast(spark, sf_small):
     from partitioned_ef_ans_spark.plans.inspect import (
         count_exchanges,
