@@ -58,10 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranked_and_indexed": gate.q_ranked_and_indexed,
         "bool_and_indexed": gate.q_bool_and_indexed,
         "bool_or_indexed": gate.q_bool_or_indexed,
-        "wand_top10_pef": gate.q_wand_top10_pef,
-        "wand_top10_ef": gate.q_wand_top10_ef,
-        "wand_top10_uniform": gate.q_wand_top10_uniform,
-        "wand_top10_single": gate.q_wand_top10_single,
+        "wand_top10_ef_family": gate.q_wand_top10_ef_family,
         # ---- stats with closed-form oracles (2)
         "index_stats_u32": gate.q_index_stats_u32,
         "index_block_stats_u32": gate.q_index_block_stats_u32,
@@ -106,10 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "ranked_and_indexed": gate.sql_ranked_and(),
         "bool_and_indexed": gate.sql_bool_and(),
         "bool_or_indexed": gate.sql_bool_or(),
-        "wand_top10_pef": gate.sql_ranked_or(),
-        "wand_top10_ef": gate.sql_ranked_or(),
-        "wand_top10_uniform": gate.sql_ranked_or(),
-        "wand_top10_single": gate.sql_ranked_or(),
+        "wand_top10_ef_family": gate.sql_wand_union_ef_family(),
         "index_stats_u32": gate.sql_index_stats_u32(),
         "index_block_stats_u32": gate.sql_index_block_stats_u32(),
         "index_decode_flat_ef_family": gate.sql_decode_flat_union(

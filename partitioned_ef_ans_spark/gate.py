@@ -425,6 +425,26 @@ def q_wand_top10_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wand_for_codec(spark, sf_dir, "single")
 
 
+def q_wand_top10_ef_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked WAND across ALL four EF index families in one collapsed
+    entry (pef/`opt`, ef, single, uniform) — same oracle strength as
+    the four per-family twins, one registry slot (the driver records
+    its first 50 entries only)."""
+    out = None
+    for c in ("pef", "ef", "single", "uniform"):
+        d = _wand_for_codec(spark, sf_dir, c).withColumn("codec", F.lit(c))
+        out = d if out is None else out.unionByName(d)
+    return out.select("codec", "query_id", "rank", "doc_id", "score")
+
+
+def sql_wand_union_ef_family() -> str:
+    vals = ", ".join(f"('{c}')" for c in ("pef", "ef", "single", "uniform"))
+    return (
+        f"SELECT c.codec, r.* FROM ({sql_ranked_or()}) r "
+        f"CROSS JOIN (VALUES {vals}) AS c(codec)"
+    )
+
+
 #: codec groups for the collapsed decode-equality entries (the driver
 #: caps its correctness record at 50 entries; one union entry per
 #: family keeps every codec oracle-hashed without spending 13 slots)

@@ -605,7 +605,62 @@ SELECT doc_id, CAST(i AS INT) AS i,
 FROM b"""
 
 
+# ------------------------------------------------------------ event stream
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts + value sums over the events
+    table (batch twin of streaming/events.py; window start emitted as
+    a timezone-free formatted string so both engines agree on the
+    representation — the parquet ts is TIMESTAMP_NTZ)."""
+    from partitioned_ef_ans_spark.operators.events import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+def sql_events_windowed() -> str:
+    return """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (30-minute gap) per user — lag +
+    cumulative window functions, no UDFs."""
+    from partitioned_ef_ans_spark.operators.events import user_session_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return user_session_counts(ev)
+
+
+def sql_events_sessions() -> str:
+    return """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id"""
+
+
 TRAINING_QUERIES = {
+    "events_windowed": q_events_windowed,
+    "events_sessions": q_events_sessions,
     "corpus_sha": q_corpus_sha,
     "transform_queries": q_transform_queries,
     "transform_queries_uids": q_transform_queries_uids,
@@ -628,6 +683,8 @@ TRAINING_QUERIES = {
 }
 
 TRAINING_ORACLES = {
+    "events_windowed": sql_events_windowed(),
+    "events_sessions": sql_events_sessions(),
     "corpus_sha": sql_corpus_sha(),
     # transform_queries: rows-only (no SQL Porter stemmer available);
     # the unstemmed half is exactly checked by transform_queries_uids

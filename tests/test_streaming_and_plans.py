@@ -86,6 +86,59 @@ def test_streaming_stateful_dedup_matches_batch(spark, tmp_path):
     assert {d: c for d, (c, _) in got.items()} == batch
 
 
+def test_streaming_windowed_events_watermark(spark, tmp_path):
+    """Watermarked tumbling-window aggregation: windows emit once the
+    watermark closes them, late-but-inside-watermark events count,
+    older-than-watermark events are dropped; emitted windows match the
+    batch windowed_event_counts over the surviving events."""
+    from datetime import datetime as DT
+
+    from partitioned_ef_ans_spark.operators.events import windowed_event_counts
+    from partitioned_ef_ans_spark.streaming.events import (
+        start_windowed_events,
+        windowed_events_result,
+    )
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(i, DT(2024, 1, 1, h, m), 1, et, float(v), "{}")
+             for i, (h, m, et, v) in enumerate(rows)], schema
+        ).write.mode("append").parquet(inp)
+        start_windowed_events(spark, inp, out, ckpt)
+
+    feed([(0, 10, "a", 1.5), (0, 20, "a", 2.0), (0, 40, "b", 3.25),
+          (1, 15, "a", 4.0)])                       # max ts 01:15, wm < 0
+    feed([(0, 50, "b", 5.0),                        # LATE into hour 0: ok
+          (5, 0, "a", 6.0), (5, 30, "a", 7.0)])     # advances wm to 04:00
+    feed([(2, 30, "a", 8.0),                        # older than wm: DROPPED
+          (7, 0, "a", 9.0)])                        # h0,h1 emit this run
+    feed([(9, 0, "a", 10.0)])                       # flush h5 (wm 05:30)
+
+    got = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_events_result(spark, out).collect()
+    }
+    assert got[(0, "a")] == (2, 3.5)
+    assert got[(0, "b")] == (2, 8.25), "late-but-inside-watermark event lost"
+    assert got[(1, "a")] == (1, 4.0)
+    assert (2, "a") not in got, "older-than-watermark event not dropped"
+    assert got[(5, "a")] == (2, 13.0)
+
+    # batch twin agrees on every emitted window (the dropped hour-2
+    # event is the one divergence, by design)
+    surviving = spark.read.parquet(inp).where(F.hour("ts") != 2)
+    batch = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(surviving).collect()
+    }
+    for key, val in got.items():
+        assert batch[key] == val
+
+
 def test_plans_pushdown_and_broadcast(spark, sf_small):
     from partitioned_ef_ans_spark.plans.inspect import (
         count_exchanges,
