@@ -536,14 +536,42 @@ def build_index(
     return metrics
 
 
+def apply_bound_scales(index_df: DataFrame, scales: dict[int, float]) -> DataFrame:
+    """Inflate a partitioned index's frozen max-weight bounds by the
+    per-part admissibility factors (checkpoint.part_bound_scales):
+    after an incremental update grew avg_doc_len, stale parts' bounds
+    stay valid upper bounds when multiplied by avg_new/avg_at_encode.
+    Payloads and scores are untouched — only pruning metadata."""
+    pairs = [x for kv in scales.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    s = F.coalesce(
+        F.create_map(*pairs)[F.col("part").cast("int")], F.lit(1.0)
+    )
+    return index_df.withColumn(
+        "chunk_max_weight",
+        (F.col("chunk_max_weight").cast("double") * s).cast("float"),
+    ).withColumn(
+        "block_max_weights",
+        F.transform("block_max_weights", lambda v: (v.cast("double") * s).cast("float")),
+    )
+
+
 def load_index(spark: SparkSession, out_dir: str):
-    """(index_df, doc_stats_df, term_stats_df, IndexCodec, manifest)."""
+    """(index_df, doc_stats_df, term_stats_df, IndexCodec, manifest).
+
+    For a resumable/incremental layout, stale per-part max-weight
+    bounds are inflated admissibly at load (apply_bound_scales)."""
     with open(f"{out_dir}/models.pkl", "rb") as fh:
         side = pickle.load(fh)
     with open(f"{out_dir}/manifest.json") as fh:
         manifest = json.load(fh)
     codec = IndexCodec(side["codec"], side["models"], num_docs=manifest["num_docs"])
     index_df = spark.read.parquet(f"{out_dir}/index.parquet")
+    if "part" in index_df.columns:
+        from partitioned_ef_ans_spark.index.checkpoint import part_bound_scales
+
+        scales = part_bound_scales(out_dir, float(manifest["avg_doc_len"]))
+        if scales:
+            index_df = apply_bound_scales(index_df, scales)
     stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
     term_stats_df = spark.read.parquet(f"{out_dir}/term_stats.parquet")
     return index_df, stats_df, term_stats_df, codec, manifest

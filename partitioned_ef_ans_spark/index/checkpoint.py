@@ -171,6 +171,10 @@ def build_index_resumable(
             "payload_bytes": int(stats_row["bytes"] or 0),
             "elapsed_sec": round(time.perf_counter() - t_part, 3),
             "codec": codec,
+            # the avg doc length the frozen max-weight bounds were
+            # computed under — incremental updates use it to inflate
+            # stale bounds admissibly (part_bound_scales)
+            "avg_len_at_encode": avg_len,
         }
         with open(ckpt_path, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
@@ -209,3 +213,306 @@ def build_index_resumable(
     with open(f"{out_dir}/manifest.json", "w") as fh:
         json.dump(metrics, fh, indent=2)
     return metrics
+
+
+# ----------------------------------------------------- incremental updates
+
+def part_bound_scales(out_dir: str, avg_len_now: float) -> dict[int, float]:
+    """part_id -> admissible inflation for that part's frozen
+    max-weight bounds.  >1 only when the corpus average doc length has
+    GROWN since the part was encoded: for BM25's doc weight
+    ``f/(f + A + B*len/avg)`` (A=k1(1-b), B=k1*b, bm25.hpp:22),
+    ``w(avg1) <= w(avg0) * avg1/avg0`` for avg1 >= avg0 (multiply the
+    avg0 denominator by avg1/avg0 >= 1 termwise), so scaling the old
+    bound by the avg ratio stays an upper bound on every new weight.
+    A 1e-6 relative margin absorbs the float32 re-rounding of the
+    inflated bounds."""
+    path = f"{out_dir}/checkpoints.jsonl"
+    if not os.path.exists(path):
+        return {}
+    scales: dict[int, float] = {}
+    with open(path) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            enc_avg = rec.get("avg_len_at_encode")
+            if enc_avg and avg_len_now > enc_avg:
+                scales[int(rec["part_id"])] = (avg_len_now / enc_avg) * (1.0 + 1e-6)
+    return scales
+
+
+def _swap_dir_write(df: DataFrame, final_dir: str) -> None:
+    """Materialize ``df`` at ``final_dir`` when df is derived from a
+    READ of final_dir (Spark cannot overwrite its own input): write to
+    a sibling tmp dir, then atomically swap.  On an object store the
+    same pattern is a new prefix + manifest pointer flip."""
+    import shutil
+
+    tmp = final_dir.rstrip("/") + ".tmp_swap"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(tmp, final_dir)
+
+
+def _ans_counts_for(postings: DataFrame, variant: str):
+    """(docs_counts, freqs_counts) raw-model count matrices for the
+    given chunked lists (the train_ans_models pass 1, without freeze)."""
+    import numpy as np
+
+    from partitioned_ef_ans_spark.codecs import ans_msb
+
+    rows = (
+        postings.select("doc_ids", "freqs")
+        .mapInPandas(
+            b_mod._count_batches_factory(variant), schema="stream string, counts binary"
+        )
+        .collect()
+    )
+    cd = ans_msb.new_counts(variant)
+    cf = ans_msb.new_counts(variant)
+    for r in rows:
+        flat = np.frombuffer(r["counts"], dtype=np.int64)
+        idx, vals = flat[: len(flat) // 2], flat[len(flat) // 2:]
+        tgt = cd if r["stream"] == "docs" else cf
+        np.add.at(tgt.ravel(), idx, vals.astype(np.uint64))
+    return cd, cf
+
+
+def update_index_incremental(
+    spark: SparkSession,
+    out_dir: str,
+    new_docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Fold new documents into a resumable-layout index, re-encoding
+    ONLY the vocabulary slice the new docs touch.
+
+    Contract and scale design:
+
+    - New doc_ids must be fresh (> every existing doc_id) so posting
+      lists stay sorted and doc-range chunking stays valid.
+    - Affected TERMS' full lists are rebuilt from the staging table
+      (chunk boundaries depend on df and num_docs) and re-encoded;
+      untouched terms' payload bytes are untouched on disk.
+    - Scores remain EXACT for every doc: they are computed at query
+      time from decoded tf + in-chunk doc_lens + the manifest's new
+      avg_doc_len.  Only the frozen max-weight PRUNING bounds of
+      untouched parts go stale when avg_len grows; load_index inflates
+      them by avg_new/avg_at_encode per part (see part_bound_scales —
+      provably admissible), so top-k stays exact with slightly weaker
+      pruning until the next full build.
+    - ANS-family codecs keep the build-frozen models; merged lists may
+      contain (model, symbol) pairs the frozen frames cannot encode
+      (the reference never faces this — it trains on the frozen
+      collection, create_freq_index.cpp:266-275).  ans_msb.models_cover
+      pre-checks the affected lists; on drift the update retrains and
+      re-encodes ALL parts (flagged ``model_drift_full_reencode``).
+      ans_packed is conservatively always retrained.
+    - Whole-list EF families (pef/ef/single/uniform) lay payloads out
+      against the global universe (num_docs), so ANY corpus growth
+      re-encodes every part (flagged ``universe_drift_full_reencode``)
+      — true incrementality is a block/ANS-family property.
+    """
+    import pickle
+
+    from partitioned_ef_ans_spark.codecs import ans_msb
+    from partitioned_ef_ans_spark.session import ship_package
+
+    ship_package(spark)
+    t0 = time.perf_counter()
+    staging = f"{out_dir}/staging_postings.parquet"
+    stats_path = f"{out_dir}/doc_stats.parquet"
+    with open(f"{out_dir}/manifest.json") as fh:
+        man = json.load(fh)
+    num_parts = int(man["num_parts"])
+    chunk_postings = int(man["chunk_postings"])
+    old_avg = float(man["avg_doc_len"])
+    with open(f"{out_dir}/models.pkl", "rb") as fh:
+        side = pickle.load(fh)
+    codec = side["codec"]
+
+    # ---- 1. new tf + appended doc stats; fresh global scalars
+    old_max = spark.read.parquet(stats_path).agg(F.max("doc_id")).collect()[0][0]
+    new_min = new_docs.agg(F.min(F.col(doc_col))).collect()[0][0]
+    if new_min is None:
+        return {**man, "update_sec": 0.0, "parts_reencoded": 0}
+    if old_max is not None and new_min <= old_max:
+        raise ValueError(
+            f"incremental update needs fresh doc_ids (> {old_max}), got min {new_min}"
+        )
+    tf_new = term_frequencies(
+        tokenize(new_docs, doc_col=doc_col, text_col=text_col)
+    ).select("doc_id", "term", "tf")
+    ds_mod.build_doc_stats(
+        new_docs.select(F.col(doc_col).alias("doc_id")),
+        tf_new,
+    ).write.mode("append").parquet(stats_path)
+    stats_df = spark.read.parquet(stats_path)
+    srow = stats_df.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg")
+    ).collect()[0]
+    num_docs, avg_len = int(srow["n"]), float(srow["avg"] or 0.0)
+
+    # ---- 2. affected terms -> parts
+    part_col = (F.crc32(F.col("term")) % num_parts).cast("int")
+    aff_terms = tf_new.select("term").distinct().cache()
+    aff_parts = sorted(
+        r["p"] for r in aff_terms.select(part_col.alias("p")).distinct().collect()
+    )
+    staged = spark.read.parquet(staging)
+
+    # ---- 3. affected terms' full lists: reconstruct + union + rechunk
+    old_sub = staged.where(F.col("part_id").isin(aff_parts)).join(
+        F.broadcast(aff_terms), "term", "left_semi"
+    )
+    tf_old = old_sub.select(
+        "term", F.explode(F.arrays_zip("doc_ids", "freqs")).alias("z")
+    ).select(
+        "term",
+        F.col("z.doc_ids").alias("doc_id"),
+        F.col("z.freqs").cast("int").alias("tf"),
+    )
+    tf_union = tf_old.unionByName(
+        tf_new.select("term", "doc_id", F.col("tf").cast("int").alias("tf"))
+    )
+    new_chunks = p_mod.build_postings(
+        tf_union, num_docs=num_docs, chunk_postings=chunk_postings,
+        doc_norms=stats_df,
+    ).withColumn("part_id", part_col)
+    # materialize BEFORE any staging swap: the lazy plan reads every
+    # affected part's OLD files, which the swap loop replaces
+    scratch = f"{out_dir}/.update_chunks.parquet"
+    new_chunks.write.mode("overwrite").parquet(scratch)
+    new_chunks = spark.read.parquet(scratch)
+
+    # ---- 4. swap affected staging parts (keep untouched terms' rows)
+    for pid in aff_parts:
+        keep = (
+            staged.where(F.col("part_id") == pid)
+            .join(F.broadcast(aff_terms), "term", "left_anti")
+            .drop("part_id")
+        )
+        merged = keep.unionByName(
+            new_chunks.where(F.col("part_id") == pid).drop("part_id")
+        )
+        _swap_dir_write(merged, f"{staging}/part_id={pid}")
+    staged = spark.read.parquet(staging)
+
+    # ---- 5. model/universe coverage -> encode scope
+    full_reencode = False
+    universe_drift = False
+    models = side["models"]
+    if codec in ("pef", "ef", "single", "uniform"):
+        # whole-list EF payloads are laid out against the GLOBAL
+        # universe (num_docs, freq_index.hpp/compact_elias_fano.hpp:
+        # the collection header's universe) — growing the corpus
+        # changes every list's bit layout, so the EF families must
+        # re-encode all parts.  Block/ANS families encode d-gaps with
+        # no universe dependence and keep true incrementality.
+        full_reencode = universe_drift = True
+    elif codec in b_mod.ANS_CODEC_VARIANTS:
+        variant = b_mod.ANS_CODEC_VARIANTS[codec]
+        aff_lists = staged.where(F.col("part_id").isin(aff_parts)).join(
+            F.broadcast(aff_terms), "term", "left_semi"
+        )
+        cd, cf = _ans_counts_for(aff_lists, variant)
+        (enc_d, _), (enc_f, _) = models
+        if not (ans_msb.models_cover(enc_d, cd) and ans_msb.models_cover(enc_f, cf)):
+            full_reencode = True
+            models = b_mod.train_ans_models(staged, variant=variant)
+    elif codec == "ans_packed":
+        full_reencode = True
+        models = b_mod.train_ans_packed_models(staged)
+    if full_reencode:
+        with open(f"{out_dir}/models.pkl", "wb") as fh:
+            pickle.dump({"codec": codec, "models": models}, fh)
+
+    codec_bundle = b_mod.IndexCodec(codec, models, num_docs=num_docs)
+    codec_bc = spark.sparkContext.broadcast(codec_bundle)
+    encode_parts = list(range(num_parts)) if full_reencode else aff_parts
+
+    # ---- 6. re-encode + swap index parts; refresh checkpoint records
+    done: dict[int, dict] = {}
+    ckpt_path = f"{out_dir}/checkpoints.jsonl"
+    if os.path.exists(ckpt_path):
+        with open(ckpt_path) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                done[int(rec["part_id"])] = rec
+    for pid in encode_parts:
+        t_part = time.perf_counter()
+        idx_dir = f"{out_dir}/index.parquet/part={pid}"
+        enc_src = staged.where(F.col("part_id") == pid).drop("part_id")
+        if not full_reencode:
+            enc_src = enc_src.join(F.broadcast(aff_terms), "term", "left_semi")
+        enc_new = enc_src.mapInPandas(
+            b_mod._encode_factory(codec_bc, avg_len), schema=b_mod.INDEX_SCHEMA
+        )
+        if full_reencode:
+            merged_idx = enc_new
+        else:
+            keep_idx = spark.read.parquet(idx_dir).join(
+                F.broadcast(aff_terms), "term", "left_anti"
+            )
+            merged_idx = keep_idx.unionByName(enc_new)
+        _swap_dir_write(merged_idx, idx_dir)
+        stats_row = spark.read.parquet(idx_dir).agg(
+            F.sum("n").alias("postings"), F.sum(F.length("payload")).alias("bytes")
+        ).collect()[0]
+        done[pid] = {
+            "part_id": pid,
+            "lineage": _lineage(spark, staged, pid),
+            "postings": int(stats_row["postings"] or 0),
+            "payload_bytes": int(stats_row["bytes"] or 0),
+            "elapsed_sec": round(time.perf_counter() - t_part, 3),
+            "codec": codec,
+            "avg_len_at_encode": avg_len,
+        }
+    for pid, rec in done.items():
+        # pre-update records: bounds were encoded under the OLD avg
+        rec.setdefault("avg_len_at_encode", old_avg)
+    with open(ckpt_path, "w") as fh:
+        for pid in sorted(done):
+            fh.write(json.dumps(done[pid]) + "\n")
+
+    # ---- 7. manifest + term_stats refreeze (from the INFLATED view,
+    # so max_term_weight stays an upper bound for stale parts too)
+    total = spark.read.parquet(f"{out_dir}/index.parquet")
+    scales = part_bound_scales(out_dir, avg_len)
+    if scales:
+        total = b_mod.apply_bound_scales(total, scales)
+    total.groupBy("term").agg(
+        F.first("df").alias("df"),
+        F.first("cf").alias("cf"),
+        F.first("num_chunks").alias("num_chunks"),
+        F.max("chunk_max_weight").alias("max_term_weight"),
+        F.sum("n").alias("postings"),
+        F.sum(F.length("payload")).alias("payload_bytes"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/term_stats.parquet.tmp_swap")
+    import shutil
+
+    shutil.rmtree(f"{out_dir}/term_stats.parquet", ignore_errors=True)
+    os.rename(
+        f"{out_dir}/term_stats.parquet.tmp_swap", f"{out_dir}/term_stats.parquet"
+    )
+    agg = spark.read.parquet(f"{out_dir}/term_stats.parquet").agg(
+        F.sum("postings").alias("postings"), F.sum("payload_bytes").alias("bytes")
+    ).collect()[0]
+    man.update(
+        num_docs=num_docs,
+        avg_doc_len=avg_len,
+        total_postings=int(agg["postings"] or 0),
+        payload_bytes=int(agg["bytes"] or 0),
+        bits_per_posting=int(agg["bytes"] or 0) * 8 / int(agg["postings"] or 1),
+        incremental_updates=int(man.get("incremental_updates", 0)) + 1,
+        model_drift_full_reencode=full_reencode and not universe_drift,
+        universe_drift_full_reencode=universe_drift,
+        update_sec=round(time.perf_counter() - t0, 3),
+        parts_reencoded=len(encode_parts),
+    )
+    with open(f"{out_dir}/manifest.json", "w") as fh:
+        json.dump(man, fh, indent=2)
+    aff_terms.unpersist()
+    shutil.rmtree(scratch, ignore_errors=True)
+    return man

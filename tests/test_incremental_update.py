@@ -1,0 +1,206 @@
+"""Incremental index maintenance: fold new docs into an existing
+index re-encoding only the touched vocabulary slice, with admissible
+inflation of stale pruning bounds (checkpoint.update_index_incremental)."""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+NUM_PARTS = 4
+CHUNK = 16
+
+
+def _part(term: str) -> int:
+    return zlib.crc32(term.encode()) % NUM_PARTS
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _vocab_by_part():
+    """Terms grouped by their crc32 part id (mirrors the builder's
+    partitioning, so the test can choose which parts an update hits)."""
+    by_part: dict[int, list[str]] = {p: [] for p in range(NUM_PARTS)}
+    i = 0
+    while any(len(v) < 6 for v in by_part.values()):
+        t = f"t{i:03d}"
+        by_part[_part(t)].append(t)
+        i += 1
+    return by_part
+
+
+def _corpus_a(by_part):
+    rows = []
+    for d in range(40):
+        terms = []
+        for p in range(NUM_PARTS):
+            terms += [by_part[p][d % 5], by_part[p][(d * 3 + 1) % 5]]
+        rows.append((d, " ".join(terms * (1 + d % 3))))
+    return rows
+
+
+def _corpus_b(by_part, touch_parts=(0, 1)):
+    """New docs use ONLY terms from ``touch_parts`` and are much
+    longer than corpus A (avg_doc_len grows -> the stale-bound
+    inflation path is exercised on the untouched parts)."""
+    rows = []
+    for j in range(12):
+        d = 100 + j
+        terms = [by_part[p][(j + k) % 6] for p in touch_parts for k in range(3)]
+        rows.append((d, " ".join(terms * 8)))
+    return rows
+
+
+def _ranked(spark, out_dir, queries, mode):
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    index_df, _s, ts, codec, man = b_mod.load_index(spark, out_dir)
+    res = q_mod.run_ranked(
+        spark, index_df, queries_to_df(spark, queries), codec,
+        man["num_docs"], man["avg_doc_len"], mode=mode, k=10,
+        dtype="float32", term_stats_df=ts,
+    )
+    return [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in res.orderBy("query_id", "rank").collect()
+    ]
+
+
+def _decode_flat_rows(spark, out_dir):
+    from partitioned_ef_ans_spark.cli import _decode_flat
+    from partitioned_ef_ans_spark.index import build as b_mod
+
+    index_df, _s, _t, codec, _m = b_mod.load_index(spark, out_dir)
+    return {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in _decode_flat(spark, index_df, codec).collect()
+    }
+
+
+@pytest.mark.parametrize("codec", ["ans", "u32"])
+def test_incremental_update_matches_full_rebuild(spark, tmp_path, codec):
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        part_bound_scales,
+        update_index_incremental,
+    )
+    from partitioned_ef_ans_spark.tokenizer import term_frequencies, tokenize
+
+    by_part = _vocab_by_part()
+    rows_a, rows_b = _corpus_a(by_part), _corpus_b(by_part)
+    inc_dir = str(tmp_path / f"inc_{codec}")
+    full_dir = str(tmp_path / f"full_{codec}")
+
+    build_index_resumable(
+        spark, _mk_docs(spark, rows_a), inc_dir, codec=codec,
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    man = update_index_incremental(spark, inc_dir, _mk_docs(spark, rows_b))
+
+    build_index_resumable(
+        spark, _mk_docs(spark, rows_a + rows_b), full_dir, codec=codec,
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+
+    # 1. lossless: decode the whole updated index == tokenized truth
+    truth = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in term_frequencies(
+            tokenize(_mk_docs(spark, rows_a + rows_b),
+                     doc_col="doc_id", text_col="text")
+        ).collect()
+    }
+    assert _decode_flat_rows(spark, inc_dir) == truth
+
+    # 2. incrementality was real (unless ANS model drift forced a full
+    # re-encode, which the manifest must then declare)
+    assert not man.get("universe_drift_full_reencode")
+    if not man.get("model_drift_full_reencode"):
+        assert man["parts_reencoded"] < NUM_PARTS
+        touched = {p for p in range(NUM_PARTS) if any(
+            _part(t) == p
+            for t in " ".join(t for _, t in rows_b).split()
+        )}
+        assert man["parts_reencoded"] == len(touched)
+        # untouched parts carry stale bounds -> inflation factors > 1
+        scales = part_bound_scales(inc_dir, man["avg_doc_len"])
+        assert set(scales) == set(range(NUM_PARTS)) - touched
+        assert all(s > 1.0 for s in scales.values())
+
+    # 3. every retrieval mode is rank-identical to the full rebuild
+    qs = [
+        (0, [by_part[0][0], by_part[2][0]]),   # touched + untouched
+        (1, [by_part[2][1], by_part[3][1]]),   # untouched only (stale bounds)
+        (2, [by_part[0][1]]),
+        (3, [by_part[1][0], by_part[1][2], by_part[3][0]]),
+    ]
+    for mode in ("blockmax", "wand", "taat", "ranked_or"):
+        assert _ranked(spark, inc_dir, qs, mode) == _ranked(
+            spark, full_dir, qs, mode
+        ), f"mode {mode} diverges from full rebuild"
+
+    # 4. a second update on top of the first also stays correct
+    rows_c = [(200, rows_b[0][1]), (201, "zz_new_term " * 20)]
+    update_index_incremental(spark, inc_dir, _mk_docs(spark, rows_c))
+    truth_c = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in term_frequencies(
+            tokenize(_mk_docs(spark, rows_a + rows_b + rows_c),
+                     doc_col="doc_id", text_col="text")
+        ).collect()
+    }
+    assert _decode_flat_rows(spark, inc_dir) == truth_c
+
+
+def test_incremental_ef_universe_fallback(spark, tmp_path):
+    """EF-family payloads are laid out against the global universe
+    (num_docs), so an update must re-encode every part — flagged, and
+    still exact."""
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        update_index_incremental,
+    )
+
+    by_part = _vocab_by_part()
+    rows_a, rows_b = _corpus_a(by_part), _corpus_b(by_part)
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_index_resumable(
+        spark, _mk_docs(spark, rows_a), inc_dir, codec="pef",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    man = update_index_incremental(spark, inc_dir, _mk_docs(spark, rows_b))
+    assert man["universe_drift_full_reencode"]
+    assert man["parts_reencoded"] == NUM_PARTS
+    build_index_resumable(
+        spark, _mk_docs(spark, rows_a + rows_b), full_dir, codec="pef",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    qs = [(0, [by_part[0][0], by_part[2][0]]), (1, [by_part[3][1]])]
+    assert _ranked(spark, inc_dir, qs, "taat") == _ranked(
+        spark, full_dir, qs, "taat"
+    )
+
+
+def test_incremental_update_rejects_stale_doc_ids(spark, tmp_path):
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        update_index_incremental,
+    )
+
+    by_part = _vocab_by_part()
+    d = str(tmp_path / "idx")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part)), d, codec="pef",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    with pytest.raises(ValueError, match="fresh doc_ids"):
+        update_index_incremental(
+            spark, d, _mk_docs(spark, [(5, "t000 collides")])
+        )
