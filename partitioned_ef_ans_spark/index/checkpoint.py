@@ -284,6 +284,7 @@ def update_index_incremental(
     new_docs: DataFrame,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    skip_stale: bool = False,
 ) -> dict:
     """Fold new documents into a resumable-layout index, re-encoding
     ONLY the vocabulary slice the new docs touch.
@@ -334,6 +335,10 @@ def update_index_incremental(
 
     # ---- 1. new tf + appended doc stats; fresh global scalars
     old_max = spark.read.parquet(stats_path).agg(F.max("doc_id")).collect()[0][0]
+    if skip_stale and old_max is not None:
+        # at-least-once sources (foreachBatch replay) may redeliver
+        # docs already folded in — idempotence by id-freshness filter
+        new_docs = new_docs.where(F.col(doc_col) > old_max)
     new_min = new_docs.agg(F.min(F.col(doc_col))).collect()[0][0]
     if new_min is None:
         return {**man, "update_sec": 0.0, "parts_reencoded": 0}

@@ -188,6 +188,46 @@ def test_incremental_ef_universe_fallback(spark, tmp_path):
     )
 
 
+def test_streaming_docs_fold_into_live_index(spark, tmp_path):
+    """Two waves of streamed documents fold into the index via
+    incremental updates; final retrieval is rank-identical to a batch
+    rebuild over everything.  The second start replays nothing (file
+    source checkpoint) and stale ids are filtered, so the result is
+    exactly-once in effect."""
+    from partitioned_ef_ans_spark.index.checkpoint import build_index_resumable
+    from partitioned_ef_ans_spark.streaming.index_update import (
+        start_index_update_stream,
+    )
+
+    by_part = _vocab_by_part()
+    rows_a = _corpus_a(by_part)
+    rows_b = _corpus_b(by_part)
+    rows_c = [(300, " ".join(by_part[2][:4] * 6))]
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+
+    build_index_resumable(
+        spark, _mk_docs(spark, rows_a), inc_dir, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    for wave in (rows_b, rows_c):
+        spark.createDataFrame(
+            [(d, t) for d, t in wave], "doc_id long, content string"
+        ).write.mode("append").parquet(inp)
+        start_index_update_stream(spark, inp, inc_dir, ckpt)
+
+    build_index_resumable(
+        spark, _mk_docs(spark, rows_a + rows_b + rows_c), full_dir,
+        codec="ans", num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    qs = [(0, [by_part[2][0], by_part[0][0]]), (1, [by_part[2][2]])]
+    for mode in ("blockmax", "taat"):
+        assert _ranked(spark, inc_dir, qs, mode) == _ranked(
+            spark, full_dir, qs, mode
+        )
+
+
 def test_incremental_update_rejects_stale_doc_ids(spark, tmp_path):
     from partitioned_ef_ans_spark.index.checkpoint import (
         build_index_resumable,
