@@ -202,8 +202,13 @@ def cmd_create_wand_data(args) -> int:
     term_stats.parquet bit-for-bit."""
     from pyspark.sql import functions as F
 
+    from partitioned_ef_ans_spark.index import build as b_mod
+
     spark = _spark(args)
-    index_df = spark.read.parquet(f"{args.index_dir}/index.parquet")
+    # load_index (not a raw parquet read): for an incrementally
+    # updated index the stale parts' bounds must be inflated, or the
+    # re-derived max_term_weight would under-bound true BM25 weights
+    index_df, _s, _t, _codec, _man = b_mod.load_index(spark, args.index_dir)
     out = (
         index_df.groupBy("term")
         .agg(
@@ -364,7 +369,7 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--mode", default="blockmax",
                    help="comma-separated run_ranked modes")
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--runs", type=int, default=1)
+    q.add_argument("--runs", type=lambda v: max(1, int(v)), default=1)
     q.add_argument("--print-topk", action="store_true")
     q.add_argument("--latency", action="store_true",
                    help="per-query in-process latency quantiles "

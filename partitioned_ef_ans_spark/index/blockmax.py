@@ -442,7 +442,11 @@ def kernel_maxscore_blockmax(
 
     for j in range(first_ess - 1, -1, -1):
         t = order[j]
-        keep = acc + cum[j] >= tau
+        # _inflate(acc): the final score re-sums the same f32 weights
+        # in float32 order, which can exceed this f64 accumulation by
+        # ~score*q*eps32 — without the margin a doc whose true rounded
+        # score ties the k-th could be dropped here
+        keep = _inflate(acc) + cum[j] >= tau
         cand, acc = cand[keep], acc[keep]
         if not len(cand):
             break

@@ -242,16 +242,45 @@ def part_bound_scales(out_dir: str, avg_len_now: float) -> dict[int, float]:
 
 def _swap_dir_write(df: DataFrame, final_dir: str) -> None:
     """Materialize ``df`` at ``final_dir`` when df is derived from a
-    READ of final_dir (Spark cannot overwrite its own input): write to
-    a sibling tmp dir, then atomically swap.  On an object store the
-    same pattern is a new prefix + manifest pointer flip."""
+    READ of final_dir (Spark cannot overwrite its own input): write a
+    hidden tmp dir, move the old dir aside as ``.bak_swap``, promote
+    the tmp, drop the bak.  NOT atomic — a crash between the renames
+    leaves final_dir missing with the bak intact; `_recover_swaps`
+    restores it on the next run.  On an object store the same pattern
+    is a new prefix + a manifest pointer flip."""
     import shutil
 
-    tmp = final_dir.rstrip("/") + ".tmp_swap"
+    parent, base = os.path.split(final_dir.rstrip("/"))
+    tmp = os.path.join(parent, f".{base}.tmp_swap")
+    bak = os.path.join(parent, f".{base}.bak_swap")
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(bak, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(final_dir, ignore_errors=True)
+    if os.path.exists(final_dir):
+        os.rename(final_dir, bak)
     os.rename(tmp, final_dir)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
+def _recover_swaps(roots: list[str]) -> None:
+    """Heal interrupted `_swap_dir_write`s: a ``.bak_swap`` whose final
+    dir is missing is moved back; stray tmp/bak side dirs are removed.
+    The dot prefix keeps Spark partition discovery blind to them."""
+    import shutil
+
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            path = os.path.join(root, name)
+            if name.startswith(".") and name.endswith(".bak_swap"):
+                final = os.path.join(root, name[1:-len(".bak_swap")])
+                if os.path.exists(final):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    os.rename(path, final)
+            elif name.startswith(".") and name.endswith(".tmp_swap"):
+                shutil.rmtree(path, ignore_errors=True)
 
 
 def _ans_counts_for(postings: DataFrame, variant: str):
@@ -276,6 +305,42 @@ def _ans_counts_for(postings: DataFrame, variant: str):
         tgt = cd if r["stream"] == "docs" else cf
         np.add.at(tgt.ravel(), idx, vals.astype(np.uint64))
     return cd, cf
+
+
+def _refresh_sidecars(
+    spark: SparkSession, out_dir: str, man: dict,
+    num_docs: int, avg_len: float, extra: dict,
+) -> dict:
+    """Refreeze term_stats.parquet from the bound-inflated index view
+    (so ``max_term_weight`` stays an upper bound for stale parts) and
+    rewrite the manifest with the new global scalars."""
+    total = spark.read.parquet(f"{out_dir}/index.parquet")
+    scales = part_bound_scales(out_dir, avg_len)
+    if scales:
+        total = b_mod.apply_bound_scales(total, scales)
+    ts = total.groupBy("term").agg(
+        F.first("df").alias("df"),
+        F.first("cf").alias("cf"),
+        F.first("num_chunks").alias("num_chunks"),
+        F.max("chunk_max_weight").alias("max_term_weight"),
+        F.sum("n").alias("postings"),
+        F.sum(F.length("payload")).alias("payload_bytes"),
+    )
+    _swap_dir_write(ts, f"{out_dir}/term_stats.parquet")
+    agg = spark.read.parquet(f"{out_dir}/term_stats.parquet").agg(
+        F.sum("postings").alias("postings"), F.sum("payload_bytes").alias("bytes")
+    ).collect()[0]
+    man.update(
+        num_docs=num_docs,
+        avg_doc_len=avg_len,
+        total_postings=int(agg["postings"] or 0),
+        payload_bytes=int(agg["bytes"] or 0),
+        bits_per_posting=int(agg["bytes"] or 0) * 8 / int(agg["postings"] or 1),
+        **extra,
+    )
+    with open(f"{out_dir}/manifest.json", "w") as fh:
+        json.dump(man, fh, indent=2)
+    return man
 
 
 def update_index_incremental(
@@ -316,6 +381,7 @@ def update_index_incremental(
       — true incrementality is a block/ANS-family property.
     """
     import pickle
+    import shutil
 
     from partitioned_ef_ans_spark.codecs import ans_msb
     from partitioned_ef_ans_spark.session import ship_package
@@ -324,6 +390,7 @@ def update_index_incremental(
     t0 = time.perf_counter()
     staging = f"{out_dir}/staging_postings.parquet"
     stats_path = f"{out_dir}/doc_stats.parquet"
+    _recover_swaps([staging, f"{out_dir}/index.parquet", out_dir])
     with open(f"{out_dir}/manifest.json") as fh:
         man = json.load(fh)
     num_parts = int(man["num_parts"])
@@ -341,6 +408,16 @@ def update_index_incremental(
         new_docs = new_docs.where(F.col(doc_col) > old_max)
     new_min = new_docs.agg(F.min(F.col(doc_col))).collect()[0][0]
     if new_min is None:
+        srow = spark.read.parquet(stats_path).agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg")
+        ).collect()[0]
+        if int(srow["n"]) != int(man["num_docs"]):
+            # a prior update crashed between the final stats append
+            # and the sidecar refresh — finalize it now
+            return _refresh_sidecars(
+                spark, out_dir, man, int(srow["n"]), float(srow["avg"]),
+                {"recovered_finalize": True},
+            )
         return {**man, "update_sec": 0.0, "parts_reencoded": 0}
     if old_max is not None and new_min <= old_max:
         raise ValueError(
@@ -349,11 +426,17 @@ def update_index_incremental(
     tf_new = term_frequencies(
         tokenize(new_docs, doc_col=doc_col, text_col=text_col)
     ).select("doc_id", "term", "tf")
-    ds_mod.build_doc_stats(
-        new_docs.select(F.col(doc_col).alias("doc_id")),
-        tf_new,
-    ).write.mode("append").parquet(stats_path)
-    stats_df = spark.read.parquet(stats_path)
+    # CRASH SAFETY: doc_stats.parquet is appended LAST (step 8) — it
+    # feeds old_max, so a doc enters the replay filter only after its
+    # postings are fully folded in.  Until then the new stats ride as
+    # an in-plan union view.
+    stats_new = ds_mod.build_doc_stats(
+        new_docs.select(F.col(doc_col).alias("doc_id")), tf_new
+    )
+    stats_scratch = f"{out_dir}/.update_stats.parquet"
+    stats_new.write.mode("overwrite").parquet(stats_scratch)
+    stats_new = spark.read.parquet(stats_scratch)
+    stats_df = spark.read.parquet(stats_path).unionByName(stats_new)
     srow = stats_df.agg(
         F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg")
     ).collect()[0]
@@ -378,9 +461,14 @@ def update_index_incremental(
         F.col("z.doc_ids").alias("doc_id"),
         F.col("z.freqs").cast("int").alias("tf"),
     )
+    # dropDuplicates makes a REPLAY of a partially-applied update
+    # exact: if a crash left some parts already merged, the
+    # reconstructed lists contain the new docs too — the (term,
+    # doc_id) pair carries the same tf on both sides, so dedup
+    # converges to the same merged lists on any retry.
     tf_union = tf_old.unionByName(
         tf_new.select("term", "doc_id", F.col("tf").cast("int").alias("tf"))
-    )
+    ).dropDuplicates(["term", "doc_id"])
     new_chunks = p_mod.build_postings(
         tf_union, num_docs=num_docs, chunk_postings=chunk_postings,
         doc_norms=stats_df,
@@ -481,43 +569,24 @@ def update_index_incremental(
         for pid in sorted(done):
             fh.write(json.dumps(done[pid]) + "\n")
 
-    # ---- 7. manifest + term_stats refreeze (from the INFLATED view,
-    # so max_term_weight stays an upper bound for stale parts too)
-    total = spark.read.parquet(f"{out_dir}/index.parquet")
-    scales = part_bound_scales(out_dir, avg_len)
-    if scales:
-        total = b_mod.apply_bound_scales(total, scales)
-    total.groupBy("term").agg(
-        F.first("df").alias("df"),
-        F.first("cf").alias("cf"),
-        F.first("num_chunks").alias("num_chunks"),
-        F.max("chunk_max_weight").alias("max_term_weight"),
-        F.sum("n").alias("postings"),
-        F.sum(F.length("payload")).alias("payload_bytes"),
-    ).write.mode("overwrite").parquet(f"{out_dir}/term_stats.parquet.tmp_swap")
-    import shutil
+    # ---- 7. doc stats become visible LAST: a doc enters the replay
+    # filter (old_max) only once its postings are fully folded in, so
+    # a crash anywhere above replays exactly (tf dedup + part swaps
+    # are idempotent), and a crash after this append is healed by the
+    # finalize-recovery path on the next call.
+    stats_new.write.mode("append").parquet(stats_path)
 
-    shutil.rmtree(f"{out_dir}/term_stats.parquet", ignore_errors=True)
-    os.rename(
-        f"{out_dir}/term_stats.parquet.tmp_swap", f"{out_dir}/term_stats.parquet"
+    man = _refresh_sidecars(
+        spark, out_dir, man, num_docs, avg_len,
+        dict(
+            incremental_updates=int(man.get("incremental_updates", 0)) + 1,
+            model_drift_full_reencode=full_reencode and not universe_drift,
+            universe_drift_full_reencode=universe_drift,
+            update_sec=round(time.perf_counter() - t0, 3),
+            parts_reencoded=len(encode_parts),
+        ),
     )
-    agg = spark.read.parquet(f"{out_dir}/term_stats.parquet").agg(
-        F.sum("postings").alias("postings"), F.sum("payload_bytes").alias("bytes")
-    ).collect()[0]
-    man.update(
-        num_docs=num_docs,
-        avg_doc_len=avg_len,
-        total_postings=int(agg["postings"] or 0),
-        payload_bytes=int(agg["bytes"] or 0),
-        bits_per_posting=int(agg["bytes"] or 0) * 8 / int(agg["postings"] or 1),
-        incremental_updates=int(man.get("incremental_updates", 0)) + 1,
-        model_drift_full_reencode=full_reencode and not universe_drift,
-        universe_drift_full_reencode=universe_drift,
-        update_sec=round(time.perf_counter() - t0, 3),
-        parts_reencoded=len(encode_parts),
-    )
-    with open(f"{out_dir}/manifest.json", "w") as fh:
-        json.dump(man, fh, indent=2)
     aff_terms.unpersist()
     shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(stats_scratch, ignore_errors=True)
     return man

@@ -90,6 +90,10 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
                     q_mod._kernel_ranked_and(lists, tws, weights, np.float32, qid, k, len(c))
                 if run:
                     lat.append((time.perf_counter() - t0) * 1e6)
+        if not lat:  # every query OOV -> nothing sampled
+            stats[mode] = {"mean": 0.0, "q50": 0.0, "q90": 0.0, "q95": 0.0,
+                           "sampled": 0}
+            continue
         arr = np.array(lat)
         stats[mode] = {
             "mean": round(float(arr.mean()), 1),

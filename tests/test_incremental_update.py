@@ -228,6 +228,54 @@ def test_streaming_docs_fold_into_live_index(spark, tmp_path):
         )
 
 
+def test_replay_same_batch_is_noop(spark, tmp_path):
+    """At-least-once delivery: replaying an already-applied batch with
+    skip_stale must change nothing (doc stats enter the replay filter
+    only after the index is fully updated, so this also guards the
+    append-last crash-safety ordering)."""
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        update_index_incremental,
+    )
+
+    by_part = _vocab_by_part()
+    d = str(tmp_path / "idx")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part)), d, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    batch = _mk_docs(spark, _corpus_b(by_part))
+    update_index_incremental(spark, d, batch, skip_stale=True)
+    before = _decode_flat_rows(spark, d)
+    man2 = update_index_incremental(spark, d, batch, skip_stale=True)
+    assert man2["parts_reencoded"] == 0
+    assert _decode_flat_rows(spark, d) == before
+
+
+def test_recover_swaps_restores_interrupted_rename(tmp_path):
+    import os
+
+    from partitioned_ef_ans_spark.index.checkpoint import _recover_swaps
+
+    root = tmp_path / "index.parquet"
+    root.mkdir()
+    # crash between the two renames: final missing, bak present
+    (root / ".part=3.bak_swap").mkdir()
+    (root / ".part=3.bak_swap" / "f.parquet").write_bytes(b"x")
+    # stray tmp from an interrupted write
+    (root / ".part=5.tmp_swap").mkdir()
+    _recover_swaps([str(root)])
+    assert (root / "part=3" / "f.parquet").exists()
+    assert not (root / ".part=3.bak_swap").exists()
+    assert not (root / ".part=5.tmp_swap").exists()
+    # bak alongside a LIVE final dir (crash after promote): bak dropped
+    (root / ".part=3.bak_swap").mkdir()
+    _recover_swaps([str(root)])
+    assert (root / "part=3").exists()
+    assert not (root / ".part=3.bak_swap").exists()
+    assert os.listdir(root) == ["part=3"]
+
+
 def test_incremental_update_rejects_stale_doc_ids(spark, tmp_path):
     from partitioned_ef_ans_spark.index.checkpoint import (
         build_index_resumable,
