@@ -117,11 +117,24 @@ def cmd_create_freq_index(args) -> int:
     codec = resolve_type(args.type)
     spark = _spark(args)
     docs, doc_col, text_col = _read_corpus(spark, args.corpus, args)
-    m = b_mod.build_index(
-        spark, docs, args.out, codec=codec,
-        doc_col=doc_col, text_col=text_col,
-        chunk_postings=args.chunk_postings,
-    )
+    if args.resumable:
+        # checkpointed per-part layout: survives preemption and is the
+        # layout `update_index` extends incrementally
+        from partitioned_ef_ans_spark.index.checkpoint import (
+            build_index_resumable,
+        )
+
+        m = build_index_resumable(
+            spark, docs, args.out, codec=codec,
+            doc_col=doc_col, text_col=text_col,
+            chunk_postings=args.chunk_postings, num_parts=args.num_parts,
+        )
+    else:
+        m = b_mod.build_index(
+            spark, docs, args.out, codec=codec,
+            doc_col=doc_col, text_col=text_col,
+            chunk_postings=args.chunk_postings,
+        )
     # the reference's stats lines (create_freq_index.cpp:290-299)
     print(f"{args.type} collection built in {m['build_sec']:.3f} seconds")
     print(json.dumps({
@@ -244,6 +257,32 @@ def _read_query_lines(lines) -> list[tuple[int, list[str]]]:
     return qs
 
 
+def cmd_update_index(args) -> int:
+    """Fold new documents into an existing resumable-layout index
+    (incremental maintenance; see checkpoint.update_index_incremental)."""
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        update_index_incremental,
+    )
+
+    spark = _spark(args)
+    docs, doc_col, text_col = _read_corpus(spark, args.corpus, args)
+    man = update_index_incremental(
+        spark, args.index_dir, docs,
+        doc_col=doc_col, text_col=text_col, skip_stale=args.skip_stale,
+    )
+    print(json.dumps({
+        "num_docs": man["num_docs"],
+        "total_postings": man["total_postings"],
+        "bits_per_posting": round(man["bits_per_posting"], 3),
+        "parts_reencoded": man.get("parts_reencoded"),
+        "model_drift_full_reencode": man.get("model_drift_full_reencode"),
+        "universe_drift_full_reencode": man.get("universe_drift_full_reencode"),
+        "update_sec": man.get("update_sec"),
+    }))
+    spark.stop()
+    return 0
+
+
 def cmd_queries(args) -> int:
     from partitioned_ef_ans_spark.index import build as b_mod
     from partitioned_ef_ans_spark.index import query as q_mod
@@ -357,7 +396,20 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--check", action="store_true")
     b.add_argument("--chunk-postings", type=int, default=1 << 16)
     b.add_argument("--text-col", default="text")
+    b.add_argument("--resumable", action="store_true",
+                   help="checkpointed per-part layout (preemption-safe; "
+                        "required for update_index)")
+    b.add_argument("--num-parts", type=int, default=8)
     b.set_defaults(fn=cmd_create_freq_index)
+
+    u = sub.add_parser("update_index")
+    u.add_argument("index_dir")
+    u.add_argument("corpus")
+    u.add_argument("--skip-stale", action="store_true",
+                   help="silently drop already-indexed doc_ids "
+                        "(at-least-once replay tolerance)")
+    u.add_argument("--text-col", default="text")
+    u.set_defaults(fn=cmd_update_index)
 
     w = sub.add_parser("create_wand_data")
     w.add_argument("index_dir")

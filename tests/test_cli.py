@@ -95,6 +95,38 @@ def test_cli_pipeline_end_to_end(tmp_path):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def test_cli_resumable_build_then_update(tmp_path):
+    """create_freq_index --resumable -> update_index -> queries: the
+    CLI incremental-maintenance flow end-to-end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    idx = f"/dev/shm/pefa_cli_upd_{os.getpid()}"
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        run_cli("create_freq_index", "block_ansmsb", f"{SF}/documents.parquet",
+                idx, "--resumable", "--num-parts", "4")
+        new = str(tmp_path / "new.parquet")
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([1000, 1001], pa.int64()),
+                "text": ["dup dup fresh spark join", "the dup table scan"],
+            }),
+            new,
+        )
+        out = run_cli("update_index", idx, new)
+        rec = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
+        assert rec["num_docs"] == 502 and 1 <= rec["parts_reencoded"] <= 4
+
+        out = run_cli("queries", idx, "--print-topk", stdin="1\tdup\n")
+        topk = [l.split("\t") for l in out.splitlines()
+                if l and not l.startswith("{")]
+        docs = {int(t[2]) for t in topk}
+        assert {1000, 1001} & docs, "updated docs missing from top-k"
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def test_cli_package_and_spark_submit(tmp_path):
     """The --py-files packaging story: build the zip, then run a real
     ``spark-submit --py-files pefa.zip cli.py`` (north_rule's cluster
