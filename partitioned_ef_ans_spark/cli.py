@@ -283,6 +283,25 @@ def cmd_update_index(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Retrain models + full re-encode under the current corpus stats
+    (restores build-fresh compression and removes stale-bound
+    inflation after a chain of incremental updates)."""
+    from partitioned_ef_ans_spark.index.checkpoint import compact_index
+
+    spark = _spark(args)
+    man = compact_index(spark, args.index_dir)
+    print(json.dumps({
+        "num_docs": man["num_docs"],
+        "total_postings": man["total_postings"],
+        "bits_per_posting": round(man["bits_per_posting"], 3),
+        "compactions": man.get("compactions"),
+        "compact_sec": man.get("compact_sec"),
+    }))
+    spark.stop()
+    return 0
+
+
 def cmd_queries(args) -> int:
     from partitioned_ef_ans_spark.index import build as b_mod
     from partitioned_ef_ans_spark.index import query as q_mod
@@ -410,6 +429,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(at-least-once replay tolerance)")
     u.add_argument("--text-col", default="text")
     u.set_defaults(fn=cmd_update_index)
+
+    cpt = sub.add_parser("compact")
+    cpt.add_argument("index_dir")
+    cpt.set_defaults(fn=cmd_compact)
 
     w = sub.add_parser("create_wand_data")
     w.add_argument("index_dir")

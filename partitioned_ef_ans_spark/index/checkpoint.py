@@ -590,3 +590,79 @@ def update_index_incremental(
     shutil.rmtree(scratch, ignore_errors=True)
     shutil.rmtree(stats_scratch, ignore_errors=True)
     return man
+
+
+def compact_index(spark: SparkSession, out_dir: str) -> dict:
+    """Full re-encode of a resumable-layout index from its staging
+    table with freshly retrained models — the maintenance endgame
+    after a chain of incremental updates: frozen ANS models drift from
+    the grown corpus (compression degrades) and stale-bound inflation
+    weakens pruning.  Compaction retrains, re-encodes every part under
+    the CURRENT avg_doc_len, and resets every part's
+    ``avg_len_at_encode`` — after it, `part_bound_scales` is empty and
+    bits/posting returns to build-fresh."""
+    import pickle
+    import shutil
+
+    from partitioned_ef_ans_spark.session import ship_package
+
+    ship_package(spark)
+    t0 = time.perf_counter()
+    staging = f"{out_dir}/staging_postings.parquet"
+    _recover_swaps([staging, f"{out_dir}/index.parquet", out_dir])
+    with open(f"{out_dir}/manifest.json") as fh:
+        man = json.load(fh)
+    num_parts = int(man["num_parts"])
+    with open(f"{out_dir}/models.pkl", "rb") as fh:
+        side = pickle.load(fh)
+    codec = side["codec"]
+    staged = spark.read.parquet(staging)
+    srow = spark.read.parquet(f"{out_dir}/doc_stats.parquet").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg")
+    ).collect()[0]
+    num_docs, avg_len = int(srow["n"]), float(srow["avg"] or 0.0)
+
+    models = side["models"]
+    if codec in b_mod.ANS_CODEC_VARIANTS:
+        models = b_mod.train_ans_models(
+            staged, variant=b_mod.ANS_CODEC_VARIANTS[codec]
+        )
+    elif codec == "ans_packed":
+        models = b_mod.train_ans_packed_models(staged)
+    with open(f"{out_dir}/models.pkl", "wb") as fh:
+        pickle.dump({"codec": codec, "models": models}, fh)
+
+    codec_bc = spark.sparkContext.broadcast(
+        b_mod.IndexCodec(codec, models, num_docs=num_docs)
+    )
+    recs = {}
+    for pid in range(num_parts):
+        t_part = time.perf_counter()
+        idx_dir = f"{out_dir}/index.parquet/part={pid}"
+        enc = staged.where(F.col("part_id") == pid).drop("part_id").mapInPandas(
+            b_mod._encode_factory(codec_bc, avg_len), schema=b_mod.INDEX_SCHEMA
+        )
+        _swap_dir_write(enc, idx_dir)
+        stats_row = spark.read.parquet(idx_dir).agg(
+            F.sum("n").alias("postings"), F.sum(F.length("payload")).alias("bytes")
+        ).collect()[0]
+        recs[pid] = {
+            "part_id": pid,
+            "lineage": _lineage(spark, staged, pid),
+            "postings": int(stats_row["postings"] or 0),
+            "payload_bytes": int(stats_row["bytes"] or 0),
+            "elapsed_sec": round(time.perf_counter() - t_part, 3),
+            "codec": codec,
+            "avg_len_at_encode": avg_len,
+        }
+    with open(f"{out_dir}/checkpoints.jsonl", "w") as fh:
+        for pid in sorted(recs):
+            fh.write(json.dumps(recs[pid]) + "\n")
+    return _refresh_sidecars(
+        spark, out_dir, man, num_docs, avg_len,
+        dict(
+            compactions=int(man.get("compactions", 0)) + 1,
+            compact_sec=round(time.perf_counter() - t0, 3),
+            parts_reencoded=num_parts,
+        ),
+    )

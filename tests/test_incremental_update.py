@@ -276,6 +276,47 @@ def test_recover_swaps_restores_interrupted_rename(tmp_path):
     assert os.listdir(root) == ["part=3"]
 
 
+def test_compaction_resets_inflation_and_stays_exact(spark, tmp_path):
+    """After drifty incremental updates, compact_index retrains +
+    re-encodes everything under the current stats: the per-part bound
+    inflation disappears, and retrieval stays rank-identical to a
+    from-scratch rebuild."""
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        compact_index,
+        part_bound_scales,
+        update_index_incremental,
+    )
+
+    by_part = _vocab_by_part()
+    rows_a, rows_b = _corpus_a(by_part), _corpus_b(by_part)
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_index_resumable(
+        spark, _mk_docs(spark, rows_a), inc_dir, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    man = update_index_incremental(spark, inc_dir, _mk_docs(spark, rows_b))
+    if not man.get("model_drift_full_reencode"):
+        assert part_bound_scales(inc_dir, man["avg_doc_len"])
+
+    man2 = compact_index(spark, inc_dir)
+    assert man2["compactions"] == 1
+    assert part_bound_scales(inc_dir, man2["avg_doc_len"]) == {}
+
+    build_index_resumable(
+        spark, _mk_docs(spark, rows_a + rows_b), full_dir, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    full_man = json.load(open(f"{full_dir}/manifest.json"))
+    # fresh models on the merged corpus: compacted bpp == rebuild bpp
+    assert abs(man2["bits_per_posting"] - full_man["bits_per_posting"]) < 1e-9
+    qs = [(0, [by_part[0][0], by_part[2][0]]), (1, [by_part[3][1]])]
+    for mode in ("blockmax", "wand"):
+        assert _ranked(spark, inc_dir, qs, mode) == _ranked(
+            spark, full_dir, qs, mode
+        )
+
+
 def test_incremental_update_rejects_stale_doc_ids(spark, tmp_path):
     from partitioned_ef_ans_spark.index.checkpoint import (
         build_index_resumable,
