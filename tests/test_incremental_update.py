@@ -73,6 +73,22 @@ def _ranked(spark, out_dir, queries, mode):
     ]
 
 
+def _docpart(spark, out_dir, queries):
+    from partitioned_ef_ans_spark.index import blockmax as bmx
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    index_df, _s, ts, codec, man = b_mod.load_index(spark, out_dir)
+    res = bmx.run_blockmax_docpartitioned(
+        spark, index_df, queries_to_df(spark, queries), codec,
+        man["num_docs"], man["avg_doc_len"], term_stats_df=ts, k=10,
+    )
+    return [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in res.orderBy("query_id", "rank").collect()
+    ]
+
+
 def _decode_flat_rows(spark, out_dir):
     from partitioned_ef_ans_spark.cli import _decode_flat
     from partitioned_ef_ans_spark.index import build as b_mod
@@ -145,6 +161,8 @@ def test_incremental_update_matches_full_rebuild(spark, tmp_path, codec):
         assert _ranked(spark, inc_dir, qs, mode) == _ranked(
             spark, full_dir, qs, mode
         ), f"mode {mode} diverges from full rebuild"
+    # doc-partitioned pruned execution also honors the inflated bounds
+    assert _docpart(spark, inc_dir, qs) == _docpart(spark, full_dir, qs)
 
     # 4. a second update on top of the first also stays correct
     rows_c = [(200, rows_b[0][1]), (201, "zz_new_term " * 20)]
