@@ -148,6 +148,11 @@ def test_plans_pushdown_and_broadcast(spark, sf_small):
     )
     from partitioned_ef_ans_spark.tokenizer import term_frequencies, tokenize
 
+    # earlier tests may have cached a DataFrame whose logical plan
+    # matches this read (gate._get_index caches); Spark would then
+    # substitute the InMemoryRelation and change the plan shape this
+    # test asserts on
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
 
     # column pruning: tokenize must read only (doc_id, text)
