@@ -169,42 +169,11 @@ def cmd_create_freq_index(args) -> int:
 
 
 def _decode_flat(spark, index_df, codec):
-    """(term, doc_id, tf) from the compressed chunks — the CLI-side
-    twin of gate._index_decode_flat_impl, operating on an arbitrary
-    already-built index directory."""
-    from typing import Iterator
+    """(term, doc_id, tf long) from the compressed chunks — the shared
+    verification decode (index/build.py::decode_flat)."""
+    from partitioned_ef_ans_spark.index.build import decode_flat
 
-    import pandas as pd
-
-    from partitioned_ef_ans_spark.session import ship_package
-
-    ship_package(spark)
-    codec_bc = spark.sparkContext.broadcast(codec)
-
-    def decode_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        c = codec_bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            decoded = c.decode_lists([bytes(p) for p in pdf["payload"]])
-            terms, docs, tfs = [], [], []
-            for term, (d, f) in zip(pdf["term"], decoded):
-                terms.extend([term] * len(d))
-                docs.append(np.asarray(d, dtype=np.int64))
-                tfs.append(np.asarray(f, dtype=np.int64))
-            if not terms:
-                continue
-            yield pd.DataFrame({
-                "term": terms,
-                "doc_id": np.concatenate(docs),
-                "tf": np.concatenate(tfs),
-            })
-
-    return index_df.select("term", "payload").mapInPandas(
-        decode_all, schema="term string, doc_id long, tf long"
-    )
+    return decode_flat(spark, index_df, codec, tf_type="long")
 
 
 def cmd_create_wand_data(args) -> int:
@@ -213,8 +182,6 @@ def cmd_create_wand_data(args) -> int:
     wand_data.hpp:18-54).  Our chunks carry doc_lens + per-chunk max
     weights, so one vocabulary-sized aggregation reproduces
     term_stats.parquet bit-for-bit."""
-    from pyspark.sql import functions as F
-
     from partitioned_ef_ans_spark.index import build as b_mod
 
     spark = _spark(args)
@@ -222,18 +189,7 @@ def cmd_create_wand_data(args) -> int:
     # updated index the stale parts' bounds must be inflated, or the
     # re-derived max_term_weight would under-bound true BM25 weights
     index_df, _s, _t, _codec, _man = b_mod.load_index(spark, args.index_dir)
-    out = (
-        index_df.groupBy("term")
-        .agg(
-            F.first("df").alias("df"),
-            F.first("cf").alias("cf"),
-            F.first("num_chunks").alias("num_chunks"),
-            F.max("chunk_max_weight").alias("max_term_weight"),
-            F.sum("n").alias("postings"),
-            F.sum(F.length("payload")).alias("payload_bytes"),
-        )
-    )
-    out.write.mode("overwrite").parquet(args.out)
+    b_mod.term_stats_agg(index_df).write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(f"wand data: {n} terms -> {args.out}")
     spark.stop()

@@ -291,39 +291,10 @@ def q_index_decode_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _index_decode_flat_impl(spark: SparkSession, sf_dir: str, codec: str) -> DataFrame:
-    from typing import Iterator
-
-    import pandas as pd
+    from partitioned_ef_ans_spark.index.build import decode_flat
 
     ix = _get_index(spark, sf_dir, codec=codec)
-    codec_bc = spark.sparkContext.broadcast(ix["codec"])
-
-    def decode_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from partitioned_ef_ans_spark.codecs import blocks as blk
-
-        codec = codec_bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            decoded = codec.decode_lists([bytes(p) for p in pdf["payload"]])
-            terms, docs, tfs = [], [], []
-            for term, (d, f) in zip(pdf["term"], decoded):
-                terms.extend([term] * len(d))
-                docs.append(d)
-                tfs.append(f)
-            yield pd.DataFrame(
-                {
-                    "term": terms,
-                    "doc_id": np.concatenate(docs),
-                    "tf": np.concatenate(tfs).astype(np.int32),
-                }
-            )
-
-    return ix["index_df"].select("term", "payload").mapInPandas(
-        decode_all, schema="term string, doc_id long, tf int"
-    )
+    return decode_flat(spark, ix["index_df"], ix["codec"])
 
 
 def q_index_decode_flat_pef(spark: SparkSession, sf_dir: str) -> DataFrame:

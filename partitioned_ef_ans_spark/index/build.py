@@ -455,14 +455,9 @@ def build_index(
     # postings/bytes ride along so the global metrics come from this
     # (vocabulary-sized) table — one index scan, not two.
     written = spark.read.parquet(f"{out_dir}/index.parquet")
-    written.groupBy("term").agg(
-        F.first("df").alias("df"),
-        F.first("cf").alias("cf"),
-        F.first("num_chunks").alias("num_chunks"),
-        F.max("chunk_max_weight").alias("max_term_weight"),
-        F.sum("n").alias("postings"),
-        F.sum(F.length("payload")).alias("payload_bytes"),
-    ).write.mode("overwrite").parquet(f"{out_dir}/term_stats.parquet")
+    term_stats_agg(written).write.mode("overwrite").parquet(
+        f"{out_dir}/term_stats.parquet"
+    )
 
     agg_row = (
         spark.read.parquet(f"{out_dir}/term_stats.parquet")
@@ -534,6 +529,59 @@ def build_index(
     postings.unpersist()
     codec_bc.destroy()
     return metrics
+
+
+def decode_flat(spark, index_df: DataFrame, codec, tf_type: str = "int") -> DataFrame:
+    """Decode the ENTIRE compressed index back to (term, doc_id, tf) —
+    the verification pass (create_freq_index.cpp:15-62) shared by the
+    gate's decode-equality entries and the CLI's ``--check``."""
+    from typing import Iterator
+
+    from partitioned_ef_ans_spark.session import ship_package
+
+    ship_package(spark)
+    codec_bc = spark.sparkContext.broadcast(codec)
+
+    def decode_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = codec_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            decoded = c.decode_lists([bytes(p) for p in pdf["payload"]])
+            terms, docs, tfs = [], [], []
+            for term, (d, f) in zip(pdf["term"], decoded):
+                terms.extend([term] * len(d))
+                docs.append(d)
+                tfs.append(f)
+            if not terms:
+                continue
+            tf_np = np.concatenate(tfs)
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "doc_id": np.concatenate(docs),
+                    "tf": tf_np.astype(np.int32) if tf_type == "int" else tf_np,
+                }
+            )
+
+    return index_df.select("term", "payload").mapInPandas(
+        decode_all, schema=f"term string, doc_id long, tf {tf_type}"
+    )
+
+
+def term_stats_agg(index_df: DataFrame) -> DataFrame:
+    """The frozen per-term WAND metadata (the reference's
+    m_max_term_weight, wand_data.hpp:35-50,78-81) plus the per-term
+    postings/bytes that make it the single source of the global
+    metrics — one vocabulary-sized aggregation, one index scan."""
+    return index_df.groupBy("term").agg(
+        F.first("df").alias("df"),
+        F.first("cf").alias("cf"),
+        F.first("num_chunks").alias("num_chunks"),
+        F.max("chunk_max_weight").alias("max_term_weight"),
+        F.sum("n").alias("postings"),
+        F.sum(F.length("payload")).alias("payload_bytes"),
+    )
 
 
 def apply_bound_scales(index_df: DataFrame, scales: dict[int, float]) -> DataFrame:

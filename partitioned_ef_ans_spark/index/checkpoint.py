@@ -184,14 +184,9 @@ def build_index_resumable(
 
     total = spark.read.parquet(f"{out_dir}/index.parquet")
     # freeze the per-term WAND metadata like the non-resumable build
-    total.groupBy("term").agg(
-        F.first("df").alias("df"),
-        F.first("cf").alias("cf"),
-        F.first("num_chunks").alias("num_chunks"),
-        F.max("chunk_max_weight").alias("max_term_weight"),
-        F.sum("n").alias("postings"),
-        F.sum(F.length("payload")).alias("payload_bytes"),
-    ).write.mode("overwrite").parquet(f"{out_dir}/term_stats.parquet")
+    b_mod.term_stats_agg(total).write.mode("overwrite").parquet(
+        f"{out_dir}/term_stats.parquet"
+    )
     agg = total.agg(
         F.sum("n").alias("postings"), F.sum(F.length("payload")).alias("bytes")
     ).collect()[0]
@@ -318,15 +313,7 @@ def _refresh_sidecars(
     scales = part_bound_scales(out_dir, avg_len)
     if scales:
         total = b_mod.apply_bound_scales(total, scales)
-    ts = total.groupBy("term").agg(
-        F.first("df").alias("df"),
-        F.first("cf").alias("cf"),
-        F.first("num_chunks").alias("num_chunks"),
-        F.max("chunk_max_weight").alias("max_term_weight"),
-        F.sum("n").alias("postings"),
-        F.sum(F.length("payload")).alias("payload_bytes"),
-    )
-    _swap_dir_write(ts, f"{out_dir}/term_stats.parquet")
+    _swap_dir_write(b_mod.term_stats_agg(total), f"{out_dir}/term_stats.parquet")
     agg = spark.read.parquet(f"{out_dir}/term_stats.parquet").agg(
         F.sum("postings").alias("postings"), F.sum("payload_bytes").alias("bytes")
     ).collect()[0]

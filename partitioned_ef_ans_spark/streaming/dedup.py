@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-DEDUP_STREAM_SCHEMA = "doc_id long, content string"
+from partitioned_ef_ans_spark.streaming.ingest import CORPUS_STREAM_SCHEMA
+
 OUTPUT_SCHEMA = (
     "doc_id long, sha256 string, canonical_doc_id long, is_duplicate boolean"
 )
@@ -72,7 +73,7 @@ def start_streaming_dedup(
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
-    src = spark.readStream.schema(DEDUP_STREAM_SCHEMA).parquet(input_dir)
+    src = spark.readStream.schema(CORPUS_STREAM_SCHEMA).parquet(input_dir)
     hashed = src.select(
         "doc_id", F.sha2(F.col("content"), 256).alias("sha256")
     )

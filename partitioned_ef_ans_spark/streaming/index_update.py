@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-CORPUS_STREAM_SCHEMA = "doc_id long, content string"
+from partitioned_ef_ans_spark.streaming.ingest import CORPUS_STREAM_SCHEMA
 
 
 def start_index_update_stream(
