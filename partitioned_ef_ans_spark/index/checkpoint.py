@@ -302,6 +302,61 @@ def _ans_counts_for(postings: DataFrame, variant: str):
     return cd, cf
 
 
+class UpdateInProgress(RuntimeError):
+    pass
+
+
+def _locked(fn):
+    """Run ``fn(spark, out_dir, ...)`` under the directory's
+    single-writer update lock."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, out_dir, *args, **kwargs):
+        with _update_lock(out_dir):
+            return fn(spark, out_dir, *args, **kwargs)
+
+    return wrapper
+
+
+class _update_lock:
+    """Single-writer guard for an index directory: two concurrent
+    updates/compactions would race the part swaps.  A crashed holder
+    (dead pid) is taken over silently — the replay machinery makes the
+    interrupted update's re-run exact."""
+
+    def __init__(self, out_dir: str):
+        self.path = f"{out_dir}/.update_lock"
+
+    def __enter__(self):
+        if os.path.exists(self.path):
+            try:
+                pid = int(open(self.path).read().strip() or 0)
+            except ValueError:
+                pid = 0
+            alive = False
+            if pid:
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except (ProcessLookupError, PermissionError):
+                    alive = False
+            if alive and pid != os.getpid():
+                raise UpdateInProgress(
+                    f"another update (pid {pid}) holds {self.path}"
+                )
+        with open(self.path, "w") as fh:
+            fh.write(str(os.getpid()))
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+        return False
+
+
 def _refresh_sidecars(
     spark: SparkSession, out_dir: str, man: dict,
     num_docs: int, avg_len: float, extra: dict,
@@ -330,6 +385,7 @@ def _refresh_sidecars(
     return man
 
 
+@_locked
 def update_index_incremental(
     spark: SparkSession,
     out_dir: str,
@@ -579,6 +635,7 @@ def update_index_incremental(
     return man
 
 
+@_locked
 def compact_index(spark: SparkSession, out_dir: str) -> dict:
     """Full re-encode of a resumable-layout index from its staging
     table with freshly retrained models — the maintenance endgame

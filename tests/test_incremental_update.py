@@ -335,6 +335,42 @@ def test_compaction_resets_inflation_and_stays_exact(spark, tmp_path):
         )
 
 
+def test_update_lock_blocks_concurrent_writers(spark, tmp_path):
+    """A live holder of the update lock blocks a second writer with a
+    clear error; a dead holder's lock is taken over silently."""
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        UpdateInProgress,
+        build_index_resumable,
+        update_index_incremental,
+    )
+
+    by_part = _vocab_by_part()
+    d = str(tmp_path / "idx")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part)), d, codec="u32",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    batch = _mk_docs(spark, [(500, "t000 t001")])
+    import os
+    import subprocess
+    import sys
+
+    # a LIVE foreign pid holds the lock -> second writer refuses
+    holder = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    try:
+        with open(f"{d}/.update_lock", "w") as fh:
+            fh.write(str(holder.pid))
+        with pytest.raises(UpdateInProgress):
+            update_index_incremental(spark, d, batch)
+    finally:
+        holder.kill()
+        holder.wait()
+    # the holder died -> stale lock is taken over and the update runs
+    man = update_index_incremental(spark, d, batch)
+    assert man["num_docs"] == 41
+    assert not os.path.exists(f"{d}/.update_lock")
+
+
 def test_incremental_update_rejects_stale_doc_ids(spark, tmp_path):
     from partitioned_ef_ans_spark.index.checkpoint import (
         build_index_resumable,
