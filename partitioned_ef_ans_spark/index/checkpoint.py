@@ -280,7 +280,9 @@ def _recover_swaps(roots: list[str]) -> None:
 
 def _ans_counts_for(postings: DataFrame, variant: str):
     """(docs_counts, freqs_counts) raw-model count matrices for the
-    given chunked lists (the train_ans_models pass 1, without freeze)."""
+    given chunked lists (the train_ans_models pass 1, without freeze;
+    same two-level merge so the driver fan-in stays bounded even when
+    an update touches most of the vocabulary)."""
     import numpy as np
 
     from partitioned_ef_ans_spark.codecs import ans_msb
@@ -289,6 +291,10 @@ def _ans_counts_for(postings: DataFrame, variant: str):
         postings.select("doc_ids", "freqs")
         .mapInPandas(
             b_mod._count_batches_factory(variant), schema="stream string, counts binary"
+        )
+        .repartition(b_mod._MERGE_FANIN)
+        .mapInPandas(
+            b_mod._merge_sparse_partials, schema="stream string, counts binary"
         )
         .collect()
     )
