@@ -7,11 +7,12 @@ from SURVEY.md §2 with a DuckDB-equivalent oracle.
 Registry order matters: the driver's correctness artifact records the
 FIRST 50 entries, so every entry of unique value (core relational
 plane, indexed retrieval modes, codec-family decode-equality unions,
-the 19 training-pipeline operators) sits inside that window; only the
-three rows-only ANS stats twins (independently pinned by pytest —
+the 21 training/event-pipeline operators) sits inside that window;
+only the rows-only ANS stats twins (independently pinned by pytest —
 tests/test_decode_kinds.py, tests/test_stats_pinned.py) sit at the
 tail.  Per-codec decode twins are collapsed into three family-union
-entries (same oracle strength, 3 slots instead of 13).
+entries and the four EF-family WAND twins into one (same oracle
+strength, fewer slots) — 51 entries total, 47 oracle-hashed.
 """
 
 from __future__ import annotations
