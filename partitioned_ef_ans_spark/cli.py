@@ -213,6 +213,17 @@ def _read_query_lines(lines) -> list[tuple[int, list[str]]]:
     return qs
 
 
+def _require_resumable_layout(index_dir: str) -> None:
+    import os
+
+    if not os.path.exists(f"{index_dir}/staging_postings.parquet/_SUCCESS"):
+        raise SystemExit(
+            f"{index_dir} is not a resumable-layout index (no staging "
+            "table) — build it with create_freq_index --resumable to "
+            "use update_index/compact"
+        )
+
+
 def cmd_update_index(args) -> int:
     """Fold new documents into an existing resumable-layout index
     (incremental maintenance; see checkpoint.update_index_incremental)."""
@@ -220,6 +231,7 @@ def cmd_update_index(args) -> int:
         update_index_incremental,
     )
 
+    _require_resumable_layout(args.index_dir)
     spark = _spark(args)
     docs, doc_col, text_col = _read_corpus(spark, args.corpus, args)
     man = update_index_incremental(
@@ -245,6 +257,7 @@ def cmd_compact(args) -> int:
     inflation after a chain of incremental updates)."""
     from partitioned_ef_ans_spark.index.checkpoint import compact_index
 
+    _require_resumable_layout(args.index_dir)
     spark = _spark(args)
     man = compact_index(spark, args.index_dir)
     print(json.dumps({

@@ -415,14 +415,20 @@ def build_index(
     stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats.parquet")
     stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
     agg = stats_df.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg")
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"),
+        F.max("doc_id").alias("mx"),
     ).collect()[0]
     num_docs = int(agg["n"])
     avg_len = float(agg["avg"] or 0.0)
+    # the docID UNIVERSE (EF layout bound + chunk stride) is max_id+1,
+    # NOT the doc count — equal for densely-assigned ids, but sparse
+    # ids (incremental updates only require freshness) would otherwise
+    # overflow the EF higher-bits region and corrupt payloads
+    universe = int(agg["mx"]) + 1 if agg["mx"] is not None else 0
     t_stats = time.perf_counter()
 
     postings = p_mod.build_postings(
-        tf, num_docs=num_docs, chunk_postings=chunk_postings, doc_norms=stats_df
+        tf, num_docs=universe, chunk_postings=chunk_postings, doc_norms=stats_df
     )
     postings = postings.cache()
 
@@ -437,7 +443,7 @@ def build_index(
     t_model = time.perf_counter()
 
     sc = spark.sparkContext
-    codec_bundle = IndexCodec(codec, models, num_docs=num_docs)
+    codec_bundle = IndexCodec(codec, models, num_docs=universe)
     codec_bc = sc.broadcast(codec_bundle)
 
     index_df = postings.mapInPandas(
@@ -506,6 +512,7 @@ def build_index(
     metrics = {
         "codec": codec,
         "num_docs": num_docs,
+        "universe": universe,
         "avg_doc_len": avg_len,
         "total_postings": total_postings,
         "payload_bytes": payload_bytes,
@@ -612,7 +619,13 @@ def load_index(spark: SparkSession, out_dir: str):
         side = pickle.load(fh)
     with open(f"{out_dir}/manifest.json") as fh:
         manifest = json.load(fh)
-    codec = IndexCodec(side["codec"], side["models"], num_docs=manifest["num_docs"])
+    codec = IndexCodec(
+        side["codec"], side["models"],
+        # decode universe = the universe the payloads were ENCODED
+        # under (max_id+1), falling back to num_docs for pre-universe
+        # manifests (dense ids, where the two are equal)
+        num_docs=manifest.get("universe", manifest["num_docs"]),
+    )
     index_df = spark.read.parquet(f"{out_dir}/index.parquet")
     if "part" in index_df.columns:
         from partitioned_ef_ans_spark.index.checkpoint import part_bound_scales

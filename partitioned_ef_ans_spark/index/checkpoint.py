@@ -97,24 +97,27 @@ def build_index_resumable(
         )
         stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats.parquet")
         stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
-        num_docs = stats_df.count()
+        mx = stats_df.agg(F.max("doc_id")).collect()[0][0]
         postings = p_mod.build_postings(
-            tf, num_docs=num_docs, chunk_postings=chunk_postings,
-            doc_norms=stats_df,
+            tf, num_docs=(int(mx) + 1 if mx is not None else 0),
+            chunk_postings=chunk_postings, doc_norms=stats_df,
         ).withColumn("part_id", F.crc32(F.col("term")) % num_parts)
         postings.write.mode("overwrite").partitionBy("part_id").parquet(staging)
         tf.unpersist()
 
     staged = spark.read.parquet(staging)
     # doc_lens ride inside the staged chunks; the driver only needs
-    # the scalars (num_docs, avg_len) — no num_docs-sized collect
+    # the scalars (num_docs, avg_len, universe) — no num_docs-sized
+    # collect
     srow = (
         spark.read.parquet(f"{out_dir}/doc_stats.parquet")
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"),
+             F.max("doc_id").alias("mx"))
         .collect()[0]
     )
     num_docs = int(srow["n"])
     avg_len = float(srow["avg"] or 0.0)
+    universe = int(srow["mx"]) + 1 if srow["mx"] is not None else 0
 
     models_path = f"{out_dir}/models.pkl"
     if not os.path.exists(models_path):
@@ -136,7 +139,7 @@ def build_index_resumable(
         with open(models_path, "rb") as fh:
             models = pickle.load(fh)["models"]
 
-    codec_bundle = b_mod.IndexCodec(codec, models, num_docs=num_docs)
+    codec_bundle = b_mod.IndexCodec(codec, models, num_docs=universe)
     codec_bc = spark.sparkContext.broadcast(codec_bundle)
 
     # ---- stage 2: per-part encode with checkpoints
@@ -193,6 +196,7 @@ def build_index_resumable(
     metrics = {
         "codec": codec,
         "num_docs": num_docs,
+        "universe": universe,
         "avg_doc_len": avg_len,
         "num_parts": num_parts,
         "parts_encoded_this_run": encoded_parts,
@@ -325,41 +329,82 @@ def _locked(fn):
     return wrapper
 
 
+#: lock paths held by THIS process (threads of one driver — e.g. two
+#: foreachBatch streams on the same index — must also exclude each
+#: other; the pid file alone cannot tell them apart)
+_HELD_LOCKS: set[str] = set()
+_HELD_LOCKS_GUARD = __import__("threading").Lock()
+
+
 class _update_lock:
     """Single-writer guard for an index directory: two concurrent
-    updates/compactions would race the part swaps.  A crashed holder
-    (dead pid) is taken over silently — the replay machinery makes the
-    interrupted update's re-run exact."""
+    updates/compactions would race the part swaps.  Acquisition is an
+    atomic O_CREAT|O_EXCL create; a DEAD holder's lock is taken over
+    (the replay machinery makes the interrupted run's re-do exact),
+    while EPERM from kill(pid, 0) means the holder EXISTS under
+    another uid and is treated as alive."""
 
     def __init__(self, out_dir: str):
         self.path = f"{out_dir}/.update_lock"
 
+    def _try_acquire(self) -> bool:
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(os.getpid()))
+        return True
+
     def __enter__(self):
-        if os.path.exists(self.path):
+        with _HELD_LOCKS_GUARD:
+            if self.path in _HELD_LOCKS:
+                raise UpdateInProgress(
+                    f"this process already holds {self.path}"
+                )
+            _HELD_LOCKS.add(self.path)
+        try:
+            if self._try_acquire():
+                return self
             try:
                 pid = int(open(self.path).read().strip() or 0)
-            except ValueError:
+            except (ValueError, FileNotFoundError):
                 pid = 0
             alive = False
             if pid:
                 try:
                     os.kill(pid, 0)
                     alive = True
-                except (ProcessLookupError, PermissionError):
+                except ProcessLookupError:
                     alive = False
-            if alive and pid != os.getpid():
+                except PermissionError:
+                    alive = True  # exists under another uid
+            if alive:
                 raise UpdateInProgress(
                     f"another update (pid {pid}) holds {self.path}"
                 )
-        with open(self.path, "w") as fh:
-            fh.write(str(os.getpid()))
-        return self
+            # dead holder: remove the stale file and retry atomically
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
+            if not self._try_acquire():
+                raise UpdateInProgress(
+                    f"lost the takeover race for {self.path}"
+                )
+            return self
+        except BaseException:
+            with _HELD_LOCKS_GUARD:
+                _HELD_LOCKS.discard(self.path)
+            raise
 
     def __exit__(self, *exc):
         try:
             os.remove(self.path)
         except FileNotFoundError:
             pass
+        with _HELD_LOCKS_GUARD:
+            _HELD_LOCKS.discard(self.path)
         return False
 
 
@@ -458,14 +503,19 @@ def update_index_incremental(
     new_min = new_docs.agg(F.min(F.col(doc_col))).collect()[0][0]
     if new_min is None:
         srow = spark.read.parquet(stats_path).agg(
-            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg")
+            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"),
+            F.max("doc_id").alias("mx"),
         ).collect()[0]
         if int(srow["n"]) != int(man["num_docs"]):
             # a prior update crashed between the final stats append
             # and the sidecar refresh — finalize it now
+            uni = max(
+                int(man.get("universe", man["num_docs"])),
+                int(srow["mx"]) + 1 if srow["mx"] is not None else 0,
+            )
             return _refresh_sidecars(
                 spark, out_dir, man, int(srow["n"]), float(srow["avg"]),
-                {"recovered_finalize": True},
+                {"recovered_finalize": True, "universe": uni},
             )
         return {**man, "update_sec": 0.0, "parts_reencoded": 0}
     if old_max is not None and new_min <= old_max:
@@ -487,9 +537,15 @@ def update_index_incremental(
     stats_new = spark.read.parquet(stats_scratch)
     stats_df = spark.read.parquet(stats_path).unionByName(stats_new)
     srow = stats_df.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg")
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"),
+        F.max("doc_id").alias("mx"),
     ).collect()[0]
     num_docs, avg_len = int(srow["n"]), float(srow["avg"] or 0.0)
+    # docID universe for EF layout + chunk stride: max_id+1, never
+    # shrinking below what earlier payloads were encoded under
+    universe = max(
+        int(man.get("universe", man["num_docs"])), int(srow["mx"]) + 1
+    )
 
     # ---- 2. affected terms -> parts
     part_col = (F.crc32(F.col("term")) % num_parts).cast("int")
@@ -519,7 +575,7 @@ def update_index_incremental(
         tf_new.select("term", "doc_id", F.col("tf").cast("int").alias("tf"))
     ).dropDuplicates(["term", "doc_id"])
     new_chunks = p_mod.build_postings(
-        tf_union, num_docs=num_docs, chunk_postings=chunk_postings,
+        tf_union, num_docs=universe, chunk_postings=chunk_postings,
         doc_norms=stats_df,
     ).withColumn("part_id", part_col)
     # materialize BEFORE any staging swap: the lazy plan reads every
@@ -566,11 +622,15 @@ def update_index_incremental(
     elif codec == "ans_packed":
         full_reencode = True
         models = b_mod.train_ans_packed_models(staged)
-    if full_reencode:
-        with open(f"{out_dir}/models.pkl", "wb") as fh:
-            pickle.dump({"codec": codec, "models": models}, fh)
+    # NOTE: when retraining, models.pkl is rewritten only AFTER every
+    # part is re-encoded (below) — writing it first would leave a
+    # crashed run's not-yet-re-encoded parts undecodable, and the
+    # replay's coverage check would then wrongly pass against the new
+    # models.  A crash mid-re-encode replays with the OLD pkl, detects
+    # drift again, deterministically retrains the same models, and
+    # overwrites every part again.
 
-    codec_bundle = b_mod.IndexCodec(codec, models, num_docs=num_docs)
+    codec_bundle = b_mod.IndexCodec(codec, models, num_docs=universe)
     codec_bc = spark.sparkContext.broadcast(codec_bundle)
     encode_parts = list(range(num_parts)) if full_reencode else aff_parts
 
@@ -611,6 +671,9 @@ def update_index_incremental(
             "codec": codec,
             "avg_len_at_encode": avg_len,
         }
+    if full_reencode:
+        with open(f"{out_dir}/models.pkl", "wb") as fh:
+            pickle.dump({"codec": codec, "models": models}, fh)
     for pid, rec in done.items():
         # pre-update records: bounds were encoded under the OLD avg
         rec.setdefault("avg_len_at_encode", old_avg)
@@ -628,6 +691,7 @@ def update_index_incremental(
     man = _refresh_sidecars(
         spark, out_dir, man, num_docs, avg_len,
         dict(
+            universe=universe,
             incremental_updates=int(man.get("incremental_updates", 0)) + 1,
             model_drift_full_reencode=full_reencode and not universe_drift,
             universe_drift_full_reencode=universe_drift,
@@ -668,9 +732,27 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     codec = side["codec"]
     staged = spark.read.parquet(staging)
     srow = spark.read.parquet(f"{out_dir}/doc_stats.parquet").agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg")
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"),
+        F.max("doc_id").alias("mx"),
     ).collect()[0]
     num_docs, avg_len = int(srow["n"]), float(srow["avg"] or 0.0)
+    universe = max(
+        int(man.get("universe", man["num_docs"])),
+        int(srow["mx"]) + 1 if srow["mx"] is not None else 0,
+    )
+    # a crashed update may have merged postings into staging whose doc
+    # stats never landed — compacting that state would bake stale
+    # num_docs/avg_len (and an under-sized universe) into every
+    # payload.  Detect and direct the caller to the self-healing path.
+    staged_mx = staged.agg(F.max(F.array_max("doc_ids"))).collect()[0][0]
+    if staged_mx is not None and int(staged_mx) >= universe:
+        raise RuntimeError(
+            f"staging contains doc_id {staged_mx} beyond the stats "
+            f"universe {universe} — an interrupted update left postings "
+            "without their doc stats; re-run update_index_incremental "
+            "with the interrupted batch (replay is exact) before "
+            "compacting"
+        )
 
     models = side["models"]
     if codec in b_mod.ANS_CODEC_VARIANTS:
@@ -679,11 +761,12 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         )
     elif codec == "ans_packed":
         models = b_mod.train_ans_packed_models(staged)
-    with open(f"{out_dir}/models.pkl", "wb") as fh:
-        pickle.dump({"codec": codec, "models": models}, fh)
+    # models.pkl is rewritten only after every part is re-encoded
+    # (below): a crash mid-loop must leave the old pkl matching the
+    # old payloads; the re-run retrains deterministically.
 
     codec_bc = spark.sparkContext.broadcast(
-        b_mod.IndexCodec(codec, models, num_docs=num_docs)
+        b_mod.IndexCodec(codec, models, num_docs=universe)
     )
     recs = {}
     for pid in range(num_parts):
@@ -705,12 +788,15 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
             "codec": codec,
             "avg_len_at_encode": avg_len,
         }
+    with open(f"{out_dir}/models.pkl", "wb") as fh:
+        pickle.dump({"codec": codec, "models": models}, fh)
     with open(f"{out_dir}/checkpoints.jsonl", "w") as fh:
         for pid in sorted(recs):
             fh.write(json.dumps(recs[pid]) + "\n")
     return _refresh_sidecars(
         spark, out_dir, man, num_docs, avg_len,
         dict(
+            universe=universe,
             compactions=int(man.get("compactions", 0)) + 1,
             compact_sec=round(time.perf_counter() - t0, 3),
             parts_reencoded=num_parts,

@@ -94,19 +94,16 @@ def build_postings(
         struct_cols.append("doc_len")
     chunked = joined.withColumn(
         "chunk_id", (F.col("doc_id") / F.col("doc_stride")).cast("int")
-    ).select("term", "chunk_id", *struct_cols)
-    # the groupBy exchange now ships only (term, chunk_id, buf) —
-    # df/cf/num_chunks re-attach from the broadcast AFTER aggregation
-    # instead of riding the partial-agg rows as first() buffers (a
-    # per-group-instance saving, and three fewer agg buffers to
-    # maintain per group)
+    )
+    # df/cf/num_chunks ride the partial agg as first() buffers — a
+    # post-agg re-join of the dfs table would execute the whole
+    # term_doc_freqs aggregation twice (two differently-pruned
+    # broadcasts, no exchange reuse; measured in the physical plan)
     lists = chunked.groupBy("term", "chunk_id").agg(
+        F.first("df").alias("df"),
+        F.first("cf").alias("cf"),
+        F.first("num_chunks").alias("num_chunks"),
         F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("plist"),
-    ).join(
-        F.broadcast(dfs.select("term", "df", "cf", "num_chunks"))
-        if broadcast_dictionary
-        else dfs.select("term", "df", "cf", "num_chunks"),
-        "term",
     )
     out_cols = [
         "term",

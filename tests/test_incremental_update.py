@@ -335,6 +335,53 @@ def test_compaction_resets_inflation_and_stays_exact(spark, tmp_path):
         )
 
 
+@pytest.mark.parametrize("codec", ["pef", "ans"])
+def test_sparse_doc_ids_update_uses_true_universe(spark, tmp_path, codec):
+    """The update contract only requires fresh (not dense) doc_ids:
+    EF-family payloads laid out against the doc COUNT instead of
+    max_id+1 silently corrupt once ids are sparse.  Both the EF
+    full-re-encode path and the block-family incremental path must
+    stay lossless and rank-identical to a full rebuild on the same
+    sparse ids."""
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        update_index_incremental,
+    )
+
+    by_part = _vocab_by_part()
+    rows_a = _corpus_a(by_part)
+    rows_b = [(1000, " ".join(by_part[0][:3] * 5)),
+              (5000, " ".join(by_part[2][:3] * 7))]
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_index_resumable(
+        spark, _mk_docs(spark, rows_a), inc_dir, codec=codec,
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    man = update_index_incremental(spark, inc_dir, _mk_docs(spark, rows_b))
+    assert man["universe"] == 5001 and man["num_docs"] == 42
+
+    from partitioned_ef_ans_spark.tokenizer import term_frequencies, tokenize
+
+    truth = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in term_frequencies(
+            tokenize(_mk_docs(spark, rows_a + rows_b),
+                     doc_col="doc_id", text_col="text")
+        ).collect()
+    }
+    assert _decode_flat_rows(spark, inc_dir) == truth
+
+    build_index_resumable(
+        spark, _mk_docs(spark, rows_a + rows_b), full_dir, codec=codec,
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    qs = [(0, [by_part[0][0], by_part[2][0]]), (1, [by_part[3][1]])]
+    for mode in ("taat", "blockmax"):
+        assert _ranked(spark, inc_dir, qs, mode) == _ranked(
+            spark, full_dir, qs, mode
+        )
+
+
 def test_update_lock_blocks_concurrent_writers(spark, tmp_path):
     """A live holder of the update lock blocks a second writer with a
     clear error; a dead holder's lock is taken over silently."""
