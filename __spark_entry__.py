@@ -6,13 +6,16 @@ from SURVEY.md §2 with a DuckDB-equivalent oracle.
 
 Registry order matters: the driver's correctness artifact records the
 FIRST 50 entries, so every entry of unique value (core relational
-plane, indexed retrieval modes, codec-family decode-equality unions,
-the 21 training/event-pipeline operators) sits inside that window;
-only the rows-only ANS stats twins (independently pinned by pytest —
-tests/test_decode_kinds.py, tests/test_stats_pinned.py) sit at the
-tail.  Per-codec decode twins are collapsed into three family-union
-entries and the four EF-family WAND twins into one (same oracle
-strength, fewer slots) — 51 entries total, 47 oracle-hashed.
+plane, indexed retrieval modes incl. the true-BMW extension,
+codec-family decode-equality unions covering all 16 reference index
+types, the 21 training/event-pipeline operators) sits inside that
+window; only the rows-only ANS stats twins (independently pinned by
+pytest — tests/test_decode_kinds.py, tests/test_stats_pinned.py) sit
+past it.  Per-codec decode twins are collapsed into three
+family-union entries and the four EF-family WAND twins into one (same
+oracle strength, fewer slots) — 52 entries total, 49 oracle-hashed
+(transform_queries is hashed via the pinned Porter stem table,
+functions/stem_fixture.py), 3 rows-only.
 """
 
 from __future__ import annotations
@@ -53,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockmax_docpart_top10": gate.q_blockmax_docpart_top10,
         "maxscore_top10": gate.q_maxscore_top10,
         "maxscore_blockmax_top10": gate.q_maxscore_blockmax_top10,
+        "wand_bmw_top10": gate.q_wand_bmw_top10,
         "taat_top10": gate.q_taat_top10,
         "ranked_or_docpart": gate.q_ranked_or_docpart,
         "ranked_or_indexed": gate.q_ranked_or_indexed,
@@ -98,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "blockmax_docpart_top10": gate.sql_ranked_or(),
         "maxscore_top10": gate.sql_ranked_or(),
         "maxscore_blockmax_top10": gate.sql_ranked_or(),
+        "wand_bmw_top10": gate.sql_ranked_or(),
         "taat_top10": gate.sql_ranked_or(),
         "ranked_or_docpart": gate.sql_ranked_or(),
         "ranked_or_indexed": gate.sql_ranked_or(),

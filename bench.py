@@ -182,6 +182,122 @@ def latency_mode():
     print(json.dumps(out))
 
 
+def maintenance_mode():
+    """`bench.py --maintenance`: the incremental-update economics the
+    correctness tests don't show — update wall/postings-per-sec vs
+    batch size, the update-vs-rebuild crossover, the bits/posting
+    drift across an update chain, and compaction restoring build-fresh
+    bpp.  One JSON line like every other mode."""
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark import corpus as c_mod
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        compact_index,
+        update_index_incremental,
+    )
+    from partitioned_ef_ans_spark.session import get_spark
+
+    batches = [int(x) for x in os.environ.get(
+        "PEFA_MAINT_BATCHES", "100,1000,10000"
+    ).split(",")]
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_path = f"/dev/shm/pefa_bench_corpus_{SYNTH_DOCS}"
+    if not os.path.exists(f"{corpus_path}/_SUCCESS"):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", F.col("text").alias("content")
+        )
+        n_real = docs.count()
+        synth = c_mod.synthesize_corpus_distributed(
+            spark, SYNTH_DOCS, vocab_size=20000, num_partitions=2 * CPUS
+        ).select(
+            (
+                F.regexp_extract("path", r"f(\d+)\.", 1).cast("long") + F.lit(n_real)
+            ).alias("doc_id"),
+            "content",
+        )
+        docs.unionByName(synth).repartition(64).write.mode("overwrite").parquet(
+            corpus_path
+        )
+    corpus = spark.read.parquet(corpus_path).withColumnRenamed("content", "text")
+    n_total = corpus.count()
+    holdout = sum(batches)
+    cut = n_total - holdout
+
+    import shutil
+
+    q: dict = {}
+    idx = f"/dev/shm/pefa_maint_{os.getpid()}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    base_m = build_index_resumable(
+        spark, corpus.where(F.col("doc_id") < cut), idx,
+        codec="ans", num_parts=16, chunk_postings=1 << 16,
+    )
+    q["base_build_sec"] = round(time.perf_counter() - t0, 2)
+    q["base_postings"] = base_m["total_postings"]
+    q["base_bpp"] = round(base_m["bits_per_posting"], 4)
+    q["base_build_postings_per_sec"] = round(
+        base_m["total_postings"] / q["base_build_sec"], 1
+    )
+
+    lo = cut
+    prev_postings = base_m["total_postings"]
+    for b in batches:
+        batch = corpus.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + b)
+        )
+        t0 = time.perf_counter()
+        m = update_index_incremental(spark, idx, batch)
+        dt = time.perf_counter() - t0
+        new_postings = m["total_postings"] - prev_postings
+        q[f"update_{b}_sec"] = round(dt, 2)
+        q[f"update_{b}_new_postings"] = int(new_postings)
+        q[f"update_{b}_new_postings_per_sec"] = round(new_postings / dt, 1)
+        q[f"update_{b}_bpp"] = round(m["bits_per_posting"], 4)
+        prev_postings = m["total_postings"]
+        lo += b
+
+    # the alternative a user weighs each update against: a full fresh
+    # rebuild of the SAME final corpus
+    idx_rb = f"{idx}_rebuild"
+    shutil.rmtree(idx_rb, ignore_errors=True)
+    t0 = time.perf_counter()
+    rb_m = build_index_resumable(
+        spark, corpus, idx_rb, codec="ans", num_parts=16,
+        chunk_postings=1 << 16,
+    )
+    q["full_rebuild_sec"] = round(time.perf_counter() - t0, 2)
+    q["fresh_bpp"] = round(rb_m["bits_per_posting"], 4)
+    q["bpp_drift_pct"] = round(
+        100.0 * (q[f"update_{batches[-1]}_bpp"] / q["fresh_bpp"] - 1.0), 3
+    )
+
+    t0 = time.perf_counter()
+    cm = compact_index(spark, idx)
+    q["compact_sec"] = round(time.perf_counter() - t0, 2)
+    q["compacted_bpp"] = round(cm["bits_per_posting"], 4)
+
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(idx_rb, ignore_errors=True)
+    spark.stop()
+    out = {
+        "metric": "incremental_maintenance",
+        "value": q[f"update_{batches[0]}_sec"],
+        "unit": "sec",
+        "queries": q,
+        "sf": SF_DIR,
+        "synth_docs": SYNTH_DOCS,
+        "batches": batches,
+        "cpus": CPUS,
+    }
+    with open(Path(__file__).resolve().parent / "BENCH_MAINT.json", "w") as fh:
+        json.dump(out, fh)
+    print(json.dumps(out))
+
+
 def codecs_mode():
     """`bench.py --codecs`: build every index family on the same corpus
     and report bits/posting + build seconds side by side (the
@@ -227,6 +343,9 @@ def main():
         return
     if "--codecs" in sys.argv:
         codecs_mode()
+        return
+    if "--maintenance" in sys.argv:
+        maintenance_mode()
         return
     if "--scaling" in sys.argv:
         # N -> 4N parallelism on identical input.  The pair is (2, 8):

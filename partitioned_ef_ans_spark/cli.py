@@ -108,6 +108,27 @@ def _read_corpus(spark, path: str, args):
     )
 
 
+def _apply_partition_knobs(args) -> None:
+    """Mirror configuration.hpp:28-31's env knobs (QS_EPS1 / QS_EPS2 /
+    QS_FIXCOST) from CLI flags: exported BEFORE the SparkSession so
+    local-mode python workers inherit them, and pushed into the
+    driver-side module for any in-process encode.  On a real cluster
+    set spark.executorEnv.QS_* too (documented in --help)."""
+    import os
+
+    from partitioned_ef_ans_spark.codecs import ef as ef_mod
+
+    for flag, env, attr, cast in (
+        ("eps1", "QS_EPS1", "EPS1", float),
+        ("eps2", "QS_EPS2", "EPS2", float),
+        ("fix_cost", "QS_FIXCOST", "FIX_COST", int),
+    ):
+        v = getattr(args, flag, None)
+        if v is not None:
+            os.environ[env] = str(v)
+            setattr(ef_mod, attr, cast(v))
+
+
 def cmd_create_freq_index(args) -> int:
     from pyspark.sql import functions as F
 
@@ -115,6 +136,7 @@ def cmd_create_freq_index(args) -> int:
     from partitioned_ef_ans_spark.tokenizer import term_frequencies, tokenize
 
     codec = resolve_type(args.type)
+    _apply_partition_knobs(args)
     spark = _spark(args)
     docs, doc_col, text_col = _read_corpus(spark, args.corpus, args)
     if args.resumable:
@@ -137,6 +159,8 @@ def cmd_create_freq_index(args) -> int:
         )
     # the reference's stats lines (create_freq_index.cpp:290-299)
     print(f"{args.type} collection built in {m['build_sec']:.3f} seconds")
+    from partitioned_ef_ans_spark.codecs import ef as ef_mod
+
     print(json.dumps({
         "type": args.type, "codec": codec, "worker_threads": None,
         "construction_time": m["build_sec"],
@@ -146,6 +170,10 @@ def cmd_create_freq_index(args) -> int:
         "bits_per_posting": m["bits_per_posting"],
         "postings_per_sec": round(m["total_postings"] / m["build_sec"], 1),
         "num_docs": m["num_docs"],
+        # effective DP knobs (configuration.hpp parity — flags export
+        # QS_* env vars so executors see the same values)
+        "eps1": ef_mod.EPS1, "eps2": ef_mod.EPS2,
+        "fix_cost": ef_mod.FIX_COST,
     }))
     rc = 0
     if args.check:
@@ -388,6 +416,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpointed per-part layout (preemption-safe; "
                         "required for update_index)")
     b.add_argument("--num-parts", type=int, default=8)
+    b.add_argument("--eps1", type=float, default=None,
+                   help="PEF partition-DP approximation knob "
+                        "(configuration.hpp QS_EPS1, default 0.03); "
+                        "exported as QS_EPS1 — on a cluster also set "
+                        "spark.executorEnv.QS_EPS1")
+    b.add_argument("--eps2", type=float, default=None,
+                   help="PEF window cost-ladder growth "
+                        "(QS_EPS2, default 0.3)")
+    b.add_argument("--fix-cost", type=int, default=None,
+                   help="per-partition fixed cost in bits for the DP "
+                        "(QS_FIXCOST, default 64)")
     b.set_defaults(fn=cmd_create_freq_index)
 
     u = sub.add_parser("update_index")

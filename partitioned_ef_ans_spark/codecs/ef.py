@@ -28,11 +28,19 @@ there, SURVEY.md §4).
 Knobs (global_parameters.hpp:6-13, configuration.hpp:28-31):
 ef_log_sampling0=9, ef_log_sampling1=8, rb_log_rank1_sampling=9,
 rb_log_sampling1=8, log_partition_size=7, eps1=0.03, eps2=0.3,
-fix_cost=64.
+fix_cost=64.  The DP knobs are env-tunable under the REFERENCE'S OWN
+variable names (QS_EPS1/QS_EPS2/QS_FIXCOST — configuration.hpp's
+fillvar), read once at import like the reference's singleton; they
+only steer the partition CHOICE (the encoded stream is
+self-describing), so indexes built under different eps settings stay
+decode-compatible.  QS_LOG_PART is deliberately NOT env-read: the
+uniform family's partition step is implied, not stored, so changing
+it between encode and decode would corrupt payloads.
 """
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass
 
 import numpy as np
@@ -42,9 +50,9 @@ EF_LOG_SAMPLING1 = 8
 RB_LOG_RANK1_SAMPLING = 9
 RB_LOG_SAMPLING1 = 8
 LOG_PARTITION_SIZE = 7
-EPS1 = 0.03
-EPS2 = 0.3
-FIX_COST = 64
+EPS1 = float(_os.environ.get("QS_EPS1") or 0.03)
+EPS2 = float(_os.environ.get("QS_EPS2") or 0.3)
+FIX_COST = int(_os.environ.get("QS_FIXCOST") or 64)
 
 U64 = np.uint64
 _ONE = np.uint64(1)
@@ -625,7 +633,7 @@ def strict_cost_fast(u: int, m: int) -> int:
 
 
 def optimal_partition(values: np.ndarray, universe: int, cost_fun,
-                      eps1: float = EPS1, eps2: float = EPS2,
+                      eps1: float | None = None, eps2: float | None = None,
                       kind: str | None = None) -> list[int]:
     """The (1+eps)-approximate space-optimal partition DP
     (optimal_partition.hpp:70-125): windows capped at geometrically
@@ -637,6 +645,12 @@ def optimal_partition(values: np.ndarray, universe: int, cost_fun,
     millions of times and a python call per evaluation doubles encode
     time.  cost_fun is still used for the single-block and lower-bound
     costs, and for everything when kind is None."""
+    # late-bound defaults: the module globals may have been set from
+    # QS_EPS1/QS_EPS2 env vars (or by the CLI) after import
+    if eps1 is None:
+        eps1 = EPS1
+    if eps2 is None:
+        eps2 = EPS2
     size = len(values)
     single = int(cost_fun(universe, size))
     # costs are integral bit counts; the reference's cost_t is uint64,

@@ -216,6 +216,15 @@ def q_maxscore_blockmax_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _indexed_ranked(spark, sf_dir, "maxscore_blockmax")
 
 
+def q_wand_bmw_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful Block-Max WAND (Ding & Suel 2011) — the true-BMW
+    extension the reference's WAND leaves on list maxima: shallow
+    per-block re-bound at the pivot + block-boundary skipping
+    (query._kernel_wand_bmw).  Non-default mode; must stay
+    rank-identical to the ranked-OR oracle."""
+    return _indexed_ranked(spark, sf_dir, "wand_bmw")
+
+
 def q_ranked_or_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-partitioned exhaustive BM25 over the compressed index
     (second distribution axis: per-chunk partial scores + hash-agg +
@@ -423,7 +432,9 @@ EF_FAMILY_CODECS = ("pef", "ef", "single", "uniform")
 ANS_FAMILY_CODECS = (
     "ans_max1d", "ans_minmax2d", "ans_med90p2d", "ans_med90p2dm", "ans_packed",
 )
-BLOCK_FAMILY_CODECS = ("simple16", "interpolative", "optpfor", "varintg8iu")
+BLOCK_FAMILY_CODECS = (
+    "simple16", "interpolative", "optpfor", "varintg8iu", "u32", "vbyte",
+)
 
 
 def _decode_flat_union(spark: SparkSession, sf_dir: str, codecs) -> DataFrame:
@@ -460,7 +471,9 @@ def q_index_decode_flat_ans_family(spark: SparkSession, sf_dir: str) -> DataFram
 
 def q_index_decode_flat_block_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-equality across the non-ANS block codecs: simple16 (K7),
-    interpolative (K4), optpfor (K2), varint-G8IU (K3)."""
+    interpolative (K4), optpfor (K2), varint-G8IU (K3), u32 (K5),
+    vbyte (K6) — with the EF and ANS unions this driver-hashes all
+    16 reference index families."""
     return _decode_flat_union(spark, sf_dir, BLOCK_FAMILY_CODECS)
 
 

@@ -458,9 +458,11 @@ FROM documents"""
 
 def q_transform_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 (transform_queries.cpp): text queries -> (stemmed-id,
-    unstemmed-id) sequences with whole-query OOV drop.  Rows-only (the
-    Porter stemmer has no SQL equivalent in this sandbox); semantics
-    covered by tests/test_transform.py."""
+    unstemmed-id) sequences with whole-query OOV drop.  Oracle-hashed
+    via the pinned stem table (functions/stem_fixture.py) — DuckDB has
+    no Porter stemmer, but the gate vocabulary is closed, so the
+    fixture join is exact; semantics also covered by
+    tests/test_transform.py."""
     from partitioned_ef_ans_spark import tokenizer
     from partitioned_ef_ans_spark.operators.dictionary import build_term_dictionary
     from partitioned_ef_ans_spark.operators.ranked import queries_to_df
@@ -519,6 +521,62 @@ def q_transform_queries_uids(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.transform("uterm_ids", lambda x: x.cast("string"))
         ).alias("uline"),
     )
+
+
+def sql_transform_queries() -> str:
+    """Full S6 oracle: both the stemmed and unstemmed id lines.
+
+    DuckDB has no Porter stemmer, so stemming goes through the PINNED
+    stem table (functions/stem_fixture.py — the gate corpus vocabulary
+    is closed at 31 terms, identical at every sf, and pytest locks the
+    fixture against a live recomputation over the actual parquet
+    vocabulary).  The stemmed dictionary is rebuilt in SQL exactly as
+    build_term_dictionary does it: distinct stems of distinct corpus
+    terms, row_number ordered by stem, 0-based."""
+    from partitioned_ef_ans_spark.functions.stem_fixture import (
+        stem_fixture_values_sql,
+    )
+    from partitioned_ef_ans_spark.gate import GATE_QUERIES, _TOK_CTE
+
+    rows = []
+    for qid, terms in GATE_QUERIES:
+        for pos, t in enumerate(terms):
+            rows.append(f"({qid}, {pos}, '{t.lower()}')")
+    q_vals = "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS q(query_id, pos, term)"
+    return f"""
+WITH {_TOK_CTE},
+udict AS (
+  SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS term_id
+  FROM (SELECT DISTINCT term FROM tok)
+),
+sdict AS (
+  SELECT stemmed, CAST(row_number() OVER (ORDER BY stemmed) - 1 AS BIGINT) AS sid
+  FROM (
+    SELECT DISTINCT stemmap.stemmed
+    FROM (SELECT DISTINCT term FROM tok) v
+    JOIN {stem_fixture_values_sql()} USING (term)
+  )
+),
+q AS ({q_vals}),
+qs AS (
+  SELECT q.query_id, q.pos, q.term, stemmap.stemmed
+  FROM q LEFT JOIN {stem_fixture_values_sql()} ON q.term = stemmap.term
+),
+m AS (
+  SELECT qs.query_id, qs.pos, sd.sid, ud.term_id AS uid
+  FROM qs
+  LEFT JOIN sdict sd ON qs.stemmed = sd.stemmed
+  LEFT JOIN udict ud ON qs.term = ud.term
+),
+keep AS (
+  SELECT query_id FROM m GROUP BY query_id
+  HAVING max(CASE WHEN sid IS NULL OR uid IS NULL THEN 1 ELSE 0 END) = 0
+)
+SELECT m.query_id,
+       string_agg(CAST(sid AS VARCHAR), ' ' ORDER BY pos) AS tline,
+       string_agg(CAST(uid AS VARCHAR), ' ' ORDER BY pos) AS uline
+FROM m JOIN keep USING (query_id)
+GROUP BY m.query_id"""
 
 
 def sql_transform_queries_uids() -> str:
@@ -686,8 +744,10 @@ TRAINING_ORACLES = {
     "events_windowed": sql_events_windowed(),
     "events_sessions": sql_events_sessions(),
     "corpus_sha": sql_corpus_sha(),
-    # transform_queries: rows-only (no SQL Porter stemmer available);
-    # the unstemmed half is exactly checked by transform_queries_uids
+    # transform_queries: hashed via the pinned stem table (DuckDB has
+    # no Porter stemmer; functions/stem_fixture.py is pytest-locked to
+    # a live recomputation over the actual corpus vocabulary)
+    "transform_queries": sql_transform_queries(),
     "transform_queries_uids": sql_transform_queries_uids(),
     "multimodal_meta": sql_multimodal_meta(),
     "multimodal_features": sql_multimodal_features(),

@@ -52,6 +52,12 @@ B_REL = 1e-6
 B_ABS = 1e-12
 TAU_MARGIN = 1e-6
 
+#: in-process pruning instrumentation (read by the latency bench):
+#: blocks referenced by queries vs blocks the kernels actually had to
+#: score — quantifies selective-decode power.  Two integer adds per
+#: query; harmless in Spark workers (each worker accumulates its own).
+DECODE_COUNTERS = {"blocks_referenced": 0, "blocks_scored": 0}
+
 
 def _inflate(x):
     return x * (1.0 + B_REL) + B_ABS
@@ -265,6 +271,8 @@ def kernel_blockmax(pdf: pd.DataFrame, codec, num_docs: int, avg_len: float, k: 
     )
     uniq, prefix_live = _live_intervals(all_starts, all_ends, all_ubs, tau)
     survive = _surviving(all_starts, all_ends, uniq, prefix_live)
+    DECODE_COUNTERS["blocks_referenced"] += len(survive)
+    DECODE_COUNTERS["blocks_scored"] += int(survive.sum())
 
     # 3. gather surviving blocks: cached chunks are SLICED from the
     #    worker decode cache; only cold chunks hit the codec, batched
@@ -428,6 +436,12 @@ def kernel_maxscore_blockmax(
         first_ess += 1
     essential = order[first_ess:]
 
+    DECODE_COUNTERS["blocks_referenced"] += sum(
+        sum(d["nblocks"]) for d in per_term.values()
+    )
+    DECODE_COUNTERS["blocks_scored"] += sum(
+        sum(per_term[t]["nblocks"]) for t in essential
+    )
     sub = pdf[pdf["term"].isin(essential)]
     lists_e, norms_e = q._decode_group(sub, codec, avg_len)
     tws_e = q._term_weights(lists_e, norms_e, dtype, tag=codec.tag)
@@ -459,6 +473,9 @@ def kernel_maxscore_blockmax(
             > 0
             for ci in range(len(d["payloads"]))
         ]
+        DECODE_COUNTERS["blocks_scored"] += int(
+            sum(int(m.sum()) for m in masks)
+        )
         docs, freqs, nsl = _gather_term_blocks(d, masks, codec, bs)
         if not len(docs):
             continue

@@ -336,27 +336,139 @@ _HELD_LOCKS: set[str] = set()
 _HELD_LOCKS_GUARD = __import__("threading").Lock()
 
 
+#: lease length for the writer lock: a holder heartbeats the lock
+#: file's mtime every ``ttl/4``; a contender on a DIFFERENT host (where
+#: pids mean nothing) treats the lock as stale only once the heartbeat
+#: is older than the ttl.  Same-host dead pids are taken over at once.
+_LOCK_LEASE_TTL = 60.0
+
+
 class _update_lock:
     """Single-writer guard for an index directory: two concurrent
-    updates/compactions would race the part swaps.  Acquisition is an
-    atomic O_CREAT|O_EXCL create; a DEAD holder's lock is taken over
-    (the replay machinery makes the interrupted run's re-do exact),
-    while EPERM from kill(pid, 0) means the holder EXISTS under
-    another uid and is treated as alive."""
+    updates/compactions would race the part swaps.
 
-    def __init__(self, out_dir: str):
+    Acquisition writes the holder record ``pid host acquired_ts`` to a
+    unique temp file and ``os.link``s it to the lock path, so the
+    content is atomic WITH the creation — a contender can never read a
+    momentarily-empty lock and mistake a live holder for dead (falls
+    back to O_EXCL + fsync'd write where link() is unsupported, and an
+    empty/unparsable record is then treated as ALIVE with a short
+    retry, never deleted).
+
+    Liveness is a lease, not bare pids: the holder heartbeats the lock
+    mtime from a daemon thread; a same-host holder is additionally
+    checked with ``kill(pid, 0)`` (EPERM = exists under another uid =
+    alive).  A cross-host record — where pids are meaningless, e.g. a
+    shared NFS/object-store mount — is stale only when its heartbeat
+    has exceeded ``_LOCK_LEASE_TTL``.  Takeover renames the stale file
+    to a graveyard name first, so of N racing contenders only the one
+    whose rename succeeds may re-acquire."""
+
+    def __init__(self, out_dir: str, ttl: float = _LOCK_LEASE_TTL):
         self.path = f"{out_dir}/.update_lock"
+        self.ttl = ttl
+        self._hb_stop = None
+        self._hb_thread = None
+
+    def _record(self) -> str:
+        import socket
+        import time as _t
+
+        return f"{os.getpid()} {socket.gethostname()} {_t.time():.3f}"
 
     def _try_acquire(self) -> bool:
+        tmp = f"{self.path}.{os.getpid()}.{id(self)}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(self._record())
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, self.path)
+            return True
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as fh:
-            fh.write(str(os.getpid()))
-        return True
+        except OSError:
+            # link() unsupported (some FUSE/object-store mounts):
+            # O_EXCL create, content written before close — the
+            # empty-read window is closed on the READER side instead
+            # (empty record == alive + brief retry)
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as fh:
+                fh.write(self._record())
+                fh.flush()
+                os.fsync(fh.fileno())
+            return True
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+
+    def _holder_state(self) -> tuple[bool, str]:
+        """(alive, description) for the current lock file.  Missing
+        file -> dead (retryable); empty/unparsable -> alive (a writer
+        mid-create on a non-link fallback — never delete it)."""
+        import socket
+        import time as _t
+
+        try:
+            raw = open(self.path).read().strip()
+            mtime = os.stat(self.path).st_mtime
+        except (FileNotFoundError, OSError):
+            return False, "gone"
+        parts = raw.split()
+        pid = None
+        if parts:
+            try:
+                pid = int(parts[0])
+            except ValueError:
+                pid = None
+        if pid is None:
+            # empty/unparsable: a writer mid-create on the non-link
+            # fallback — alive while its lease is fresh, reclaimable
+            # once the mtime ages past the ttl (crashed mid-create)
+            age = __import__("time").time() - mtime
+            if age > self.ttl:
+                return False, f"abandoned mid-create record ({age:.0f}s old)"
+            return True, "empty record (writer mid-create)"
+        host = parts[1] if len(parts) > 1 else socket.gethostname()
+        if host == socket.gethostname():
+            # same host (legacy bare-pid records land here too):
+            # pid liveness is authoritative
+            try:
+                os.kill(pid, 0)
+                return True, f"pid {pid} alive on this host"
+            except ProcessLookupError:
+                return False, f"pid {pid} dead on this host"
+            except PermissionError:
+                return True, f"pid {pid} exists under another uid"
+        # cross-host: only the heartbeat lease can decide
+        age = _t.time() - mtime
+        if age > self.ttl:
+            return False, f"lease from {host} expired ({age:.0f}s > {self.ttl:.0f}s)"
+        return True, f"lease from {host} fresh ({age:.0f}s old)"
+
+    def _start_heartbeat(self):
+        import threading
+
+        self._hb_stop = threading.Event()
+
+        def beat(stop=self._hb_stop, path=self.path, period=self.ttl / 4):
+            while not stop.wait(period):
+                try:
+                    os.utime(path)
+                except (FileNotFoundError, OSError):
+                    return
+
+        self._hb_thread = threading.Thread(target=beat, daemon=True)
+        self._hb_thread.start()
 
     def __enter__(self):
+        import time as _t
+
         with _HELD_LOCKS_GUARD:
             if self.path in _HELD_LOCKS:
                 raise UpdateInProgress(
@@ -364,41 +476,43 @@ class _update_lock:
                 )
             _HELD_LOCKS.add(self.path)
         try:
-            if self._try_acquire():
-                return self
-            try:
-                pid = int(open(self.path).read().strip() or 0)
-            except (ValueError, FileNotFoundError):
-                pid = 0
-            alive = False
-            if pid:
+            for _attempt in range(3):
+                if self._try_acquire():
+                    self._start_heartbeat()
+                    return self
+                alive, why = self._holder_state()
+                if alive and ("mid-create" in why or "unparsable" in why):
+                    # give a non-link writer a beat to finish its
+                    # write, then re-check before erroring
+                    _t.sleep(0.2)
+                    alive, why = self._holder_state()
+                if alive:
+                    raise UpdateInProgress(
+                        f"another update holds {self.path}: {why}"
+                    )
+                # stale holder: claim it by RENAME (atomic — only one
+                # of N contenders wins), then re-acquire
+                grave = f"{self.path}.stale.{os.getpid()}.{id(self)}"
                 try:
-                    os.kill(pid, 0)
-                    alive = True
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    alive = True  # exists under another uid
-            if alive:
-                raise UpdateInProgress(
-                    f"another update (pid {pid}) holds {self.path}"
-                )
-            # dead holder: remove the stale file and retry atomically
-            try:
-                os.remove(self.path)
-            except FileNotFoundError:
-                pass
-            if not self._try_acquire():
-                raise UpdateInProgress(
-                    f"lost the takeover race for {self.path}"
-                )
-            return self
+                    os.rename(self.path, grave)
+                except FileNotFoundError:
+                    continue  # another contender claimed it first
+                try:
+                    os.remove(grave)
+                except FileNotFoundError:
+                    pass
+            raise UpdateInProgress(
+                f"lost the takeover race for {self.path}"
+            )
         except BaseException:
             with _HELD_LOCKS_GUARD:
                 _HELD_LOCKS.discard(self.path)
             raise
 
     def __exit__(self, *exc):
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+            self._hb_thread.join(timeout=2)
         try:
             os.remove(self.path)
         except FileNotFoundError:

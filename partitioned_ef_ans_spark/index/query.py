@@ -68,7 +68,8 @@ class _Enum:
     doc-side weight array (query-independent); per-step scoring is
     ``q_weight * w[pos]`` — scalar math, no allocations in the loop."""
 
-    __slots__ = ("docs", "w", "pos", "n", "sentinel", "q_weight", "max_weight", "cur")
+    __slots__ = ("docs", "w", "pos", "n", "sentinel", "q_weight",
+                 "max_weight", "cur", "block_ends", "block_ubs")
 
     def __init__(self, docs, w, sentinel, q_weight=0.0, max_weight=0.0):
         self.docs = docs.tolist()  # python ints: no np-scalar boxing in the loop
@@ -343,6 +344,114 @@ def _kernel_wand(lists, tws, weights, max_weights, dtype, qid, k, num_docs, extr
     return _topk_rows([(s, -d) for s, d in heap], qid, k)
 
 
+def _kernel_wand_bmw(
+    lists, tws, weights, max_weights, blocks_meta, dtype, qid, k, num_docs,
+    extra=10,
+):
+    """Faithful Block-Max WAND (Ding & Suel, SIGIR 2011 — the "true
+    BMW" extension the reference leaves on WAND's list-level maxima):
+    pivot selection uses LIST maxima exactly like _kernel_wand, then a
+    SHALLOW check re-bounds the pivot with the prefix lists' CURRENT
+    block maxima; when the block-level bound cannot enter the heap the
+    walk skips straight to d' = min(prefix block boundaries)+1 capped
+    by the next list's docid (Algorithm 2's candidate rule) without
+    scoring anything in between.
+
+    Exactness: every doc in [pivot, d'-1] appears only in the prefix
+    lists (d' is capped by ordered[p+1].cur) and lies inside the SAME
+    blocks that bounded the pivot, so its score is <= the failed
+    shallow bound.  Block bounds are float32-stored — inflated by the
+    blockmax module's relative margin so a float64 score can never
+    exceed its bound.  Results are rank-identical to ranked_or.
+
+    ``blocks_meta``: {term: (block_ends int64 asc, block_ubs f64)}
+    with block_ubs already = inflate(q_weight * block_max_weight).
+    """
+    kk = k + extra
+    enums = []
+    for t in sorted(lists):
+        en = _Enum(
+            lists[t][0],
+            tws[t],
+            num_docs,
+            q_weight=dtype(weights[t]),
+            max_weight=dtype(weights[t]) * dtype(max_weights[t]),
+        )
+        en.block_ends, en.block_ubs = blocks_meta[t]
+        enums.append(en)
+    heap: list[tuple[float, int]] = []
+
+    def would_enter(ub: float) -> bool:
+        return len(heap) < kk or ub > heap[0][0]
+
+    ordered = sorted(enums, key=lambda e: e.cur)
+    while True:
+        upper = dtype(0)
+        pivot = None
+        for i, en in enumerate(ordered):
+            if en.cur == num_docs:
+                break
+            upper = upper + en.max_weight
+            if would_enter(float(upper)):
+                pivot = i
+                break
+        if pivot is None:
+            break
+        pivot_id = ordered[pivot].cur
+        # extend the pivot across docid TIES (BMW Algorithm 2; the
+        # reference does the same in its pivot walk): every list
+        # sitting exactly on pivot_id contributes to that doc, so the
+        # shallow bound and the skip cap must include them all — a
+        # prefix cut between tied lists would skip a doc whose
+        # out-of-prefix contribution the bound never saw
+        while pivot + 1 < len(ordered) and ordered[pivot + 1].cur == pivot_id:
+            pivot += 1
+        # ---- shallow (block-level) check over the prefix
+        bub = 0.0
+        min_be = num_docs - 1
+        for en in ordered[: pivot + 1]:
+            j = int(np.searchsorted(en.block_ends, pivot_id))
+            if j < len(en.block_ends):
+                bub += float(en.block_ubs[j])
+                be = int(en.block_ends[j])
+                if be < min_be:
+                    min_be = be
+        if not would_enter(bub):
+            d_skip = min_be + 1
+            if pivot + 1 < len(ordered) and ordered[pivot + 1].cur < d_skip:
+                d_skip = ordered[pivot + 1].cur
+            if d_skip <= pivot_id:
+                d_skip = pivot_id + 1
+            # advance the strongest prefix list past the dead zone
+            en = max(ordered[: pivot + 1], key=lambda e: float(e.max_weight))
+            en.next_geq(d_skip)
+            ordered.sort(key=lambda e: e.cur)
+            continue
+        if pivot_id == ordered[0].cur:
+            score = dtype(0)
+            for en in ordered:
+                if en.cur != pivot_id:
+                    break
+                score = score + en.q_weight * en.w[en.pos]
+                en.next()
+            item = (float(score), -pivot_id)
+            if len(heap) < kk:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            ordered.sort(key=lambda e: e.cur)
+        else:
+            nxt = pivot
+            while ordered[nxt].cur == pivot_id:
+                nxt -= 1
+            ordered[nxt].next_geq(pivot_id)
+            i = nxt + 1
+            while i < len(ordered) and ordered[i].cur < ordered[i - 1].cur:
+                ordered[i], ordered[i - 1] = ordered[i - 1], ordered[i]
+                i += 1
+    return _topk_rows([(s, -d) for s, d in heap], qid, k)
+
+
 def _kernel_maxscore(lists, tws, weights, max_weights, dtype, qid, k, num_docs, extra=10):
     """MaxScore (queries.hpp:478-587): lists ordered by max_weight;
     essential lists drive the frontier, non-essential ones are probed
@@ -452,6 +561,23 @@ def make_ranked_kernel(codec_bc, num_docs, avg_len, k, mode, dtype_name="float64
             return _kernel_wand(
                 lists, tws, weights, max_weights, dtype, qid, k, num_docs
             )
+        if mode == "wand_bmw":
+            from partitioned_ef_ans_spark.index.blockmax import _inflate
+
+            spdf = pdf.sort_values(["term", "chunk_id"])
+            bmeta = {}
+            for t, g in spdf.groupby("term", sort=True):
+                ends = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in g["block_maxs"]]
+                )
+                bw = np.concatenate(
+                    [np.asarray(x, dtype=np.float64) for x in g["block_max_weights"]]
+                )
+                bmeta[t] = (ends, _inflate(float(weights[t]) * bw))
+            return _kernel_wand_bmw(
+                lists, tws, weights, max_weights, bmeta, dtype, qid, k,
+                num_docs,
+            )
         if mode == "maxscore":
             return _kernel_maxscore(
                 lists, tws, weights, max_weights, dtype, qid, k, num_docs
@@ -531,6 +657,41 @@ def query_lists_df(
     return idx.join(F.broadcast(per_term_max), "term")
 
 
+#: per-TASK compressed-bytes budget for the query-parallel gather: a
+#: query whose referenced posting lists exceed this routes to the
+#: doc-partitioned path instead of gathering whole lists into one task
+#: (a stopword-heavy query over a 100 TB index would otherwise put one
+#: giant list in one executor's memory).  Env-tunable; ``None``
+#: disables dispatch.
+DOCPART_DISPATCH_BUDGET_BYTES = int(
+    __import__("os").environ.get("PEFA_DOCPART_BUDGET_BYTES", 256 << 20)
+)
+
+
+def giant_query_ids(
+    queries_df: DataFrame,
+    term_stats_df: DataFrame,
+    budget_bytes: int,
+) -> list[int]:
+    """Query ids whose total referenced compressed payload (from the
+    build-frozen term_stats — no index scan) exceeds ``budget_bytes``.
+    One vocabulary-semi-joined aggregate over the tiny query batch;
+    the result list is bounded by the batch size."""
+    qf = query_freqs(queries_df).select("query_id", "term").distinct()
+    # vocabulary-sized term_stats is cut to the referenced terms by a
+    # broadcast semi-join BEFORE anything aggregates (tiny result)
+    ref_stats = term_stats_df.select("term", "payload_bytes").join(
+        F.broadcast(qf.select("term").distinct()), "term", "left_semi"
+    )
+    per_q = (
+        qf.join(F.broadcast(ref_stats), "term")
+        .groupBy("query_id")
+        .agg(F.sum("payload_bytes").alias("ref_bytes"))
+        .where(F.col("ref_bytes") > budget_bytes)
+    )
+    return [int(r["query_id"]) for r in per_q.collect()]
+
+
 def run_ranked(
     spark,
     index_df: DataFrame,
@@ -542,6 +703,7 @@ def run_ranked(
     k: int = 10,
     dtype: str = "float64",
     term_stats_df: DataFrame | None = None,
+    docpart_budget_bytes: int | None = DOCPART_DISPATCH_BUDGET_BYTES,
 ) -> DataFrame:
     """All modes are rank-identical; ``blockmax`` (vectorized block-max
     WAND, index/blockmax.py) is the default/production path — 3-4x the
@@ -549,12 +711,52 @@ def run_ranked(
     selectable as reference-fidelity modes.  EF-family codecs have no
     intra-list blocks, so the block-selective modes fall back to the
     vectorized ``taat`` pruned kernel (same pruning power, whole-list
-    decode)."""
+    decode).
+
+    Giant queries auto-route to the doc-partitioned twin: when the
+    frozen term_stats say a query's referenced lists exceed
+    ``docpart_budget_bytes`` compressed, that query runs through
+    ``run_blockmax_docpartitioned`` (block-family codecs) or the
+    exhaustive ``run_ranked_docpartitioned`` (EF families) — no task
+    ever gathers more than the budget, at any index scale.  Routed
+    queries score in the docpart double-rounded discipline, which is
+    rank-identical to every gather mode (scores round to
+    bm25.ROUND_DECIMALS before ranking on both paths)."""
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
-    if mode in ("blockmax", "maxscore_blockmax") and codec.docs is None:
+    if codec.docs is None and mode in ("blockmax", "maxscore_blockmax"):
         mode = "taat"
+    if codec.docs is None and mode == "wand_bmw":
+        mode = "wand"  # EF families carry no intra-list block maxima
+
+    # ranked_and is conjunctive — both docpart twins are union-scoring,
+    # so the giant-query dispatch covers the disjunctive modes only
+    dispatchable = mode != "ranked_and"
+    if term_stats_df is not None and docpart_budget_bytes is not None and dispatchable:
+        big = giant_query_ids(queries_df, term_stats_df, docpart_budget_bytes)
+        if big:
+            from partitioned_ef_ans_spark.index import blockmax as bmx
+
+            big_df = queries_df.where(F.col("query_id").isin(big))
+            rest_df = queries_df.where(~F.col("query_id").isin(big))
+            if mode in ("blockmax", "maxscore_blockmax") and codec.docs is not None:
+                routed = bmx.run_blockmax_docpartitioned(
+                    spark, index_df, big_df, codec, num_docs, avg_len,
+                    term_stats_df, k=k,
+                )
+            else:
+                routed = run_ranked_docpartitioned(
+                    spark, index_df, big_df, codec, num_docs, avg_len, k=k,
+                    term_stats_df=term_stats_df,
+                )
+            rest = run_ranked(
+                spark, index_df, rest_df, codec, num_docs, avg_len,
+                mode=mode, k=k, dtype=dtype, term_stats_df=term_stats_df,
+                docpart_budget_bytes=None,
+            )
+            return rest.unionByName(routed)
+
     sc = spark.sparkContext
     codec_bc = sc.broadcast(codec)
     joined = query_lists_df(index_df, queries_df, term_stats_df)

@@ -15,7 +15,7 @@ import time
 from collections import Counter
 
 ALL_MODES = (
-    "wand", "blockmax", "maxscore", "maxscore_blockmax", "taat",
+    "wand", "wand_bmw", "blockmax", "maxscore", "maxscore_blockmax", "taat",
     "ranked_or", "ranked_and",
 )
 
@@ -35,14 +35,43 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
 
     man = json.load(open(f"{idx_dir}/manifest.json"))
     side = pickle.load(open(f"{idx_dir}/models.pkl", "rb"))
-    codec = b_mod.IndexCodec(side["codec"], side["models"], num_docs=man["num_docs"])
+    # mirror build.load_index: decode universe = the universe payloads
+    # were ENCODED under (max_id+1 on sparse/updated indexes), never
+    # the doc count — EF layouts are corrupt otherwise
+    codec = b_mod.IndexCodec(
+        side["codec"], side["models"],
+        num_docs=man.get("universe", man["num_docs"]),
+    )
     tbl = pq.read_table(f"{idx_dir}/index.parquet").to_pandas()
     nd = man["num_docs"]
     avg_len = man["avg_doc_len"]
+    if "part" in tbl.columns:
+        # mirror build.apply_bound_scales: stale parts' frozen bounds
+        # must be admissibly inflated after avg_doc_len growth, or the
+        # pruning kernels (wand/blockmax/maxscore) can drop true top-k
+        from partitioned_ef_ans_spark.index.checkpoint import part_bound_scales
+
+        scales = part_bound_scales(idx_dir, float(avg_len))
+        if scales:
+            s = tbl["part"].astype(int).map(scales).fillna(1.0).to_numpy()
+            tbl["chunk_max_weight"] = (
+                tbl["chunk_max_weight"].to_numpy(dtype=np.float64) * s
+            ).astype(np.float32)
+            if "block_max_weights" in tbl.columns:
+                tbl["block_max_weights"] = [
+                    None if bw is None
+                    else (np.asarray(bw, dtype=np.float64) * sc).astype(np.float32)
+                    for bw, sc in zip(tbl["block_max_weights"], s)
+                ]
     by_term = {t: g for t, g in tbl.groupby("term")}
+    has_blocks = "block_maxs" in tbl.columns
     stats = {}
     for mode in modes:
         lat = []
+        # pruning instrumentation: blockmax modes bump the module
+        # counters; full-decode modes score every referenced block
+        c0 = dict(bmx_mod.DECODE_COUNTERS)
+        full_blocks = 0
         for run in range(runs):  # first run untimed (warms caches)
             for qid, terms in qs:
                 c = Counter(terms)
@@ -69,6 +98,10 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
                     if run:
                         lat.append((time.perf_counter() - t0) * 1e6)
                     continue
+                if run == 0 and has_blocks:
+                    full_blocks += int(
+                        pdf["block_maxs"].map(len).sum()
+                    )
                 t0 = time.perf_counter()
                 lists, norms = q_mod._decode_group(pdf, codec, avg_len)
                 tws = q_mod._term_weights(lists, norms, np.float32, tag=codec.tag)
@@ -80,6 +113,31 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
                 maxw = {t: float(per_term.loc[t, "max_weight"]) for t in lists}
                 if mode == "wand":
                     q_mod._kernel_wand(lists, tws, weights, maxw, np.float32, qid, k, nd)
+                elif mode == "wand_bmw":
+                    from partitioned_ef_ans_spark.index.blockmax import _inflate
+
+                    spdf = pdf.sort_values(["term", "chunk_id"])
+                    bmeta = {
+                        t: (
+                            np.concatenate(
+                                [np.asarray(x, dtype=np.int64) for x in g["block_maxs"]]
+                            ),
+                            _inflate(
+                                float(weights[t])
+                                * np.concatenate(
+                                    [
+                                        np.asarray(x, dtype=np.float64)
+                                        for x in g["block_max_weights"]
+                                    ]
+                                )
+                            ),
+                        )
+                        for t, g in spdf.groupby("term", sort=True)
+                        if t in lists
+                    }
+                    q_mod._kernel_wand_bmw(
+                        lists, tws, weights, maxw, bmeta, np.float32, qid, k, nd
+                    )
                 elif mode == "maxscore":
                     q_mod._kernel_maxscore(lists, tws, weights, maxw, np.float32, qid, k, nd)
                 elif mode == "taat":
@@ -101,4 +159,14 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
             "q90": round(float(np.percentile(arr, 90)), 1),
             "q95": round(float(np.percentile(arr, 95)), 1),
         }
+        if mode in ("blockmax", "maxscore_blockmax"):
+            c1 = bmx_mod.DECODE_COUNTERS
+            ref = (c1["blocks_referenced"] - c0["blocks_referenced"]) // runs
+            sco = (c1["blocks_scored"] - c0["blocks_scored"]) // runs
+        else:
+            ref = sco = full_blocks
+        if ref:
+            stats[mode]["blocks_referenced"] = int(ref)
+            stats[mode]["blocks_scored"] = int(sco)
+            stats[mode]["scored_frac"] = round(sco / ref, 4)
     return stats

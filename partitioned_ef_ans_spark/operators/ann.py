@@ -75,9 +75,10 @@ def auto_n_centroids(
     whole table on 8 reducers.  With sqrt scaling both the number of
     join keys and the per-key payload grow as sqrt(n), so the bucketed
     join stays balanced as the table grows 100x.  Residual hot buckets
-    (dense regions) are handled by AQE skew-join splitting (enabled in
-    session.py); for static planning, salt the bucket id with
-    ``pmod(hash(vec_id), s)`` and replicate the probe side s ways."""
+    (dense regions) are split statically by the hot-bucket salting in
+    ivf_topk / dedup.bucketed_candidate_pairs (``pmod(hash(vec_id),
+    nsalt)`` sub-keys, probe side replicated), with AQE skew-join
+    splitting (session.py) as the runtime backstop."""
     import math
 
     if n <= 0:
@@ -159,6 +160,7 @@ def ivf_topk(
     n_centroids: int | None = None,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
+    salt_target: int | None = None,
 ) -> DataFrame:
     """IVF-bucketed cosine top-k.
 
@@ -196,13 +198,40 @@ def ivf_topk(
     probes = ranked.where(F.col("crank") <= nprobe).select(
         "vec_id", F.col("cent_id").alias("bucket")
     )
+    # hot-bucket salting (same scheme as dedup.bucketed_candidate_
+    # pairs): an oversized bucket splits into hashed sub-keys on the
+    # target side; the probe side replicates across that bucket's
+    # salts, so every (probe, member) pair still meets exactly once.
+    # nsalt==1 for all buckets when nothing exceeds the target.
+    from partitioned_ef_ans_spark.operators.dedup import (
+        BUCKET_SALT_TARGET,
+        bucket_salts,
+    )
+
+    if salt_target is None:
+        salt_target = BUCKET_SALT_TARGET
+    nsalt = F.broadcast(
+        bucket_salts(assign.groupBy("bucket").count(), salt_target)
+    )
+    t_s = (
+        assign.join(nsalt, "bucket")
+        .withColumn("salt", F.pmod(F.hash("vec_id"), F.col("nsalt")).cast("int"))
+        .drop("nsalt")
+    )
+    q_rep = (
+        probes.join(nsalt, "bucket")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.col("nsalt") - F.lit(1)))
+        )
+        .drop("nsalt")
+    )
     # dedup on the ID PAIR only (a pair probed via several shared
     # buckets must score once), then re-join the embeddings: hauling
     # the vector payload through the distinct's exchange would ship
     # dim x 4 bytes per candidate copy for no reason
     cand = (
-        probes.alias("q")
-        .join(assign.alias("t"), "bucket")
+        q_rep.alias("q")
+        .join(t_s.alias("t"), ["bucket", "salt"])
         .where(F.col("q.vec_id") != F.col("t.vec_id"))
         .select(
             F.col("q.vec_id").alias("vec_id"),

@@ -191,11 +191,34 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
 EMB_NEARDUP_THRESHOLD = 0.4
 
 
+#: rows-per-(bucket, salt) target for the hot-bucket salting of the
+#: bucketed joins: a bucket whose membership exceeds this splits into
+#: ceil(count/target) salted sub-keys (near-dup-heavy corpora are
+#: exactly the skewed case — one dense cluster would otherwise land a
+#: whole bucket-pair's vectors in ONE join partition).  Env-tunable.
+BUCKET_SALT_TARGET = int(
+    __import__("os").environ.get("PEFA_BUCKET_SALT_TARGET", 100_000)
+)
+
+
+def bucket_salts(counts: DataFrame, salt_target: int) -> DataFrame:
+    """(bucket, nsalt): how many salted sub-keys each bucket needs so
+    no (bucket, salt) join key exceeds ~``salt_target`` rows.  Tiny
+    (centroid-count rows) — always broadcast."""
+    return counts.select(
+        "bucket",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("count") / F.lit(float(salt_target)))
+        ).cast("int").alias("nsalt"),
+    )
+
+
 def bucketed_candidate_pairs(
     embeddings: DataFrame,
     threshold: float = EMB_NEARDUP_THRESHOLD,
     n_centroids: int | None = None,
     iters: int = 2,
+    salt_target: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, ea, eb) candidate pairs of the bucketed near-dup
     join — the pruning stage of :func:`embedding_neardup_bucketed`,
@@ -287,9 +310,31 @@ def bucketed_candidate_pairs(
     b = assign.select(F.col("vec_id").alias("vec_b"),
                       F.col("embedding").alias("eb"),
                       F.col("bucket").alias("bb"))
-    return (
+    # hot-bucket salting: the b side of the bucket-keyed join splits
+    # oversized buckets into hashed sub-keys; the a side REPLICATES
+    # across every salt of its target bucket, so all pairs of a split
+    # bucket still meet exactly once.  nsalt==1 everywhere when no
+    # bucket exceeds the target (the common case) — the plan is then
+    # identical to the unsalted join.
+    if salt_target is None:
+        salt_target = BUCKET_SALT_TARGET
+    nsalt = bucket_salts(assign.groupBy("bucket").count(), salt_target)
+    nsalt_bb = F.broadcast(nsalt.select(F.col("bucket").alias("bb"), "nsalt"))
+    b_s = (
+        b.join(nsalt_bb, "bb")
+        .withColumn("salt", F.pmod(F.hash("vec_b"), F.col("nsalt")).cast("int"))
+        .drop("nsalt")
+    )
+    a_rep = (
         a.join(F.broadcast(both), "ba")
-        .join(b, "bb")
+        .join(nsalt_bb, "bb")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.col("nsalt") - F.lit(1)))
+        )
+        .drop("nsalt")
+    )
+    return (
+        a_rep.join(b_s, ["bb", "salt"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", "ea", "eb")
     )
@@ -300,6 +345,7 @@ def embedding_neardup_bucketed(
     threshold: float = EMB_NEARDUP_THRESHOLD,
     n_centroids: int | None = None,
     iters: int = 2,
+    salt_target: int | None = None,
 ) -> DataFrame:
     """EXACT cosine-threshold self-join without the all-pairs cross
     join — the 100 TB shape for embedding near-dup: candidates from
@@ -309,7 +355,9 @@ def embedding_neardup_bucketed(
     :func:`embedding_neardup_pairs` (same DuckDB oracle, no recall
     loss; completeness proved by the inequality, checked by the gate
     hash)."""
-    cand = bucketed_candidate_pairs(embeddings, threshold, n_centroids, iters)
+    cand = bucketed_candidate_pairs(
+        embeddings, threshold, n_centroids, iters, salt_target
+    )
     return _score_candidate_pairs(cand, threshold)
 
 

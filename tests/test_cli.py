@@ -153,3 +153,60 @@ def test_cli_package_and_spark_submit(tmp_path):
         assert os.path.exists(f"{idx}/manifest.json")
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_partition_knobs_change_dp_and_stay_decode_equal():
+    """The DP knobs must actually steer the partition choice AND stay
+    decode-safe (the stream is self-describing): a clustered-sparse
+    list partitions differently under fix_cost 64 vs 1024 yet
+    round-trips exactly under both.  (The CLI corpus fixtures have
+    short dense lists where one partition is optimal under any knob —
+    hence this unit-level sensitivity check.)"""
+    import numpy as np
+
+    from partitioned_ef_ans_spark.codecs import ef, pef
+
+    rng = np.random.default_rng(1)
+    u = 100_000
+    docs = np.concatenate(
+        [c * 15_000 + np.sort(rng.choice(2000, 300, replace=False))
+         for c in range(6)]
+    ).astype(np.int64)
+    freqs = rng.integers(1, 5, len(docs)).astype(np.int64)
+    got = {}
+    orig = ef.FIX_COST
+    try:
+        for f in (64, 1024):
+            ef.FIX_COST = f
+            enc = pef.encode_lists([docs], [freqs], u)
+            (d2, f2), = pef.decode_lists(enc, u)
+            assert np.array_equal(d2, docs) and np.array_equal(f2, freqs)
+            got[f] = (len(enc[0]), pef.partition_counts(enc)[0][1])
+    finally:
+        ef.FIX_COST = orig
+    assert got[64][1] > got[1024][1], got  # higher fix cost -> coarser
+    assert got[64][0] != got[1024][0]  # and a different encoding
+
+
+def test_cli_partition_knobs_round_trip(tmp_path):
+    """configuration.hpp's QS_EPS1/QS_EPS2/QS_FIXCOST knobs through
+    CLI flags: the flags must export the env vars / set the effective
+    config (echoed in the stats line) and a PEF build under
+    non-default values must still pass the full --check decode."""
+    idx_knob = f"/dev/shm/pefa_cli_knobs_alt_{os.getpid()}"
+    shutil.rmtree(idx_knob, ignore_errors=True)
+    try:
+        out_k = run_cli(
+            "create_freq_index", "opt", f"{SF}/documents.parquet", idx_knob,
+            "--check", "--eps1", "0.01", "--eps2", "0.1",
+            "--fix-cost", "1024",
+        )
+        assert "check ok:" in out_k  # decode-equal under non-default DP
+        stats = json.loads(
+            [l for l in out_k.splitlines() if l.startswith("{")][0]
+        )
+        assert (stats["eps1"], stats["eps2"], stats["fix_cost"]) == (
+            0.01, 0.1, 1024,
+        )
+    finally:
+        shutil.rmtree(idx_knob, ignore_errors=True)

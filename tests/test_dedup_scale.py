@@ -216,3 +216,61 @@ def test_repetition_signals_edges_and_values(spark):
     assert rows[3]["n_tokens"] == 0 and rows[3]["top_token_frac"] == 0.0
     assert rows[4]["dup_token_frac"] == round(4 / 6, 6)
     assert rows[4]["dup_bigram_frac"] == 0.6  # 5 bigrams, 2 distinct
+
+
+def test_hot_bucket_salting_exact_and_keyed(spark):
+    """The near-dup-heavy skew case — ONE cluster holding 50% of the
+    vectors: salting must keep the bucketed join EXACT (every pair of
+    a split bucket still meets exactly once) and must actually key the
+    join on (bucket, salt)."""
+    import numpy as np
+
+    from partitioned_ef_ans_spark.operators.dedup import (
+        bucket_salts,
+        embedding_neardup_bucketed,
+        embedding_neardup_pairs,
+    )
+    from partitioned_ef_ans_spark.plans.inspect import formatted_plan
+
+    rng = np.random.default_rng(5)
+    rows, vid = [], 0
+    hot = rng.normal(size=12)
+    hot /= np.linalg.norm(hot)
+    for _ in range(100):  # 50% of all vectors, one tight cluster
+        v = hot + rng.normal(scale=0.01, size=12)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    for c in range(5):
+        center = rng.normal(size=12)
+        center /= np.linalg.norm(center)
+        for _ in range(20):
+            v = center + rng.normal(scale=0.05, size=12)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["vec_a"], r["vec_b"], r["cos"])
+        for r in embedding_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert len(exact) > 1000  # the hot cluster is genuinely dense
+    df = embedding_neardup_bucketed(emb, threshold=0.9, salt_target=25)
+    salted = {(r["vec_a"], r["vec_b"], r["cos"]) for r in df.collect()}
+    assert salted == exact
+    # the candidate join must be keyed on (bucket, salt), not bucket
+    assert "salt" in formatted_plan(df)
+
+    # bucket_salts arithmetic: a 100-row bucket at target 25 -> 4 salts
+    counts = spark.createDataFrame(
+        [(0, 100), (1, 20)], "bucket long, count long"
+    )
+    ns = {r["bucket"]: r["nsalt"] for r in bucket_salts(counts, 25).collect()}
+    assert ns == {0: 4, 1: 1}
+
+    # and the hash split spreads a hot bucket's rows near-evenly: no
+    # (bucket, salt) sub-key may keep a super-majority of the rows
+    ids = spark.range(100).select(
+        F.pmod(F.hash("id"), F.lit(4)).alias("salt")
+    )
+    per_key = [r["c"] for r in ids.groupBy("salt").agg(F.count("*").alias("c")).collect()]
+    assert len(per_key) == 4 and max(per_key) <= 2 * 25

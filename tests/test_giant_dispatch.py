@@ -1,0 +1,93 @@
+"""Giant-query auto-dispatch: a query whose referenced compressed
+lists exceed the budget must route to the doc-partitioned path (no
+whole-list gather into one task) and stay rank-identical."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _baseline_and_index(spark, sf_small):
+    from partitioned_ef_ans_spark import gate
+
+    ix = gate._get_index(spark, sf_small)
+    qdf = gate.gate_queries_df(spark)
+    return ix, qdf
+
+
+def test_giant_query_auto_dispatch_blockmax(spark, sf_small, monkeypatch):
+    from partitioned_ef_ans_spark import gate
+    from partitioned_ef_ans_spark.index import blockmax as bmx
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix, qdf = _baseline_and_index(spark, sf_small)
+    # budget just under the stopword-heavy query's referenced bytes:
+    # query 7 = ("a", "the", "table") — the skew probe in GATE_QUERIES
+    ref = (
+        ix["term_stats"]
+        .where(F.col("term").isin(["a", "the", "table"]))
+        .agg(F.sum("payload_bytes").alias("b"))
+        .collect()[0]["b"]
+    )
+    budget = int(ref) - 1
+    expected_big = sorted(q_mod.giant_query_ids(qdf, ix["term_stats"], budget))
+    assert 7 in expected_big
+
+    baseline = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in q_mod.run_ranked(
+            spark, ix["index_df"], qdf, ix["codec"], ix["num_docs"],
+            ix["avg_len"], mode="blockmax", k=gate.TOP_K, dtype="float64",
+            term_stats_df=ix["term_stats"], docpart_budget_bytes=None,
+        ).collect()
+    )
+
+    routed: list[list[int]] = []
+    orig = bmx.run_blockmax_docpartitioned
+
+    def spy(spark_, index_df, queries_df, *a, **kw):
+        routed.append(
+            sorted(
+                r["query_id"]
+                for r in queries_df.select("query_id").distinct().collect()
+            )
+        )
+        return orig(spark_, index_df, queries_df, *a, **kw)
+
+    monkeypatch.setattr(bmx, "run_blockmax_docpartitioned", spy)
+    out = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in q_mod.run_ranked(
+            spark, ix["index_df"], qdf, ix["codec"], ix["num_docs"],
+            ix["avg_len"], mode="blockmax", k=gate.TOP_K, dtype="float64",
+            term_stats_df=ix["term_stats"], docpart_budget_bytes=budget,
+        ).collect()
+    )
+    assert routed and routed[0] == expected_big  # the dispatch fired
+    assert out == baseline  # and stayed rank-identical
+
+
+def test_ranked_and_never_dispatches(spark, sf_small, monkeypatch):
+    """ranked_and is conjunctive; the (union-scoring) docpart twins
+    must never be used for it no matter the budget."""
+    from partitioned_ef_ans_spark import gate
+    from partitioned_ef_ans_spark.index import blockmax as bmx
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix, qdf = _baseline_and_index(spark, sf_small)
+    called = []
+    monkeypatch.setattr(
+        bmx, "run_blockmax_docpartitioned",
+        lambda *a, **kw: called.append(1),
+    )
+    monkeypatch.setattr(
+        q_mod, "run_ranked_docpartitioned",
+        lambda *a, **kw: called.append(1),
+    )
+    df = q_mod.run_ranked(
+        spark, ix["index_df"], qdf, ix["codec"], ix["num_docs"],
+        ix["avg_len"], mode="ranked_and", k=gate.TOP_K, dtype="float64",
+        term_stats_df=ix["term_stats"], docpart_budget_bytes=1,
+    )
+    assert df.count() > 0
+    assert not called

@@ -418,6 +418,66 @@ def test_update_lock_blocks_concurrent_writers(spark, tmp_path):
     assert not os.path.exists(f"{d}/.update_lock")
 
 
+def test_update_lock_cross_host_lease(tmp_path):
+    """Cross-host lock records (where pids are meaningless) are
+    governed by the heartbeat lease alone — no os.kill: a fresh lease
+    blocks, an expired lease is taken over."""
+    import os
+    import time
+
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        UpdateInProgress,
+        _update_lock,
+    )
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    lock = f"{d}/.update_lock"
+    # a pid that IS alive locally but labeled with a foreign host:
+    # the pid must be ignored, the fresh lease must block
+    with open(lock, "w") as fh:
+        fh.write(f"{os.getpid()} some-other-host 0.0")
+    with pytest.raises(UpdateInProgress, match="lease from some-other-host"):
+        with _update_lock(d):
+            pass
+    # lease expired (heartbeat mtime pushed past the ttl) -> takeover
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    with _update_lock(d) as lk:
+        rec = open(lock).read().split()
+        assert int(rec[0]) == os.getpid()  # content atomic with create
+        assert len(rec) == 3  # pid host acquired_ts
+        assert lk._hb_thread.is_alive()  # heartbeat keeps the lease fresh
+    assert not os.path.exists(lock)
+
+
+def test_update_lock_empty_record_never_deleted_while_fresh(tmp_path):
+    """An empty lock file with a fresh mtime is a writer mid-create on
+    a non-link filesystem: treated ALIVE (blocked), not deleted; once
+    it ages past the ttl it is reclaimable."""
+    import os
+    import time
+
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        UpdateInProgress,
+        _update_lock,
+    )
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    lock = f"{d}/.update_lock"
+    open(lock, "w").close()
+    with pytest.raises(UpdateInProgress, match="mid-create"):
+        with _update_lock(d):
+            pass
+    assert os.path.exists(lock)  # the live writer's file was NOT removed
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    with _update_lock(d):
+        pass
+    assert not os.path.exists(lock)
+
+
 def test_incremental_update_rejects_stale_doc_ids(spark, tmp_path):
     from partitioned_ef_ans_spark.index.checkpoint import (
         build_index_resumable,

@@ -86,6 +86,62 @@ def test_streaming_stateful_dedup_matches_batch(spark, tmp_path):
     assert {d: c for d, (c, _) in got.items()} == batch
 
 
+def test_streaming_dedup_batch_parity_adversarial_order(spark, tmp_path):
+    """batch_parity mode under ADVERSARIAL (non-monotone doc_id)
+    arrival: the smallest doc_id of each duplicate family arrives
+    LAST, so the running-min canonical must demote earlier canonicals
+    via correction rows, and the finalized table must equal batch
+    exact_dedup exactly."""
+    from partitioned_ef_ans_spark.operators.dedup import exact_dedup
+    from partitioned_ef_ans_spark.streaming.dedup import (
+        start_streaming_dedup,
+        streaming_dedup_final,
+        streaming_dedup_result,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # wave 1: the HIGH ids of family A arrive first (canonical=7 for now)
+    b1 = spark.createDataFrame(
+        [(7, "fam a"), (9, "fam a"), (5, "solo")],
+        "doc_id long, content string",
+    )
+    b1.write.mode("append").parquet(inp)
+    start_streaming_dedup(spark, inp, out, ckpt, mode="batch_parity")
+
+    # wave 2 (separate run = state recovery): doc 1 joins family A with
+    # the SMALLEST id -> canonical must flip 7 -> 1 via a correction
+    b2 = spark.createDataFrame(
+        [(1, "fam a"), (8, "fam b")], "doc_id long, content string"
+    )
+    b2.write.mode("append").parquet(inp)
+    start_streaming_dedup(spark, inp, out, ckpt, mode="batch_parity")
+
+    log = streaming_dedup_result(spark, out).collect()
+    # the change log must contain the demotion correction for doc 7
+    corrections = [
+        r for r in log if r["doc_id"] == 7 and r["is_duplicate"]
+    ]
+    assert corrections and corrections[0]["canonical_doc_id"] == 1
+
+    got = {
+        r["doc_id"]: (r["canonical_doc_id"], r["is_duplicate"])
+        for r in streaming_dedup_final(spark, out).collect()
+    }
+    batch = {
+        r["doc_id"]: r["canonical_doc_id"]
+        for r in exact_dedup(
+            spark.read.parquet(inp).withColumnRenamed("content", "text")
+        ).collect()
+    }
+    assert {d: c for d, (c, _) in got.items()} == batch
+    assert got[7] == (1, True) and got[1] == (1, False)
+    assert got[9] == (1, True)
+    assert got[5] == (5, False) and got[8] == (8, False)
+
+
 def test_streaming_windowed_events_watermark(spark, tmp_path):
     """Watermarked tumbling-window aggregation: windows emit once the
     watermark closes them, late-but-inside-watermark events count,

@@ -93,6 +93,43 @@ def test_porter_vectors():
     assert not bad, bad
 
 
+def test_stem_fixture_matches_live_stemmer_over_actual_vocab():
+    """The pinned oracle stem table (functions/stem_fixture.py) must
+    equal a LIVE porter_stem recomputation over the actual sf0.01
+    parquet vocabulary plus every gate query token — a testdata
+    regeneration that changed the vocabulary fails here loudly instead
+    of silently mis-stemming the DuckDB oracle."""
+    import os
+
+    import duckdb
+
+    from partitioned_ef_ans_spark.functions.stem_fixture import STEM_FIXTURE
+    from partitioned_ef_ans_spark.gate import GATE_QUERIES
+    from partitioned_ef_ans_spark import tokenizer
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    vocab = {
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT term FROM (SELECT unnest(regexp_split_to_array("
+            f"lower(text), '{tokenizer.DUCKDB_TOKEN_SPLIT}')) AS term "
+            f"FROM read_parquet('{sf_dir}/documents.parquet')) WHERE term <> ''"
+        ).fetchall()
+    }
+    qterms = {t.lower() for _, terms in GATE_QUERIES for t in terms}
+    expect = {t: porter_stem(t) for t in vocab | qterms}
+    assert STEM_FIXTURE == expect, {
+        "missing": sorted(set(expect) - set(STEM_FIXTURE)),
+        "extra": sorted(set(STEM_FIXTURE) - set(expect)),
+        "diff": {
+            t: (STEM_FIXTURE.get(t), expect.get(t))
+            for t in set(expect) & set(STEM_FIXTURE)
+            if STEM_FIXTURE[t] != expect[t]
+        },
+    }
+
+
 def test_transform_queries_oov_drop(spark):
     from partitioned_ef_ans_spark.operators.transform import transform_queries
 

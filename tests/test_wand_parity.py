@@ -83,3 +83,64 @@ def test_wand_maxscore_rank_identical_to_ranked_or(dtype):
             np.testing.assert_allclose(
                 got["score"].to_numpy(), oracle["score"].to_numpy(), rtol=1e-3
             )
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_wand_bmw_rank_identical_to_ranked_or(dtype):
+    """True-BMW faithful walk (shallow block re-bound + boundary
+    skipping) vs the exhaustive oracle, over synthetic lists with
+    synthetic 64-doc blocks — including docid-tie pivots (the case
+    that breaks a naive prefix cut)."""
+    from partitioned_ef_ans_spark.index.blockmax import _inflate
+
+    lists, norm, num_docs = synth_collection()
+    queries = rand_queries(lists)
+    bs = 64
+    for qid, terms in queries:
+        qlists = {t: lists[t] for t in set(terms)}
+        weights = {
+            t: q._q_weight(terms.count(t), len(qlists[t][0]), num_docs, dtype)
+            for t in qlists
+        }
+        tws = {
+            t: q._doc_weights(qlists[t][1], norm[qlists[t][0]], dtype)
+            for t in qlists
+        }
+        f32w = {
+            t: bm25.doc_term_weight_vec(
+                qlists[t][1].astype(np.float32),
+                norm[qlists[t][0]].astype(np.float32),
+            )
+            for t in qlists
+        }
+        maxw = {t: float(f32w[t].max()) for t in qlists}
+        if dtype == np.float64:
+            maxw = {t: m * (1.0 + 1e-6) + 1e-12 for t, m in maxw.items()}
+        bmeta = {}
+        for t in qlists:
+            docs = qlists[t][0]
+            nb = -(-len(docs) // bs)
+            ends = np.array(
+                [int(docs[min((j + 1) * bs, len(docs)) - 1]) for j in range(nb)],
+                dtype=np.int64,
+            )
+            bw = np.array(
+                [float(f32w[t][j * bs:(j + 1) * bs].max()) for j in range(nb)],
+                dtype=np.float64,
+            )
+            bmeta[t] = (ends, _inflate(float(weights[t]) * bw))
+        oracle = q._kernel_ranked_or(qlists, tws, weights, dtype, qid, K)
+        bmw = q._kernel_wand_bmw(
+            qlists, tws, weights, maxw, bmeta, dtype, qid, K, num_docs
+        )
+        assert bmw["doc_id"].tolist() == oracle["doc_id"].tolist(), (
+            f"q{qid} bmw docids diverge\n{bmw}\n{oracle}"
+        )
+        if dtype == np.float64:
+            # f32 accumulation order differs between the walk and the
+            # vectorized oracle at the rounding quantum (same accepted
+            # property as the faithful wand/maxscore modes); f64
+            # accumulation is stable far below ROUND_DECIMALS
+            assert bmw["score"].tolist() == oracle["score"].tolist(), (
+                f"q{qid} bmw scores diverge"
+            )
