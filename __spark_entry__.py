@@ -13,9 +13,9 @@ window; only the rows-only ANS stats twins (independently pinned by
 pytest — tests/test_decode_kinds.py, tests/test_stats_pinned.py) sit
 past it.  Per-codec decode twins are collapsed into three
 family-union entries and the four EF-family WAND twins into one (same
-oracle strength, fewer slots) — 52 entries total, 49 oracle-hashed
-(transform_queries is hashed via the pinned Porter stem table,
-functions/stem_fixture.py), 3 rows-only.
+oracle strength, fewer slots) — 53 entries total: the first 50 are
+ALL oracle-hashed (transform_queries via the pinned Porter stem
+table, functions/stem_fixture.py), the 3 past-window ones rows-only.
 """
 
 from __future__ import annotations
@@ -59,10 +59,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_bmw_top10": gate.q_wand_bmw_top10,
         "taat_top10": gate.q_taat_top10,
         "ranked_or_docpart": gate.q_ranked_or_docpart,
+        "ranked_and_docpart": gate.q_ranked_and_docpart,
         "ranked_or_indexed": gate.q_ranked_or_indexed,
         "ranked_and_indexed": gate.q_ranked_and_indexed,
-        "bool_and_indexed": gate.q_bool_and_indexed,
-        "bool_or_indexed": gate.q_bool_or_indexed,
+        "bool_indexed": gate.q_bool_indexed,
+        "bool_docpart": gate.q_bool_docpart,
         "wand_top10_ef_family": gate.q_wand_top10_ef_family,
         # ---- stats with closed-form oracles (2)
         "index_stats_u32": gate.q_index_stats_u32,
@@ -105,10 +106,11 @@ def oracle_sql() -> dict[str, str]:
         "wand_bmw_top10": gate.sql_ranked_or(),
         "taat_top10": gate.sql_ranked_or(),
         "ranked_or_docpart": gate.sql_ranked_or(),
+        "ranked_and_docpart": gate.sql_ranked_and(),
         "ranked_or_indexed": gate.sql_ranked_or(),
         "ranked_and_indexed": gate.sql_ranked_and(),
-        "bool_and_indexed": gate.sql_bool_and(),
-        "bool_or_indexed": gate.sql_bool_or(),
+        "bool_indexed": gate.sql_bool_indexed(),
+        "bool_docpart": gate.sql_bool_docpart(),
         "wand_top10_ef_family": gate.sql_wand_union_ef_family(),
         "index_stats_u32": gate.sql_index_stats_u32(),
         "index_block_stats_u32": gate.sql_index_block_stats_u32(),

@@ -238,6 +238,19 @@ def q_ranked_or_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ranked_and_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-partitioned CONJUNCTIVE BM25 (the ranked_and shape the
+    giant-query dispatch routes to): per-chunk partials + distinct-term
+    match-count filter + global top-k window."""
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix = _get_index(spark, sf_dir)
+    return q_mod.run_ranked_and_docpartitioned(
+        spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
+        ix["num_docs"], ix["avg_len"], k=TOP_K, term_stats_df=ix["term_stats"],
+    )
+
+
 def q_wand_blockmax_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized block-max WAND (index/blockmax.py): block-granular
     pruning via the stored block_max_weights, selective decode, exact
@@ -289,6 +302,49 @@ def q_bool_and_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bool_or_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _indexed_boolean(spark, sf_dir, False)
+
+
+def q_bool_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean match counts over the compressed index, both ops in one
+    union entry (and = Q3 over the index, or = Q4) — one registry slot
+    instead of two, same oracle strength."""
+    out = None
+    for op, conj in (("and", True), ("or", False)):
+        d = _indexed_boolean(spark, sf_dir, conj).withColumn("op", F.lit(op))
+        out = d if out is None else out.unionByName(d)
+    return out.select("op", "query_id", "matches")
+
+
+def sql_bool_indexed() -> str:
+    return (
+        f"SELECT 'and' AS op, * FROM ({sql_bool_and()}) "
+        f"UNION ALL SELECT 'or' AS op, * FROM ({sql_bool_or()})"
+    )
+
+
+def q_bool_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-partitioned boolean counts, both ops in one union entry
+    (the gather-free shape run_boolean's giant-query dispatch routes
+    to): per-chunk local matches, relational distinct/match-count
+    aggregation."""
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix = _get_index(spark, sf_dir)
+    out = None
+    for op, conj in (("and", True), ("or", False)):
+        d = q_mod.run_boolean_docpartitioned(
+            spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
+            conj, term_stats_df=ix["term_stats"],
+        ).withColumn("op", F.lit(op))
+        out = d if out is None else out.unionByName(d)
+    return out.select("op", "query_id", "matches")
+
+
+def sql_bool_docpart() -> str:
+    return (
+        f"SELECT 'and' AS op, * FROM ({sql_bool_and()}) "
+        f"UNION ALL SELECT 'or' AS op, * FROM ({sql_bool_or()})"
+    )
 
 
 def q_index_decode_flat(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -716,9 +716,10 @@ def run_ranked(
     Giant queries auto-route to the doc-partitioned twin: when the
     frozen term_stats say a query's referenced lists exceed
     ``docpart_budget_bytes`` compressed, that query runs through
-    ``run_blockmax_docpartitioned`` (block-family codecs) or the
-    exhaustive ``run_ranked_docpartitioned`` (EF families) — no task
-    ever gathers more than the budget, at any index scale.  Routed
+    ``run_blockmax_docpartitioned`` (block-family codecs), the
+    exhaustive ``run_ranked_docpartitioned`` (EF families), or the
+    conjunctive ``run_ranked_and_docpartitioned`` (ranked_and) — no
+    task ever gathers more than the budget, at any index scale.  Routed
     queries score in the docpart double-rounded discipline, which is
     rank-identical to every gather mode (scores round to
     bm25.ROUND_DECIMALS before ranking on both paths)."""
@@ -730,17 +731,21 @@ def run_ranked(
     if codec.docs is None and mode == "wand_bmw":
         mode = "wand"  # EF families carry no intra-list block maxima
 
-    # ranked_and is conjunctive — both docpart twins are union-scoring,
-    # so the giant-query dispatch covers the disjunctive modes only
-    dispatchable = mode != "ranked_and"
-    if term_stats_df is not None and docpart_budget_bytes is not None and dispatchable:
+    if term_stats_df is not None and docpart_budget_bytes is not None:
         big = giant_query_ids(queries_df, term_stats_df, docpart_budget_bytes)
         if big:
             from partitioned_ef_ans_spark.index import blockmax as bmx
 
             big_df = queries_df.where(F.col("query_id").isin(big))
             rest_df = queries_df.where(~F.col("query_id").isin(big))
-            if mode in ("blockmax", "maxscore_blockmax") and codec.docs is not None:
+            if mode == "ranked_and":
+                # conjunctive twin: per-chunk partials + distinct-term
+                # match-count filter (never the union-scoring paths)
+                routed = run_ranked_and_docpartitioned(
+                    spark, index_df, big_df, codec, num_docs, avg_len, k=k,
+                    term_stats_df=term_stats_df,
+                )
+            elif mode in ("blockmax", "maxscore_blockmax") and codec.docs is not None:
                 routed = bmx.run_blockmax_docpartitioned(
                     spark, index_df, big_df, codec, num_docs, avg_len,
                     term_stats_df, k=k,
@@ -833,7 +838,91 @@ def run_ranked_docpartitioned(
     )
 
 
-def run_boolean(
+def run_ranked_and_docpartitioned(
+    spark,
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    codec,
+    num_docs: int,
+    avg_len: float,
+    k: int = 10,
+    term_stats_df: DataFrame | None = None,
+) -> DataFrame:
+    """Document-partitioned CONJUNCTIVE BM25 — the ranked_and twin of
+    run_ranked_docpartitioned: per-chunk partials carry which term
+    contributed, the (query, doc) aggregation keeps only docs matched
+    by EVERY query term (count(distinct term) == n_terms — the
+    leapfrog intersection's result set, computed relationally), and
+    the global top-k is a window over the survivors.  Rank-identical
+    to ranked_and under the round-then-rank discipline."""
+    from partitioned_ef_ans_spark.session import ship_package
+    from pyspark.sql.window import Window
+
+    ship_package(spark)
+    sc = spark.sparkContext
+    codec_bc = sc.broadcast(codec)
+    joined = query_lists_df(index_df, queries_df, term_stats_df)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec_l = codec_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            decoded = codec_l.decode_lists([bytes(p) for p in pdf["payload"]])
+            qids, terms_out, nts, docs_out, scores = [], [], [], [], []
+            for (qid, term, qtf, df_, nt, dl), (docs, freqs) in zip(
+                zip(
+                    pdf["query_id"], pdf["term"], pdf["qtf"], pdf["df"],
+                    pdf["n_terms"], pdf["doc_lens"],
+                ),
+                decoded,
+            ):
+                qw = _q_weight(qtf, df_, num_docs, np.float64)
+                nlv = np.asarray(dl, dtype=np.float64) / avg_len
+                w = _doc_weights(freqs, nlv, np.float64) * qw
+                qids.append(np.full(len(docs), qid, dtype=np.int64))
+                terms_out.extend([term] * len(docs))
+                nts.append(np.full(len(docs), nt, dtype=np.int64))
+                docs_out.append(docs)
+                scores.append(w)
+            if not docs_out:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qids),
+                    "term": terms_out,
+                    "n_terms": np.concatenate(nts),
+                    "doc_id": np.concatenate(docs_out),
+                    "partial": np.concatenate(scores),
+                }
+            )
+
+    per_doc = (
+        joined.select("query_id", "term", "n_terms", "qtf", "df", "payload", "doc_lens")
+        .mapInPandas(
+            partials,
+            schema="query_id long, term string, n_terms long, doc_id long, partial double",
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("partial"), bm25.ROUND_DECIMALS).alias("score"),
+            F.count_distinct("term").alias("nt_hit"),
+            F.first("n_terms").alias("n_terms"),
+        )
+        # conjunctive: drop docs missing ANY query term (duplicate
+        # query terms were already folded into qtf by query_freqs, so
+        # n_terms here counts DISTINCT terms)
+        .where(F.col("nt_hit") == F.col("n_terms"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
+    )
+
+
+def run_boolean_docpartitioned(
     spark,
     index_df: DataFrame,
     queries_df: DataFrame,
@@ -841,6 +930,82 @@ def run_boolean(
     conjunctive: bool,
     term_stats_df: DataFrame | None = None,
 ) -> DataFrame:
+    """Document-partitioned boolean match counting — the gather-free
+    twin of run_boolean for giant queries: every chunk emits its
+    (query, doc[, term]) matches locally, the count is a relational
+    aggregation (distinct docs for OR; docs hit by every distinct
+    query term for AND).  Zero-match queries emit no row, exactly like
+    the kernel path."""
+    from partitioned_ef_ans_spark.session import ship_package
+
+    ship_package(spark)
+    sc = spark.sparkContext
+    codec_bc = sc.broadcast(codec)
+    qdf = queries_df.select("query_id", F.array_distinct("terms").alias("terms"))
+    joined = query_lists_df(index_df, qdf, term_stats_df)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec_l = codec_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            decoded = codec_l.decode_lists([bytes(p) for p in pdf["payload"]])
+            qids, terms_out, nts, docs_out = [], [], [], []
+            for (qid, term, nt), (docs, _f) in zip(
+                zip(pdf["query_id"], pdf["term"], pdf["n_terms"]), decoded
+            ):
+                qids.append(np.full(len(docs), qid, dtype=np.int64))
+                terms_out.extend([term] * len(docs))
+                nts.append(np.full(len(docs), nt, dtype=np.int64))
+                docs_out.append(docs)
+            if not docs_out:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qids),
+                    "term": terms_out,
+                    "n_terms": np.concatenate(nts),
+                    "doc_id": np.concatenate(docs_out),
+                }
+            )
+
+    # doc_lens/scoring columns pruned: the exchange carries ids only
+    rows = joined.select("query_id", "term", "n_terms", "payload").mapInPandas(
+        partials,
+        schema="query_id long, term string, n_terms long, doc_id long",
+    )
+    if conjunctive:
+        per_doc = (
+            rows.groupBy("query_id", "doc_id")
+            .agg(
+                F.count_distinct("term").alias("nt_hit"),
+                F.first("n_terms").alias("n_terms"),
+            )
+            .where(F.col("nt_hit") == F.col("n_terms"))
+        )
+        return per_doc.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("matches")
+        )
+    return (
+        rows.select("query_id", "doc_id")
+        .distinct()
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+
+
+def run_boolean(
+    spark,
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    codec,
+    conjunctive: bool,
+    term_stats_df: DataFrame | None = None,
+    docpart_budget_bytes: int | None = DOCPART_DISPATCH_BUDGET_BYTES,
+) -> DataFrame:
+    """Boolean match counts; giant queries auto-route to the
+    doc-partitioned twin exactly like run_ranked (the match count is a
+    commutative aggregate, so the split is seamless)."""
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
@@ -848,6 +1013,21 @@ def run_boolean(
     codec_bc = sc.broadcast(codec)
     # boolean ops dedup query terms first (queries.hpp:30-34)
     qdf = queries_df.select("query_id", F.array_distinct("terms").alias("terms"))
+    if term_stats_df is not None and docpart_budget_bytes is not None:
+        big = giant_query_ids(qdf, term_stats_df, docpart_budget_bytes)
+        if big:
+            routed = run_boolean_docpartitioned(
+                spark, index_df,
+                qdf.where(F.col("query_id").isin(big)),
+                codec, conjunctive, term_stats_df=term_stats_df,
+            )
+            rest = run_boolean(
+                spark, index_df,
+                qdf.where(~F.col("query_id").isin(big)),
+                codec, conjunctive, term_stats_df=term_stats_df,
+                docpart_budget_bytes=None,
+            )
+            return rest.unionByName(routed)
     joined = query_lists_df(index_df, qdf, term_stats_df)
     kernel = make_bool_kernel(codec_bc, conjunctive)
     return joined.groupBy("query_id").applyInPandas(kernel, schema=COUNT_SCHEMA)

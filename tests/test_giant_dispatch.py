@@ -67,27 +67,81 @@ def test_giant_query_auto_dispatch_blockmax(spark, sf_small, monkeypatch):
     assert out == baseline  # and stayed rank-identical
 
 
-def test_ranked_and_never_dispatches(spark, sf_small, monkeypatch):
-    """ranked_and is conjunctive; the (union-scoring) docpart twins
-    must never be used for it no matter the budget."""
+def test_ranked_and_dispatches_to_conjunctive_twin(spark, sf_small, monkeypatch):
+    """ranked_and is conjunctive: the dispatch must route its giant
+    queries to run_ranked_and_docpartitioned — NEVER the union-scoring
+    twins — and stay rank-identical to the gather path."""
     from partitioned_ef_ans_spark import gate
     from partitioned_ef_ans_spark.index import blockmax as bmx
     from partitioned_ef_ans_spark.index import query as q_mod
 
     ix, qdf = _baseline_and_index(spark, sf_small)
-    called = []
+    baseline = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in q_mod.run_ranked(
+            spark, ix["index_df"], qdf, ix["codec"], ix["num_docs"],
+            ix["avg_len"], mode="ranked_and", k=gate.TOP_K, dtype="float64",
+            term_stats_df=ix["term_stats"], docpart_budget_bytes=None,
+        ).collect()
+    )
+    union_called = []
     monkeypatch.setattr(
         bmx, "run_blockmax_docpartitioned",
-        lambda *a, **kw: called.append(1),
+        lambda *a, **kw: union_called.append(1),
     )
     monkeypatch.setattr(
         q_mod, "run_ranked_docpartitioned",
-        lambda *a, **kw: called.append(1),
+        lambda *a, **kw: union_called.append(1),
     )
-    df = q_mod.run_ranked(
-        spark, ix["index_df"], qdf, ix["codec"], ix["num_docs"],
-        ix["avg_len"], mode="ranked_and", k=gate.TOP_K, dtype="float64",
-        term_stats_df=ix["term_stats"], docpart_budget_bytes=1,
+    conj_called = []
+    orig = q_mod.run_ranked_and_docpartitioned
+
+    def spy(*a, **kw):
+        conj_called.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(q_mod, "run_ranked_and_docpartitioned", spy)
+    out = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in q_mod.run_ranked(
+            spark, ix["index_df"], qdf, ix["codec"], ix["num_docs"],
+            ix["avg_len"], mode="ranked_and", k=gate.TOP_K, dtype="float64",
+            term_stats_df=ix["term_stats"], docpart_budget_bytes=1,
+        ).collect()
     )
-    assert df.count() > 0
-    assert not called
+    assert conj_called and not union_called
+    assert out == baseline
+
+
+def test_boolean_dispatch_matches_gather(spark, sf_small, monkeypatch):
+    """run_boolean routes giant queries to the doc-partitioned count
+    twin; results (query_id -> matches) must be identical."""
+    from partitioned_ef_ans_spark import gate
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix, qdf = _baseline_and_index(spark, sf_small)
+    for conj in (True, False):
+        base = {
+            r["query_id"]: r["matches"]
+            for r in q_mod.run_boolean(
+                spark, ix["index_df"], qdf, ix["codec"], conj,
+                term_stats_df=ix["term_stats"], docpart_budget_bytes=None,
+            ).collect()
+        }
+        routed = []
+        orig = q_mod.run_boolean_docpartitioned
+
+        def spy(*a, **kw):
+            routed.append(1)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(q_mod, "run_boolean_docpartitioned", spy)
+        got = {
+            r["query_id"]: r["matches"]
+            for r in q_mod.run_boolean(
+                spark, ix["index_df"], qdf, ix["codec"], conj,
+                term_stats_df=ix["term_stats"], docpart_budget_bytes=1,
+            ).collect()
+        }
+        monkeypatch.undo()
+        assert routed and got == base
