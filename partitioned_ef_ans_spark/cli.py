@@ -253,16 +253,19 @@ def _require_resumable_layout(index_dir: str) -> None:
 
 
 def cmd_update_index(args) -> int:
-    """Fold new documents into an existing resumable-layout index
-    (incremental maintenance; see checkpoint.update_index_incremental)."""
+    """Fold new documents into an existing resumable-layout index:
+    in-place touched-vocabulary re-encode by default, or an O(batch)
+    LSM delta segment with ``--delta`` (compact periodically)."""
     from partitioned_ef_ans_spark.index.checkpoint import (
+        update_index_delta,
         update_index_incremental,
     )
 
     _require_resumable_layout(args.index_dir)
     spark = _spark(args)
     docs, doc_col, text_col = _read_corpus(spark, args.corpus, args)
-    man = update_index_incremental(
+    update = update_index_delta if args.delta else update_index_incremental
+    man = update(
         spark, args.index_dir, docs,
         doc_col=doc_col, text_col=text_col, skip_stale=args.skip_stale,
     )
@@ -271,6 +274,7 @@ def cmd_update_index(args) -> int:
         "total_postings": man["total_postings"],
         "bits_per_posting": round(man["bits_per_posting"], 3),
         "parts_reencoded": man.get("parts_reencoded"),
+        "delta_segments": man.get("delta_segments"),
         "model_drift_full_reencode": man.get("model_drift_full_reencode"),
         "universe_drift_full_reencode": man.get("universe_drift_full_reencode"),
         "update_sec": man.get("update_sec"),
@@ -435,6 +439,10 @@ def build_parser() -> argparse.ArgumentParser:
     u.add_argument("--skip-stale", action="store_true",
                    help="silently drop already-indexed doc_ids "
                         "(at-least-once replay tolerance)")
+    u.add_argument("--delta", action="store_true",
+                   help="O(batch) LSM delta segment (own models) "
+                        "instead of the in-place touched-vocabulary "
+                        "re-encode; compact to fold segments back")
     u.add_argument("--text-col", default="text")
     u.set_defaults(fn=cmd_update_index)
 

@@ -78,7 +78,8 @@ def ragged_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
-def decode_selected(payloads: list[bytes], masks: list[np.ndarray], codec):
+def decode_selected(payloads: list[bytes], masks: list[np.ndarray], codec,
+                    chunk_ids=None):
     """Decode only the selected blocks of each block-family list.
 
     ``masks[i]`` is a bool array over list i's blocks.  Returns one
@@ -86,7 +87,28 @@ def decode_selected(payloads: list[bytes], masks: list[np.ndarray], codec):
     is selected.  One batched codec call for all docs blocks, one for
     all freqs blocks, exactly like blocks.decode_lists; doc-id
     reconstruction is matrix-vectorized (no per-block loop).
+
+    ``chunk_ids`` routes each payload to its delta segment's models
+    (seg = chunk_id >> 20) on LSM-updated indexes; payloads group by
+    segment and each group takes the batched path below.
     """
+    if chunk_ids is not None and codec.delta_models:
+        from collections import defaultdict
+
+        groups: dict[int, list[int]] = defaultdict(list)
+        for i, cid in enumerate(chunk_ids):
+            groups[int(cid) >> 20].append(i)
+        if list(groups) != [0]:
+            out: list = [None] * len(payloads)
+            for s, idxs in groups.items():
+                sub = decode_selected(
+                    [payloads[i] for i in idxs],
+                    [masks[i] for i in idxs],
+                    codec.seg(s),
+                )
+                for i, r in zip(idxs, sub):
+                    out[i] = r
+            return out
     bs = codec.block_size
     bufs = [np.frombuffer(p, dtype=np.uint8) for p in payloads]
     offsets_global = np.cumsum([0] + [len(b) for b in bufs[:-1]])
@@ -214,25 +236,64 @@ def _collect_per_term(pdf: pd.DataFrame, codec, avg_len: float) -> dict:
     return per_term
 
 
+#: tau sampling depth: decode the strongest list's best blocks until
+#: at least this many × k postings are covered.  More postings = a
+#: tighter tau (better pruning) at more decode cost; the k-th best of
+#: ANY subset is a valid lower bound on the k-th best overall.
+TAU_SAMPLE_FACTOR = 8
+
+
 def _tau_from_strongest(
     pdf: pd.DataFrame, per_term: dict, weights: dict, codec,
     avg_len: float, k: int, dtype,
 ):
-    """tau = (k-th best single-term score of the strongest list) -
-    margin — a valid lower bound on the k-th best final score.  Full
-    decode of that one list, through the worker decode cache."""
-    from partitioned_ef_ans_spark.index import query as q
+    """tau = (k-th best single-term score among the strongest list's
+    HIGHEST-MAX blocks) - margin — a valid lower bound on the k-th
+    best final score: single-term scores lower-bound final scores, and
+    a subset's k-th best lower-bounds the full list's k-th best.
 
+    Decoding only the best ~TAU_SAMPLE_FACTOR*k postings' worth of
+    blocks (picked by descending block max weight) instead of the
+    whole list matters at scale: the strongest list of a stopword
+    query on a 100 TB index is millions of postings, and a full tau
+    decode would dwarf the selective scoring it enables.  Cached
+    chunks are sliced for free via _gather_term_blocks."""
     strongest = max(
         sorted(per_term),
         key=lambda t: float(weights[t])
         * max(float(b.max()) for b in per_term[t]["bw"] if len(b)),
     )
-    sub = pdf[pdf["term"] == strongest]
-    lists0, norms0 = q._decode_group(sub, codec, avg_len)
-    tws0 = q._term_weights(lists0, norms0, dtype, tag=codec.tag)
-    s0 = (tws0[strongest] * dtype(weights[strongest])).astype(np.float64)
-    if len(s0) > k:
+    d = per_term[strongest]
+    bs = codec.block_size
+    # rank all blocks of the strongest term by their max weight
+    flat = [
+        (float(d["bw"][ci][j]), ci, j)
+        for ci in range(len(d["bw"]))
+        for j in range(len(d["bw"][ci]))
+    ]
+    flat.sort(reverse=True)
+    want = max(k * TAU_SAMPLE_FACTOR, k)
+    masks = [np.zeros(nb, dtype=bool) for nb in d["nblocks"]]
+    covered = 0
+    for _, ci, j in flat:
+        masks[ci][j] = True
+        n_chunk = len(d["norms"][ci])
+        covered += min(bs, n_chunk - j * bs)
+        if covered >= want:
+            break
+    docs, freqs, nsl = _gather_term_blocks(d, masks, codec, bs)
+    if not len(docs):
+        return -np.inf
+    from partitioned_ef_ans_spark.index import query as q
+
+    s0 = (
+        q._doc_weights(freqs, nsl, dtype) * dtype(weights[strongest])
+    ).astype(np.float64)
+    # the SUBSET k-th is only a valid bound when the subset holds >= k
+    # scores AND the full list does too (mirrors the full-decode rule:
+    # a <=k-long list gives no threshold)
+    total = sum(len(n) for n in d["norms"])
+    if len(s0) > k and total > k:
         return float(np.partition(s0, len(s0) - k)[len(s0) - k]) - TAU_MARGIN
     return -np.inf
 
@@ -303,7 +364,10 @@ def kernel_blockmax(pdf: pd.DataFrame, codec, num_docs: int, avg_len: float, k: 
                 masks.append(mask)
                 owners.append((t, ci))
     if payloads:
-        decoded = decode_selected(payloads, masks, codec)
+        decoded = decode_selected(
+            payloads, masks, codec,
+            chunk_ids=[per_term[t]["keys"][ci][2] for t, ci in owners],
+        )
         for (t, ci), (docs, freqs, sel) in zip(owners, decoded):
             if not len(docs):
                 continue
@@ -364,7 +428,11 @@ def _gather_term_blocks(d: dict, masks: list[np.ndarray], codec, bs: int):
             order.append(ci)
     if payloads:
         for ci, (docs, freqs, sel) in zip(
-            order, decode_selected(payloads, pmasks, codec)
+            order,
+            decode_selected(
+                payloads, pmasks, codec,
+                chunk_ids=[d["keys"][ci][2] for ci in order],
+            ),
         ):
             if not len(docs):
                 continue
@@ -568,18 +636,25 @@ def run_blockmax_docpartitioned(
     strongest = (
         qstats.withColumn("r", F.row_number().over(w_str))
         .where(F.col("r") == 1)
-        .select("query_id", "term", "qtf")  # df comes from the index rows
+        # df from term_stats, NOT the index rows: the chunk-row df is
+        # frozen per segment and stale when the list spans deltas
+        .select("query_id", "term", "qtf", F.col("df").alias("term_df"))
     )
     s_rows = index_df.join(F.broadcast(strongest), "term").select(
-        "query_id", "qtf", "df", "payload", "doc_lens"
+        "query_id", "qtf", F.col("term_df").alias("df"), "chunk_id",
+        "payload", "doc_lens",
     )
 
     def singles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from partitioned_ef_ans_spark.index.build import decode_lists_segmented
+
         codec_l = codec_bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            decoded = codec_l.decode_lists([bytes(p) for p in pdf["payload"]])
+            decoded = decode_lists_segmented(
+                codec_l, [bytes(p) for p in pdf["payload"]], pdf["chunk_id"]
+            )
             qids, vals = [], []
             for (qid, qtf, df_, dl), (_docs, freqs) in zip(
                 zip(pdf["query_id"], pdf["qtf"], pdf["df"], pdf["doc_lens"]), decoded
@@ -635,7 +710,10 @@ def run_blockmax_docpartitioned(
                 metas.append(row)
             if not payloads:
                 continue
-            decoded = decode_selected(payloads, masks, codec_l)
+            decoded = decode_selected(
+                payloads, masks, codec_l,
+                chunk_ids=[int(row.chunk_id) for row in metas],
+            )
             qids, docs_out, scores = [], [], []
             for row, (docs, freqs, sel) in zip(metas, decoded):
                 if not len(docs):
@@ -662,7 +740,7 @@ def run_blockmax_docpartitioned(
     per_doc = (
         joined.select(
             "query_id", "qtf", "df", "qw", "contrib", "total", "tau",
-            "payload", "doc_lens", "block_max_weights",
+            "chunk_id", "payload", "doc_lens", "block_max_weights",
         )
         .mapInPandas(partials, schema="query_id long, doc_id long, partial double")
         .groupBy("query_id", "doc_id")

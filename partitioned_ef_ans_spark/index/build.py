@@ -262,12 +262,20 @@ class IndexCodec:
     build/query use.
     """
 
-    def __init__(self, codec_name: str, models=None, num_docs: int = 0):
+    def __init__(self, codec_name: str, models=None, num_docs: int = 0,
+                 delta_models: dict | None = None):
         import uuid
 
         self.codec_name = codec_name
         self.models = models
         self.num_docs = num_docs
+        #: per-DELTA-SEGMENT model sets ({seg: models}) for LSM-updated
+        #: indexes (checkpoint.update_index_delta): each segment trains
+        #: its own ANS models on its own batch, and decode selects by
+        #: the segment embedded in chunk_id (seg = chunk_id >> 20).
+        #: Empty for fresh/compacted indexes and model-free codecs.
+        self.delta_models = dict(delta_models or {})
+        self._seg_cache: dict = {}
         # per-bundle identity: worker-global decode/weight caches key on
         # this so two indexes served by the same long-lived python
         # worker (bench builds several per session) never collide
@@ -289,6 +297,28 @@ class IndexCodec:
             self.docs = blocks.CODECS[codec_name]()
             self.freqs = self.docs
             self.block_size = self.docs.block_size
+
+    def seg(self, s: int) -> "IndexCodec":
+        """The codec bundle for delta segment ``s`` (0 = base).  Raises
+        KeyError when the segment's models are missing — decoding a
+        delta payload with the wrong models would be silent garbage."""
+        s = int(s)
+        if s == 0 or not self.delta_models:
+            return self
+        if s not in self._seg_cache:
+            sub = IndexCodec(
+                self.codec_name, self.delta_models[s], num_docs=self.num_docs
+            )
+            # deterministic per-parent tag: worker caches key on
+            # (tag, chunk_id) and chunk_id embeds the segment
+            sub.tag = f"{self.tag}s{s}"
+            self._seg_cache[s] = sub
+        return self._seg_cache[s]
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_seg_cache"] = {}  # rebuilt lazily post-broadcast
+        return state
 
     # block-family batch interface (used via blocks.write/decode_lists)
     def encode_batch(self, blk, ns, sums):
@@ -538,6 +568,27 @@ def build_index(
     return metrics
 
 
+def decode_lists_segmented(codec, payloads: list[bytes], segs) -> list:
+    """decode_lists with per-payload SEGMENT routing: payloads from a
+    delta segment decode under that segment's own models (seg =
+    chunk_id >> 20).  Single-segment indexes take the direct path."""
+    if not codec.delta_models:
+        return codec.decode_lists(payloads)
+    from collections import defaultdict
+
+    groups: dict[int, list[int]] = defaultdict(list)
+    for i, s in enumerate(segs):
+        groups[int(s) >> 20].append(i)
+    if list(groups) == [0]:
+        return codec.decode_lists(payloads)
+    out: list = [None] * len(payloads)
+    for s, idxs in groups.items():
+        dec = codec.seg(s).decode_lists([payloads[i] for i in idxs])
+        for i, d in zip(idxs, dec):
+            out[i] = d
+    return out
+
+
 def decode_flat(spark, index_df: DataFrame, codec, tf_type: str = "int") -> DataFrame:
     """Decode the ENTIRE compressed index back to (term, doc_id, tf) —
     the verification pass (create_freq_index.cpp:15-62) shared by the
@@ -554,7 +605,9 @@ def decode_flat(spark, index_df: DataFrame, codec, tf_type: str = "int") -> Data
         for pdf in batches:
             if not len(pdf):
                 continue
-            decoded = c.decode_lists([bytes(p) for p in pdf["payload"]])
+            decoded = decode_lists_segmented(
+                c, [bytes(p) for p in pdf["payload"]], pdf["chunk_id"]
+            )
             terms, docs, tfs = [], [], []
             for term, (d, f) in zip(pdf["term"], decoded):
                 terms.extend([term] * len(d))
@@ -571,7 +624,7 @@ def decode_flat(spark, index_df: DataFrame, codec, tf_type: str = "int") -> Data
                 }
             )
 
-    return index_df.select("term", "payload").mapInPandas(
+    return index_df.select("term", "chunk_id", "payload").mapInPandas(
         decode_all, schema=f"term string, doc_id long, tf {tf_type}"
     )
 
@@ -582,7 +635,12 @@ def term_stats_agg(index_df: DataFrame) -> DataFrame:
     postings/bytes that make it the single source of the global
     metrics — one vocabulary-sized aggregation, one index scan."""
     return index_df.groupBy("term").agg(
-        F.first("df").alias("df"),
+        # df == list length == sum of chunk sizes: stays correct when a
+        # term's list spans delta SEGMENTS (chunk-row df is frozen at
+        # its segment's build); identical to first(df) on a fresh index
+        F.sum("n").cast("long").alias("df"),
+        # cf is diagnostic-only (never in scoring); first-chunk value —
+        # exact on fresh/compacted indexes, stale across delta segments
         F.first("cf").alias("cf"),
         F.first("num_chunks").alias("num_chunks"),
         F.max("chunk_max_weight").alias("max_term_weight"),
@@ -625,6 +683,8 @@ def load_index(spark: SparkSession, out_dir: str):
         # under (max_id+1), falling back to num_docs for pre-universe
         # manifests (dense ids, where the two are equal)
         num_docs=manifest.get("universe", manifest["num_docs"]),
+        # per-delta-segment models for LSM-updated indexes
+        delta_models=side.get("delta_models"),
     )
     index_df = spark.read.parquet(f"{out_dir}/index.parquet")
     if "part" in index_df.columns:

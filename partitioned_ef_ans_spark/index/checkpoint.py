@@ -601,6 +601,12 @@ def update_index_incremental(
     _recover_swaps([staging, f"{out_dir}/index.parquet", out_dir])
     with open(f"{out_dir}/manifest.json") as fh:
         man = json.load(fh)
+    if int(man.get("delta_segments", 0)):
+        raise ValueError(
+            "index has live delta segments (update_index_delta): the "
+            "in-place incremental update's per-part keep/merge cannot "
+            "see delta rows — run compact_index first"
+        )
     num_parts = int(man["num_parts"])
     chunk_postings = int(man["chunk_postings"])
     old_avg = float(man["avg_doc_len"])
@@ -820,6 +826,207 @@ def update_index_incremental(
 
 
 @_locked
+def update_index_delta(
+    spark: SparkSession,
+    out_dir: str,
+    new_docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    skip_stale: bool = False,
+) -> dict:
+    """Fold new documents in as an LSM-style DELTA SEGMENT — O(batch)
+    instead of O(touched postings).
+
+    Why this exists: `update_index_incremental` rebuilds every touched
+    term's FULL list.  On any Zipfian corpus a batch of new docs
+    touches the head vocabulary — i.e. the longest lists — so the
+    in-place update costs nearly a rebuild no matter how small the
+    batch (measured: a 100-doc update ≈ a full rebuild at 35M
+    postings, BENCH.md).  The Lucene/LSM answer: new docs become a
+    small self-contained segment; queries read base + deltas; deltas
+    fold back at compaction.
+
+    Mechanics in this layout:
+    - The delta's chunks land in ``index.parquet/part=<num_parts+seg>``
+      (and its staging rows in the same-numbered staging part).  A
+      term's list is then the CONCATENATION of its base chunks and its
+      delta chunks — already in doc order, because fresh doc_ids are
+      greater than every base id and every query path orders chunks by
+      (term, chunk_id): delta chunk_ids carry a ``seg << 20`` offset.
+    - Per-term metadata stays correct WITHOUT touching base rows:
+      query paths take df from the term-level term_stats aggregation
+      (sum of chunk sizes — query_lists_df), which the sidecar refresh
+      recomputes over base+delta; per-chunk pruning bounds are
+      segment-local and stay admissible as encoded (stale-avg_len
+      inflation applies per part exactly like incremental updates).
+    - ANS-family codecs train PER-SEGMENT models on the delta batch
+      (short delta lists select block-stat buckets the base models
+      never saw, so frozen-model coverage would fail for almost any
+      small batch); models.pkl carries ``delta_models[seg]`` and every
+      decode path routes by the segment embedded in chunk_id
+      (build.decode_lists_segmented).  EF families delegate to
+      `update_index_incremental` outright (their payloads are laid
+      out against the global universe, so no delta can be
+      self-contained).
+    - Crash safety: all writes are deterministic directory swaps keyed
+      by the segment number (which only advances in the manifest at
+      the very end), doc stats append LAST, so a replay of the same
+      batch overwrites the same directories — idempotent like the
+      in-place path; the stats-mismatch finalize recovery is shared.
+    - `update_index_incremental` REFUSES while deltas exist (its
+      per-part keep/merge logic cannot see delta rows); run
+      `compact_index` first — it folds deltas back into the hash
+      parts, re-chunks the affected terms, and re-encodes everything.
+    """
+    import pickle
+    import shutil
+
+    from partitioned_ef_ans_spark.session import ship_package
+
+    ship_package(spark)
+    t0 = time.perf_counter()
+    staging = f"{out_dir}/staging_postings.parquet"
+    stats_path = f"{out_dir}/doc_stats.parquet"
+    _recover_swaps([staging, f"{out_dir}/index.parquet", out_dir])
+    with open(f"{out_dir}/manifest.json") as fh:
+        man = json.load(fh)
+    with open(f"{out_dir}/models.pkl", "rb") as fh:
+        side = pickle.load(fh)
+    codec = side["codec"]
+    if codec in ("pef", "ef", "single", "uniform"):
+        # EF layouts depend on the global universe: growth re-encodes
+        # everything anyway, a delta segment buys nothing
+        return update_index_incremental.__wrapped__(
+            spark, out_dir, new_docs, doc_col, text_col, skip_stale
+        )
+    num_parts = int(man["num_parts"])
+    chunk_postings = int(man["chunk_postings"])
+    seg = int(man.get("delta_segments", 0)) + 1
+    delta_pid = num_parts + seg - 1
+
+    # ---- freshness / replay filtering (same discipline as in-place)
+    old_max = spark.read.parquet(stats_path).agg(F.max("doc_id")).collect()[0][0]
+    if skip_stale and old_max is not None:
+        new_docs = new_docs.where(F.col(doc_col) > old_max)
+    new_min = new_docs.agg(F.min(F.col(doc_col))).collect()[0][0]
+    if new_min is None:
+        srow = spark.read.parquet(stats_path).agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"),
+            F.max("doc_id").alias("mx"),
+        ).collect()[0]
+        if int(srow["n"]) != int(man["num_docs"]):
+            uni = max(
+                int(man.get("universe", man["num_docs"])),
+                int(srow["mx"]) + 1 if srow["mx"] is not None else 0,
+            )
+            return _refresh_sidecars(
+                spark, out_dir, man, int(srow["n"]), float(srow["avg"]),
+                {"recovered_finalize": True, "universe": uni},
+            )
+        return {**man, "update_sec": 0.0, "parts_reencoded": 0}
+    if old_max is not None and new_min <= old_max:
+        raise ValueError(
+            f"delta update needs fresh doc_ids (> {old_max}), got min {new_min}"
+        )
+
+    # ---- delta postings: the batch alone, chunked and encoded
+    tf_new = term_frequencies(
+        tokenize(new_docs, doc_col=doc_col, text_col=text_col)
+    ).select("doc_id", "term", "tf")
+    stats_new = ds_mod.build_doc_stats(
+        new_docs.select(F.col(doc_col).alias("doc_id")), tf_new
+    )
+    stats_scratch = f"{out_dir}/.delta_stats.parquet"
+    stats_new.write.mode("overwrite").parquet(stats_scratch)
+    stats_new = spark.read.parquet(stats_scratch)
+    srow = spark.read.parquet(stats_path).unionByName(stats_new).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"),
+        F.max("doc_id").alias("mx"),
+    ).collect()[0]
+    num_docs, avg_len = int(srow["n"]), float(srow["avg"] or 0.0)
+    universe = max(
+        int(man.get("universe", man["num_docs"])), int(srow["mx"]) + 1
+    )
+
+    chunks = p_mod.build_postings(
+        tf_new, num_docs=universe, chunk_postings=chunk_postings,
+        doc_norms=stats_new,
+    ).withColumn(
+        # chunk ids above every base id: (term, chunk_id) ordering ==
+        # doc order across segments (fresh ids > all base ids)
+        "chunk_id", (F.lit(seg << 20) + F.col("chunk_id")).cast("int")
+    )
+
+    # ---- per-SEGMENT models: the delta trains its OWN ANS models on
+    # its own batch (short delta lists select block-stat buckets the
+    # base models never saw, so frozen-model coverage would fail for
+    # almost any small batch) — decode routes by the segment embedded
+    # in chunk_id.  models.pkl gains delta_models[seg] BEFORE the index
+    # part becomes visible: a crash in between leaves unused models
+    # (harmless); the replay retrains deterministically and overwrites.
+    seg_models = None
+    if codec in b_mod.ANS_CODEC_VARIANTS:
+        seg_models = b_mod.train_ans_models(
+            chunks, variant=b_mod.ANS_CODEC_VARIANTS[codec]
+        )
+    elif codec == "ans_packed":
+        seg_models = b_mod.train_ans_packed_models(chunks)
+    enc_models = seg_models if seg_models is not None else side["models"]
+    if seg_models is not None:
+        side.setdefault("delta_models", {})[seg] = seg_models
+        with open(f"{out_dir}/models.pkl", "wb") as fh:
+            pickle.dump(side, fh)
+
+    # ---- write the segment: staging rows, encoded chunks, checkpoint
+    _swap_dir_write(
+        chunks, f"{staging}/part_id={delta_pid}"
+    )
+    codec_bundle = b_mod.IndexCodec(codec, enc_models, num_docs=universe)
+    codec_bc = spark.sparkContext.broadcast(codec_bundle)
+    idx_dir = f"{out_dir}/index.parquet/part={delta_pid}"
+    enc = spark.read.parquet(f"{staging}/part_id={delta_pid}").mapInPandas(
+        b_mod._encode_factory(codec_bc, avg_len), schema=b_mod.INDEX_SCHEMA
+    )
+    _swap_dir_write(enc, idx_dir)
+    stats_row = spark.read.parquet(idx_dir).agg(
+        F.sum("n").alias("postings"), F.sum(F.length("payload")).alias("bytes")
+    ).collect()[0]
+    done: dict[int, dict] = {}
+    ckpt_path = f"{out_dir}/checkpoints.jsonl"
+    if os.path.exists(ckpt_path):
+        with open(ckpt_path) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                done[int(rec["part_id"])] = rec
+    done[delta_pid] = {
+        "part_id": delta_pid,
+        "postings": int(stats_row["postings"] or 0),
+        "payload_bytes": int(stats_row["bytes"] or 0),
+        "elapsed_sec": round(time.perf_counter() - t0, 3),
+        "codec": codec,
+        "avg_len_at_encode": avg_len,
+        "delta_segment": seg,
+    }
+    with open(ckpt_path, "w") as fh:
+        for pid in sorted(done):
+            fh.write(json.dumps(done[pid]) + "\n")
+
+    # ---- doc stats visible LAST (replay filter), then sidecars
+    stats_new.write.mode("append").parquet(stats_path)
+    man = _refresh_sidecars(
+        spark, out_dir, man, num_docs, avg_len,
+        dict(
+            universe=universe,
+            delta_segments=seg,
+            update_sec=round(time.perf_counter() - t0, 3),
+            parts_reencoded=0,
+        ),
+    )
+    shutil.rmtree(stats_scratch, ignore_errors=True)
+    return man
+
+
+@_locked
 def compact_index(spark: SparkSession, out_dir: str) -> dict:
     """Full re-encode of a resumable-layout index from its staging
     table with freshly retrained models — the maintenance endgame
@@ -868,6 +1075,63 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
             "compacting"
         )
 
+    # ---- fold delta segments back into the hash parts (LSM merge):
+    # delta terms' base+delta postings re-chunk into ONE list per term
+    # in the term's hash part; the delta part dirs then disappear from
+    # both staging and the index.  Idempotent: a crash mid-fold leaves
+    # the delta dirs in place (removed only after every affected hash
+    # part swapped) and the tf dedup absorbs already-merged rows.
+    delta_pids = sorted(
+        int(r["part_id"])
+        for r in staged.select("part_id").distinct().collect()
+        if int(r["part_id"]) >= num_parts
+    )
+    if delta_pids:
+        stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
+        part_col = (F.crc32(F.col("term")) % num_parts).cast("int")
+        aff_terms = (
+            staged.where(F.col("part_id") >= num_parts)
+            .select("term").distinct().cache()
+        )
+        aff_parts = sorted(
+            r["p"] for r in
+            aff_terms.select(part_col.alias("p")).distinct().collect()
+        )
+        sub = staged.join(F.broadcast(aff_terms), "term", "left_semi")
+        tf_union = sub.select(
+            "term", F.explode(F.arrays_zip("doc_ids", "freqs")).alias("z")
+        ).select(
+            "term",
+            F.col("z.doc_ids").alias("doc_id"),
+            F.col("z.freqs").cast("int").alias("tf"),
+        ).dropDuplicates(["term", "doc_id"])
+        chunk_postings = int(man["chunk_postings"])
+        new_chunks = p_mod.build_postings(
+            tf_union, num_docs=universe, chunk_postings=chunk_postings,
+            doc_norms=stats_df,
+        ).withColumn("part_id", part_col)
+        scratch = f"{out_dir}/.compact_fold.parquet"
+        new_chunks.write.mode("overwrite").parquet(scratch)
+        new_chunks = spark.read.parquet(scratch)
+        for pid in aff_parts:
+            keep = (
+                staged.where(F.col("part_id") == pid)
+                .join(F.broadcast(aff_terms), "term", "left_anti")
+                .drop("part_id")
+            )
+            merged = keep.unionByName(
+                new_chunks.where(F.col("part_id") == pid).drop("part_id")
+            )
+            _swap_dir_write(merged, f"{staging}/part_id={pid}")
+        for pid in delta_pids:
+            shutil.rmtree(f"{staging}/part_id={pid}", ignore_errors=True)
+            shutil.rmtree(
+                f"{out_dir}/index.parquet/part={pid}", ignore_errors=True
+            )
+        aff_terms.unpersist()
+        shutil.rmtree(scratch, ignore_errors=True)
+        staged = spark.read.parquet(staging)
+
     models = side["models"]
     if codec in b_mod.ANS_CODEC_VARIANTS:
         models = b_mod.train_ans_models(
@@ -914,5 +1178,6 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
             compactions=int(man.get("compactions", 0)) + 1,
             compact_sec=round(time.perf_counter() - t0, 3),
             parts_reencoded=num_parts,
+            delta_segments=0,
         ),
     )

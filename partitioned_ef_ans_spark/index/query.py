@@ -134,7 +134,13 @@ def _decode_group(pdf: pd.DataFrame, codec, avg_len: float):
         if key not in _LIST_CACHE:
             misses.append((key, bytes(p)))
     if misses:
-        decoded = codec.decode_lists([p for _, p in misses])
+        from partitioned_ef_ans_spark.index.build import decode_lists_segmented
+
+        # key[2] is the chunk_id — its high bits carry the delta
+        # segment, which routes to that segment's own models
+        decoded = decode_lists_segmented(
+            codec, [p for _, p in misses], [key[2] for key, _ in misses]
+        )
         if len(_LIST_CACHE) + len(misses) > _CACHE_LIMIT:
             _LIST_CACHE.clear()
             _WEIGHT_CACHE.clear()
@@ -648,13 +654,24 @@ def query_lists_df(
     if term_stats_df is not None:
         per_term_max = term_stats_df.join(
             F.broadcast(qf.select("term").distinct()), "term", "left_semi"
-        ).select("term", F.col("max_term_weight").alias("max_weight"))
+        ).select(
+            "term",
+            F.col("max_term_weight").alias("max_weight"),
+            F.col("df").alias("term_df"),
+        )
     else:
         per_term_max = index_df.groupBy("term").agg(
-            F.max("chunk_max_weight").alias("max_weight")
+            F.max("chunk_max_weight").alias("max_weight"),
+            F.sum("n").cast("long").alias("term_df"),
         )
-    idx = index_df.join(F.broadcast(qf), "term")
-    return idx.join(F.broadcast(per_term_max), "term")
+    # the chunk-row df is frozen at its SEGMENT's build and goes stale
+    # when a term's list spans base + delta segments — every consumer
+    # gets the authoritative term-level df (== list length) instead
+    idx = index_df.drop("df").join(F.broadcast(qf), "term")
+    return (
+        idx.join(F.broadcast(per_term_max), "term")
+        .withColumnRenamed("term_df", "df")
+    )
 
 
 #: per-TASK compressed-bytes budget for the query-parallel gather: a
@@ -801,11 +818,15 @@ def run_ranked_docpartitioned(
     joined = query_lists_df(index_df, queries_df, term_stats_df)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from partitioned_ef_ans_spark.index.build import decode_lists_segmented
+
         codec_l = codec_bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            decoded = codec_l.decode_lists([bytes(p) for p in pdf["payload"]])
+            decoded = decode_lists_segmented(
+                codec_l, [bytes(p) for p in pdf["payload"]], pdf["chunk_id"]
+            )
             qids, docs_out, scores = [], [], []
             for (qid, qtf, df_, dl), (docs, freqs) in zip(
                 zip(pdf["query_id"], pdf["qtf"], pdf["df"], pdf["doc_lens"]), decoded
@@ -825,7 +846,7 @@ def run_ranked_docpartitioned(
             )
 
     per_doc = (
-        joined.select("query_id", "qtf", "df", "payload", "doc_lens")
+        joined.select("query_id", "qtf", "df", "chunk_id", "payload", "doc_lens")
         .mapInPandas(partials, schema="query_id long, doc_id long, partial double")
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("partial"), bm25.ROUND_DECIMALS).alias("score"))
@@ -864,11 +885,15 @@ def run_ranked_and_docpartitioned(
     joined = query_lists_df(index_df, queries_df, term_stats_df)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from partitioned_ef_ans_spark.index.build import decode_lists_segmented
+
         codec_l = codec_bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            decoded = codec_l.decode_lists([bytes(p) for p in pdf["payload"]])
+            decoded = decode_lists_segmented(
+                codec_l, [bytes(p) for p in pdf["payload"]], pdf["chunk_id"]
+            )
             qids, terms_out, nts, docs_out, scores = [], [], [], [], []
             for (qid, term, qtf, df_, nt, dl), (docs, freqs) in zip(
                 zip(
@@ -898,7 +923,10 @@ def run_ranked_and_docpartitioned(
             )
 
     per_doc = (
-        joined.select("query_id", "term", "n_terms", "qtf", "df", "payload", "doc_lens")
+        joined.select(
+            "query_id", "term", "n_terms", "qtf", "df", "chunk_id",
+            "payload", "doc_lens",
+        )
         .mapInPandas(
             partials,
             schema="query_id long, term string, n_terms long, doc_id long, partial double",
@@ -945,11 +973,15 @@ def run_boolean_docpartitioned(
     joined = query_lists_df(index_df, qdf, term_stats_df)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from partitioned_ef_ans_spark.index.build import decode_lists_segmented
+
         codec_l = codec_bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            decoded = codec_l.decode_lists([bytes(p) for p in pdf["payload"]])
+            decoded = decode_lists_segmented(
+                codec_l, [bytes(p) for p in pdf["payload"]], pdf["chunk_id"]
+            )
             qids, terms_out, nts, docs_out = [], [], [], []
             for (qid, term, nt), (docs, _f) in zip(
                 zip(pdf["query_id"], pdf["term"], pdf["n_terms"]), decoded
@@ -970,7 +1002,9 @@ def run_boolean_docpartitioned(
             )
 
     # doc_lens/scoring columns pruned: the exchange carries ids only
-    rows = joined.select("query_id", "term", "n_terms", "payload").mapInPandas(
+    rows = joined.select(
+        "query_id", "term", "n_terms", "chunk_id", "payload"
+    ).mapInPandas(
         partials,
         schema="query_id long, term string, n_terms long, doc_id long",
     )

@@ -41,6 +41,7 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
     codec = b_mod.IndexCodec(
         side["codec"], side["models"],
         num_docs=man.get("universe", man["num_docs"]),
+        delta_models=side.get("delta_models"),
     )
     tbl = pq.read_table(f"{idx_dir}/index.parquet").to_pandas()
     nd = man["num_docs"]
@@ -82,6 +83,9 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
                     query_id=qid, n_terms=len(c),
                 )
                 pdf["qtf"] = [c[t] for t in pdf["term"]]
+                # authoritative per-term df (chunk-row df is stale on
+                # delta-segmented indexes) — mirrors query_lists_df
+                pdf["df"] = pdf.groupby("term")["n"].transform("sum")
                 # per-TERM bound = max over the term's chunks (a single
                 # chunk's max would under-bound multi-chunk lists)
                 pdf["max_weight"] = pdf.groupby("term")[

@@ -24,19 +24,30 @@ def start_index_update_stream(
     index_dir: str,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    mode: str = "incremental",
 ):
     """File-source stream of (doc_id, content) documents; each
     micro-batch is folded into the index at ``index_dir`` (which must
     exist — build it with ``build_index_resumable`` first, possibly on
-    an empty-ish seed corpus)."""
+    an empty-ish seed corpus).
+
+    ``mode="incremental"``: in-place touched-vocabulary re-encode
+    (O(touched postings) — near a rebuild per batch on Zipf text).
+    ``mode="delta"``: each micro-batch becomes an LSM delta segment
+    with its own models (O(batch) — the right shape for streams);
+    run ``compact_index`` periodically to fold segments back."""
     from partitioned_ef_ans_spark.index.checkpoint import (
+        update_index_delta,
         update_index_incremental,
     )
 
+    if mode not in ("incremental", "delta"):
+        raise ValueError(f"unknown index update mode {mode!r}")
+    update = update_index_incremental if mode == "incremental" else update_index_delta
     src = spark.readStream.schema(CORPUS_STREAM_SCHEMA).parquet(input_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        update_index_incremental(
+        update(
             spark, index_dir, batch_df,
             doc_col="doc_id", text_col="content", skip_stale=True,
         )

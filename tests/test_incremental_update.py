@@ -494,3 +494,213 @@ def test_incremental_update_rejects_stale_doc_ids(spark, tmp_path):
         update_index_incremental(
             spark, d, _mk_docs(spark, [(5, "t000 collides")])
         )
+
+
+def _corpus_delta(by_part, base=40, n=24):
+    """Continuation of _corpus_a's generator at fresh doc ids — the
+    same tf/gap/first-doc symbol distribution, so the frozen ANS
+    models would also have covered it; per-segment models make that
+    irrelevant, but a same-shaped batch keeps this test focused on the
+    segment MECHANICS rather than model training."""
+    rows = []
+    for d in range(n):
+        terms = []
+        for p in range(NUM_PARTS):
+            terms += [by_part[p][d % 5], by_part[p][(d * 3 + 1) % 5]]
+        rows.append((base + d, " ".join(terms * (1 + d % 3))))
+    return rows
+
+
+def test_delta_update_rank_identical_and_o_batch(spark, tmp_path):
+    """LSM delta-segment update: queries over base+delta segments are
+    rank-identical to a full rebuild of the union, the base index
+    parts' files are NOT rewritten (O(batch) — the whole point), and
+    the in-place incremental path refuses while deltas live."""
+    import os
+
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        update_index_delta,
+        update_index_incremental,
+    )
+
+    by_part = _vocab_by_part()
+    d = str(tmp_path / "idx")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part)), d, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    base_mtimes = {
+        p: os.path.getmtime(f"{d}/index.parquet/{p}")
+        for p in os.listdir(f"{d}/index.parquet")
+    }
+    rows_b = _corpus_delta(by_part)
+    m1 = update_index_delta(spark, d, _mk_docs(spark, rows_b))
+    assert m1["delta_segments"] == 1  # really took the delta path
+    assert os.path.isdir(f"{d}/index.parquet/part={NUM_PARTS}")
+    for p, t in base_mtimes.items():  # O(batch): base parts untouched
+        assert os.path.getmtime(f"{d}/index.parquet/{p}") == t
+
+    full_dir = str(tmp_path / "full")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part) + rows_b),
+        full_dir, codec="ans", num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    qs = [
+        (0, [by_part[0][0], by_part[1][1]]),
+        (1, [by_part[2][0]]),
+        (2, [by_part[0][0], by_part[2][2], by_part[3][1]]),
+    ]
+    for mode in ("taat", "blockmax", "ranked_or", "wand"):
+        assert _ranked(spark, d, qs, mode) == _ranked(spark, full_dir, qs, mode)
+    assert _docpart(spark, d, qs) == _docpart(spark, full_dir, qs)
+
+    with pytest.raises(ValueError, match="delta segments"):
+        update_index_incremental(spark, d, _mk_docs(spark, [(300, "t000")]))
+
+
+def test_delta_update_per_segment_models_absorb_drift(spark, tmp_path):
+    """A delta batch whose symbol distribution the base models never
+    saw (much longer docs, unseen tf/gap buckets) still lands as a
+    SEGMENT: each delta trains its own ANS models, decode routes by
+    the segment embedded in chunk_id — no fallback, exact decode, and
+    chained drifted segments stack."""
+    import pickle
+
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        update_index_delta,
+    )
+    from partitioned_ef_ans_spark.tokenizer import term_frequencies, tokenize
+
+    by_part = _vocab_by_part()
+    d = str(tmp_path / "idx")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part)), d, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    rows_b = _corpus_b(by_part)  # much longer docs -> unseen symbols
+    man = update_index_delta(spark, d, _mk_docs(spark, rows_b))
+    assert man["delta_segments"] == 1
+    side = pickle.load(open(f"{d}/models.pkl", "rb"))
+    assert 1 in side["delta_models"]  # the segment carries its own models
+
+    # a second, also-drifted segment on top
+    rows_c = [(300 + j, " ".join(by_part[3][k % 6] for k in range(4)) * 12)
+              for j in range(6)]
+    man = update_index_delta(spark, d, _mk_docs(spark, rows_c))
+    assert man["delta_segments"] == 2
+
+    truth = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in term_frequencies(
+            tokenize(_mk_docs(spark, _corpus_a(by_part) + rows_b + rows_c),
+                     doc_col="doc_id", text_col="text")
+        ).collect()
+    }
+    assert _decode_flat_rows(spark, d) == truth
+
+    # ranked retrieval across three segments == full rebuild
+    full_dir = str(tmp_path / "full")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part) + rows_b + rows_c),
+        full_dir, codec="ans", num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    qs = [(0, [by_part[0][0], by_part[1][1]]), (1, [by_part[3][0]])]
+    for mode in ("taat", "blockmax", "ranked_or"):
+        assert _ranked(spark, d, qs, mode) == _ranked(spark, full_dir, qs, mode)
+    assert _docpart(spark, d, qs) == _docpart(spark, full_dir, qs)
+
+
+def test_delta_compaction_restores_single_segment_layout(spark, tmp_path):
+    """compact_index folds deltas back: delta part dirs disappear from
+    staging and index, bpp returns to a fresh rebuild's value, queries
+    stay rank-identical, and the in-place path works again."""
+    import os
+
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        compact_index,
+        update_index_delta,
+        update_index_incremental,
+    )
+
+    by_part = _vocab_by_part()
+    d = str(tmp_path / "idx")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part)), d, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    rows_b = _corpus_delta(by_part)
+    man_b = update_index_delta(spark, d, _mk_docs(spark, rows_b))
+    assert man_b["delta_segments"] == 1  # really took the delta path
+    man = compact_index(spark, d)
+    assert man["delta_segments"] == 0
+    assert not os.path.exists(f"{d}/index.parquet/part={NUM_PARTS}")
+    assert not os.path.exists(f"{d}/staging_postings.parquet/part_id={NUM_PARTS}")
+
+    full_dir = str(tmp_path / "full")
+    fm = build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part) + rows_b), full_dir,
+        codec="ans", num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    assert abs(man["bits_per_posting"] - fm["bits_per_posting"]) < 1e-9
+    qs = [(0, [by_part[0][0], by_part[1][1]]), (1, [by_part[2][0]])]
+    for mode in ("taat", "blockmax"):
+        assert _ranked(spark, d, qs, mode) == _ranked(spark, full_dir, qs, mode)
+
+    # in-place updates are legal again after compaction
+    m = update_index_incremental(spark, d, _mk_docs(spark, [(300, "t000 t001")]))
+    assert m["num_docs"] == 65
+
+
+def test_streaming_delta_mode_folds_segments(spark, tmp_path):
+    """mode="delta": every streamed micro-batch becomes an O(batch)
+    delta segment (own models), retrieval across segments is
+    rank-identical to a batch rebuild, and a later compaction folds
+    everything back to the single-segment layout."""
+    import json
+
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        compact_index,
+    )
+    from partitioned_ef_ans_spark.streaming.index_update import (
+        start_index_update_stream,
+    )
+
+    by_part = _vocab_by_part()
+    rows_a = _corpus_a(by_part)
+    rows_b = _corpus_b(by_part)
+    rows_c = [(300, " ".join(by_part[2][:4] * 6))]
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+
+    build_index_resumable(
+        spark, _mk_docs(spark, rows_a), inc_dir, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    for wave in (rows_b, rows_c):
+        spark.createDataFrame(
+            [(d, t) for d, t in wave], "doc_id long, content string"
+        ).write.mode("append").parquet(inp)
+        start_index_update_stream(spark, inp, inc_dir, ckpt, mode="delta")
+    man = json.load(open(f"{inc_dir}/manifest.json"))
+    assert man["delta_segments"] == 2
+
+    build_index_resumable(
+        spark, _mk_docs(spark, rows_a + rows_b + rows_c), full_dir,
+        codec="ans", num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    qs = [(0, [by_part[2][0], by_part[0][0]]), (1, [by_part[2][2]])]
+    for mode in ("blockmax", "taat"):
+        assert _ranked(spark, inc_dir, qs, mode) == _ranked(
+            spark, full_dir, qs, mode
+        )
+    man = compact_index(spark, inc_dir)
+    assert man["delta_segments"] == 0
+    for mode in ("blockmax", "taat"):
+        assert _ranked(spark, inc_dir, qs, mode) == _ranked(
+            spark, full_dir, qs, mode
+        )
