@@ -262,10 +262,19 @@ def maintenance_mode():
         q[f"delta_{b}_segments"] = int(m.get("delta_segments", 0))
         prev_postings = m["total_postings"]
         lo += b
+    # read amplification of the segmented layout: per-query kernel
+    # latency over base+segments vs the same index after compaction
+    lat_qs = c_mod.synthesize_queries(
+        int(os.environ.get("PEFA_MAINT_LAT_QUERIES", "60")), vocab_size=20000
+    )
+    lat_modes = ("blockmax", "ranked_or")
+    q["delta_latency_us"] = kernel_latency_stats(idx, lat_qs, modes=lat_modes)
+
     t0 = time.perf_counter()
     cm = compact_index(spark, idx)
     q["delta_fold_compact_sec"] = round(time.perf_counter() - t0, 2)
     q["delta_fold_bpp"] = round(cm["bits_per_posting"], 4)
+    q["compacted_latency_us"] = kernel_latency_stats(idx, lat_qs, modes=lat_modes)
 
     # ---- in-place chain (touched-vocabulary re-encode) on the
     # compacted index — the update-vs-rebuild comparison the verdict

@@ -236,64 +236,36 @@ def _collect_per_term(pdf: pd.DataFrame, codec, avg_len: float) -> dict:
     return per_term
 
 
-#: tau sampling depth: decode the strongest list's best blocks until
-#: at least this many × k postings are covered.  More postings = a
-#: tighter tau (better pruning) at more decode cost; the k-th best of
-#: ANY subset is a valid lower bound on the k-th best overall.
-TAU_SAMPLE_FACTOR = 8
-
-
 def _tau_from_strongest(
     pdf: pd.DataFrame, per_term: dict, weights: dict, codec,
     avg_len: float, k: int, dtype,
 ):
-    """tau = (k-th best single-term score among the strongest list's
-    HIGHEST-MAX blocks) - margin — a valid lower bound on the k-th
-    best final score: single-term scores lower-bound final scores, and
-    a subset's k-th best lower-bounds the full list's k-th best.
+    """tau = (k-th best single-term score of the strongest list) -
+    margin — a valid lower bound on the k-th best final score.  Full
+    decode of that one list, through the worker decode cache.
 
-    Decoding only the best ~TAU_SAMPLE_FACTOR*k postings' worth of
-    blocks (picked by descending block max weight) instead of the
-    whole list matters at scale: the strongest list of a stopword
-    query on a 100 TB index is millions of postings, and a full tau
-    decode would dwarf the selective scoring it enables.  Cached
-    chunks are sliced for free via _gather_term_blocks."""
+    Measured dead end (round 4, kept for the record): sampling only
+    the strongest list's highest-max blocks (any subset's k-th best is
+    still a valid bound) cuts the tau decode but COLLAPSES pruning —
+    the true top-k single-term scores spread across ordinary blocks,
+    so an 8k-posting sample left blockmax scoring 99.9% of referenced
+    blocks at 144.5M postings vs 76.6% under the full-list tau, and
+    mean latency got WORSE (167 ms vs 153).  Tau quality dominates its
+    decode cost; at the scale where a stopword tau decode would truly
+    hurt, the giant-query dispatch routes to the doc-partitioned path
+    before this kernel runs."""
+    from partitioned_ef_ans_spark.index import query as q
+
     strongest = max(
         sorted(per_term),
         key=lambda t: float(weights[t])
         * max(float(b.max()) for b in per_term[t]["bw"] if len(b)),
     )
-    d = per_term[strongest]
-    bs = codec.block_size
-    # rank all blocks of the strongest term by their max weight
-    flat = [
-        (float(d["bw"][ci][j]), ci, j)
-        for ci in range(len(d["bw"]))
-        for j in range(len(d["bw"][ci]))
-    ]
-    flat.sort(reverse=True)
-    want = max(k * TAU_SAMPLE_FACTOR, k)
-    masks = [np.zeros(nb, dtype=bool) for nb in d["nblocks"]]
-    covered = 0
-    for _, ci, j in flat:
-        masks[ci][j] = True
-        n_chunk = len(d["norms"][ci])
-        covered += min(bs, n_chunk - j * bs)
-        if covered >= want:
-            break
-    docs, freqs, nsl = _gather_term_blocks(d, masks, codec, bs)
-    if not len(docs):
-        return -np.inf
-    from partitioned_ef_ans_spark.index import query as q
-
-    s0 = (
-        q._doc_weights(freqs, nsl, dtype) * dtype(weights[strongest])
-    ).astype(np.float64)
-    # the SUBSET k-th is only a valid bound when the subset holds >= k
-    # scores AND the full list does too (mirrors the full-decode rule:
-    # a <=k-long list gives no threshold)
-    total = sum(len(n) for n in d["norms"])
-    if len(s0) > k and total > k:
+    sub = pdf[pdf["term"] == strongest]
+    lists0, norms0 = q._decode_group(sub, codec, avg_len)
+    tws0 = q._term_weights(lists0, norms0, dtype, tag=codec.tag)
+    s0 = (tws0[strongest] * dtype(weights[strongest])).astype(np.float64)
+    if len(s0) > k:
         return float(np.partition(s0, len(s0) - k)[len(s0) - k]) - TAU_MARGIN
     return -np.inf
 
