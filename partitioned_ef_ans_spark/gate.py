@@ -341,10 +341,9 @@ def q_bool_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_bool_docpart() -> str:
-    return (
-        f"SELECT 'and' AS op, * FROM ({sql_bool_and()}) "
-        f"UNION ALL SELECT 'or' AS op, * FROM ({sql_bool_or()})"
-    )
+    # same result contract as the query-parallel twin — one oracle,
+    # no drift between the two
+    return sql_bool_indexed()
 
 
 def q_index_decode_flat(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,6 +63,29 @@ def _inflate(x):
     return x * (1.0 + B_REL) + B_ABS
 
 
+def build_bmw_meta(pdf, weights: dict, terms=None) -> dict:
+    """Per-term ``(block_end_docids, inflated query-scaled block-max
+    weights)`` for the true-BMW kernel — the ONE builder shared by the
+    production kernel (query.make_ranked_kernel) and the latency bench,
+    so the measured code path is exactly the shipped one.  ``pdf``
+    holds one query's chunk rows; chunks concatenate in
+    (term, chunk_id) order == doc order.  ``terms`` optionally
+    restricts to the decoded term set."""
+    spdf = pdf.sort_values(["term", "chunk_id"])
+    bmeta = {}
+    for t, g in spdf.groupby("term", sort=True):
+        if terms is not None and t not in terms:
+            continue
+        ends = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in g["block_maxs"]]
+        )
+        bw = np.concatenate(
+            [np.asarray(x, dtype=np.float64) for x in g["block_max_weights"]]
+        )
+        bmeta[t] = (ends, _inflate(float(weights[t]) * bw))
+    return bmeta
+
+
 # ------------------------------------------------------ selective decode
 
 def ragged_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -93,12 +116,10 @@ def decode_selected(payloads: list[bytes], masks: list[np.ndarray], codec,
     segment and each group takes the batched path below.
     """
     if chunk_ids is not None and codec.delta_models:
-        from collections import defaultdict
+        from partitioned_ef_ans_spark.index.build import group_by_segment
 
-        groups: dict[int, list[int]] = defaultdict(list)
-        for i, cid in enumerate(chunk_ids):
-            groups[int(cid) >> 20].append(i)
-        if list(groups) != [0]:
+        groups = group_by_segment(chunk_ids)
+        if groups is not None:
             out: list = [None] * len(payloads)
             for s, idxs in groups.items():
                 sub = decode_selected(

@@ -568,18 +568,31 @@ def build_index(
     return metrics
 
 
-def decode_lists_segmented(codec, payloads: list[bytes], segs) -> list:
-    """decode_lists with per-payload SEGMENT routing: payloads from a
-    delta segment decode under that segment's own models (seg =
-    chunk_id >> 20).  Single-segment indexes take the direct path."""
-    if not codec.delta_models:
-        return codec.decode_lists(payloads)
+def group_by_segment(chunk_ids) -> dict[int, list[int]] | None:
+    """Delta-segment grouping of chunk ids — the ONE place the
+    ``seg = chunk_id >> 20`` layout constant lives for decode routing
+    (update_index_delta embeds the segment in bits 20+; segments are
+    capped at 2047 so the int32 chunk_id never wraps).  Returns None
+    when every chunk is base-segment: callers take their direct
+    single-model path."""
     from collections import defaultdict
 
     groups: dict[int, list[int]] = defaultdict(list)
-    for i, s in enumerate(segs):
+    for i, s in enumerate(chunk_ids):
         groups[int(s) >> 20].append(i)
     if list(groups) == [0]:
+        return None
+    return groups
+
+
+def decode_lists_segmented(codec, payloads: list[bytes], segs) -> list:
+    """decode_lists with per-payload SEGMENT routing: payloads from a
+    delta segment decode under that segment's own models.  Single-
+    segment indexes take the direct path."""
+    if not codec.delta_models:
+        return codec.decode_lists(payloads)
+    groups = group_by_segment(segs)
+    if groups is None:
         return codec.decode_lists(payloads)
     out: list = [None] * len(payloads)
     for s, idxs in groups.items():

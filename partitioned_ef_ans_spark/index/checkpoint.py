@@ -282,6 +282,103 @@ def _recover_swaps(roots: list[str]) -> None:
                 shutil.rmtree(path, ignore_errors=True)
 
 
+def _apply_commit(journal: str) -> None:
+    import shutil
+
+    try:
+        with open(journal) as fh:
+            pairs = json.load(fh)["renames"]
+    except (json.JSONDecodeError, KeyError):
+        # torn journal write: the commit never started (the journal is
+        # fsynced BEFORE the first rename) — discard it
+        os.remove(journal)
+        return
+    for src, dst in pairs:
+        # roll FORWARD only: a pair whose src is gone already renamed
+        # (dst is the new state — never touch it on replay).  The old
+        # dst moves ASIDE by rename (atomic) so a reader's exposure is
+        # two renames, never a partially-deleted tree; asides are
+        # swept after the journal completes.
+        if os.path.exists(src):
+            aside = f"{dst}.pre_commit"
+            shutil.rmtree(aside, ignore_errors=True)
+            if os.path.exists(aside):
+                os.remove(aside)
+            if os.path.exists(dst):
+                os.rename(dst, aside)
+            os.rename(src, dst)
+    for _, dst in pairs:
+        aside = f"{dst}.pre_commit"
+        if os.path.isdir(aside):
+            shutil.rmtree(aside, ignore_errors=True)
+        elif os.path.exists(aside):
+            os.remove(aside)
+    os.remove(journal)
+
+
+def _commit_renames(out_dir: str, pairs: list[tuple[str, str]]) -> None:
+    """Atomic-enough multi-artifact commit: fsync a journal listing the
+    renames, then execute them (each rename is atomic; the set is made
+    all-or-nothing by roll-forward).  A crash before the journal write
+    leaves the OLD state fully live (scratch dirs are invisible); a
+    crash after it is healed by `_recover_commit` at the next locked
+    maintenance op, which replays the remaining renames.  The unsafe
+    window for concurrent readers is the few milliseconds of renames —
+    not the whole rebuild, which stays in dot-prefixed scratch paths."""
+    journal = f"{out_dir}/.commit_journal.json"
+    with open(journal, "w") as fh:
+        json.dump({"renames": [[s, d] for s, d in pairs]}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    _apply_commit(journal)
+
+
+def _recover_commit(out_dir: str) -> None:
+    """Complete a crashed `_commit_renames` (called by every locked
+    maintenance op before reading index state).  Only writers call
+    this: a live writer's own in-flight journal can never be seen here
+    because commits happen under the same single-writer lock."""
+    journal = f"{out_dir}/.commit_journal.json"
+    if os.path.exists(journal):
+        _apply_commit(journal)
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink-copy a directory tree (parquet files are immutable, so
+    links are safe); falls back to byte copies where link() is
+    unsupported."""
+    import shutil
+
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        s, d = os.path.join(src, name), os.path.join(dst, name)
+        if os.path.isdir(s):
+            _link_tree(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def _live_delta_pids(out_dir: str, num_parts: int) -> list[int]:
+    """Delta part ids (>= num_parts) present in the LIVE index tree —
+    disk truth, independent of the manifest's possibly-lagging
+    ``delta_segments`` counter."""
+    root = f"{out_dir}/index.parquet"
+    pids = []
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith("part="):
+                try:
+                    pid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if pid >= num_parts:
+                    pids.append(pid)
+    return sorted(pids)
+
+
 def _ans_counts_for(postings: DataFrame, variant: str):
     """(docs_counts, freqs_counts) raw-model count matrices for the
     given chunked lists (the train_ans_models pass 1, without freeze;
@@ -369,21 +466,37 @@ class _update_lock:
         self.ttl = ttl
         self._hb_stop = None
         self._hb_thread = None
+        #: set by the heartbeat when the lock file no longer carries
+        #: OUR record (lease expired and a contender took over, or the
+        #: file vanished).  A lost holder must not delete the usurper's
+        #: lock on exit — and long critical sections can poll it.
+        self.lost = False
+        self._my_record: str | None = None
 
     def _record(self) -> str:
         import socket
         import time as _t
+        import uuid
 
-        return f"{os.getpid()} {socket.gethostname()} {_t.time():.3f}"
+        # the trailing uuid makes the record a unique ownership token:
+        # heartbeat/exit/takeover compare CONTENT, never just pid/host
+        # (two same-pid records from different incarnations differ)
+        return (
+            f"{os.getpid()} {socket.gethostname()} {_t.time():.3f} "
+            f"{uuid.uuid4().hex}"
+        )
 
     def _try_acquire(self) -> bool:
         tmp = f"{self.path}.{os.getpid()}.{id(self)}.tmp"
+        record = self._record()
         with open(tmp, "w") as fh:
-            fh.write(self._record())
+            fh.write(record)
             fh.flush()
             os.fsync(fh.fileno())
         try:
             os.link(tmp, self.path)
+            self._my_record = record
+            self.lost = False
             return True
         except FileExistsError:
             return False
@@ -397,9 +510,11 @@ class _update_lock:
             except FileExistsError:
                 return False
             with os.fdopen(fd, "w") as fh:
-                fh.write(self._record())
+                fh.write(record)
                 fh.flush()
                 os.fsync(fh.fileno())
+            self._my_record = record
+            self.lost = False
             return True
         finally:
             try:
@@ -407,10 +522,13 @@ class _update_lock:
             except FileNotFoundError:
                 pass
 
-    def _holder_state(self) -> tuple[bool, str]:
-        """(alive, description) for the current lock file.  Missing
-        file -> dead (retryable); empty/unparsable -> alive (a writer
-        mid-create on a non-link fallback — never delete it)."""
+    def _holder_state(self) -> tuple[bool, str, str]:
+        """(alive, description, raw_record) for the current lock file.
+        Missing file -> dead (retryable); empty/unparsable -> alive (a
+        writer mid-create on a non-link fallback — never delete it).
+        ``raw_record`` is the exact content the verdict was based on:
+        takeover re-checks it AFTER the claiming rename so a verdict
+        reached on a stale read can never kill a fresh lock."""
         import socket
         import time as _t
 
@@ -418,7 +536,7 @@ class _update_lock:
             raw = open(self.path).read().strip()
             mtime = os.stat(self.path).st_mtime
         except (FileNotFoundError, OSError):
-            return False, "gone"
+            return False, "gone", ""
         parts = raw.split()
         pid = None
         if parts:
@@ -432,24 +550,24 @@ class _update_lock:
             # once the mtime ages past the ttl (crashed mid-create)
             age = __import__("time").time() - mtime
             if age > self.ttl:
-                return False, f"abandoned mid-create record ({age:.0f}s old)"
-            return True, "empty record (writer mid-create)"
+                return False, f"abandoned mid-create record ({age:.0f}s old)", raw
+            return True, "empty record (writer mid-create)", raw
         host = parts[1] if len(parts) > 1 else socket.gethostname()
         if host == socket.gethostname():
             # same host (legacy bare-pid records land here too):
             # pid liveness is authoritative
             try:
                 os.kill(pid, 0)
-                return True, f"pid {pid} alive on this host"
+                return True, f"pid {pid} alive on this host", raw
             except ProcessLookupError:
-                return False, f"pid {pid} dead on this host"
+                return False, f"pid {pid} dead on this host", raw
             except PermissionError:
-                return True, f"pid {pid} exists under another uid"
+                return True, f"pid {pid} exists under another uid", raw
         # cross-host: only the heartbeat lease can decide
         age = _t.time() - mtime
         if age > self.ttl:
-            return False, f"lease from {host} expired ({age:.0f}s > {self.ttl:.0f}s)"
-        return True, f"lease from {host} fresh ({age:.0f}s old)"
+            return False, f"lease from {host} expired ({age:.0f}s > {self.ttl:.0f}s)", raw
+        return True, f"lease from {host} fresh ({age:.0f}s old)", raw
 
     def _start_heartbeat(self):
         import threading
@@ -458,9 +576,23 @@ class _update_lock:
 
         def beat(stop=self._hb_stop, path=self.path, period=self.ttl / 4):
             while not stop.wait(period):
+                # ownership check BEFORE touching: after a legitimate
+                # lease-expiry takeover (this process paused > ttl) the
+                # path holds the USURPER's record — touching or later
+                # deleting it would admit a third writer.  Content is
+                # the token (unique uuid per acquisition).
+                try:
+                    raw = open(path).read().strip()
+                except (FileNotFoundError, OSError):
+                    self.lost = True
+                    return
+                if raw != self._my_record:
+                    self.lost = True
+                    return
                 try:
                     os.utime(path)
                 except (FileNotFoundError, OSError):
+                    self.lost = True
                     return
 
         self._hb_thread = threading.Thread(target=beat, daemon=True)
@@ -480,12 +612,12 @@ class _update_lock:
                 if self._try_acquire():
                     self._start_heartbeat()
                     return self
-                alive, why = self._holder_state()
+                alive, why, judged_raw = self._holder_state()
                 if alive and ("mid-create" in why or "unparsable" in why):
                     # give a non-link writer a beat to finish its
                     # write, then re-check before erroring
                     _t.sleep(0.2)
-                    alive, why = self._holder_state()
+                    alive, why, judged_raw = self._holder_state()
                 if alive:
                     raise UpdateInProgress(
                         f"another update holds {self.path}: {why}"
@@ -497,6 +629,27 @@ class _update_lock:
                     os.rename(self.path, grave)
                 except FileNotFoundError:
                     continue  # another contender claimed it first
+                # verify AFTER the claim: if the grave's record is not
+                # the one we judged dead, a faster contender already
+                # buried the stale lock and re-acquired — we just
+                # renamed a FRESH lock.  Put it back (link only
+                # succeeds while the path is free; if the victim
+                # already re-created, drop our copy) and retry.
+                try:
+                    stolen_raw = open(grave).read().strip()
+                except (FileNotFoundError, OSError):
+                    stolen_raw = ""
+                if stolen_raw != judged_raw:
+                    try:
+                        os.link(grave, self.path)
+                    except (FileExistsError, OSError):
+                        pass
+                    try:
+                        os.remove(grave)
+                    except FileNotFoundError:
+                        pass
+                    _t.sleep(0.05)
+                    continue
                 try:
                     os.remove(grave)
                 except FileNotFoundError:
@@ -513,9 +666,14 @@ class _update_lock:
         if self._hb_stop is not None:
             self._hb_stop.set()
             self._hb_thread.join(timeout=2)
+        # remove only OUR record: after a lease-expiry takeover the
+        # path belongs to the usurper — deleting it would let a third
+        # writer in behind the usurper's back
         try:
-            os.remove(self.path)
-        except FileNotFoundError:
+            raw = open(self.path).read().strip()
+            if raw == self._my_record:
+                os.remove(self.path)
+        except (FileNotFoundError, OSError):
             pass
         with _HELD_LOCKS_GUARD:
             _HELD_LOCKS.discard(self.path)
@@ -598,16 +756,22 @@ def update_index_incremental(
     t0 = time.perf_counter()
     staging = f"{out_dir}/staging_postings.parquet"
     stats_path = f"{out_dir}/doc_stats.parquet"
+    _recover_commit(out_dir)
     _recover_swaps([staging, f"{out_dir}/index.parquet", out_dir])
     with open(f"{out_dir}/manifest.json") as fh:
         man = json.load(fh)
-    if int(man.get("delta_segments", 0)):
+    num_parts = int(man["num_parts"])
+    # disk truth, not just the manifest counter: a delta update that
+    # crashed between its part swap and its manifest refresh leaves
+    # delta part dirs with delta_segments still at the old value —
+    # running the in-place path over them would merge blind to their
+    # rows
+    if int(man.get("delta_segments", 0)) or _live_delta_pids(out_dir, num_parts):
         raise ValueError(
             "index has live delta segments (update_index_delta): the "
             "in-place incremental update's per-part keep/merge cannot "
             "see delta rows — run compact_index first"
         )
-    num_parts = int(man["num_parts"])
     chunk_postings = int(man["chunk_postings"])
     old_avg = float(man["avg_doc_len"])
     with open(f"{out_dir}/models.pkl", "rb") as fh:
@@ -887,6 +1051,7 @@ def update_index_delta(
     t0 = time.perf_counter()
     staging = f"{out_dir}/staging_postings.parquet"
     stats_path = f"{out_dir}/doc_stats.parquet"
+    _recover_commit(out_dir)
     _recover_swaps([staging, f"{out_dir}/index.parquet", out_dir])
     with open(f"{out_dir}/manifest.json") as fh:
         man = json.load(fh)
@@ -901,11 +1066,43 @@ def update_index_delta(
         )
     num_parts = int(man["num_parts"])
     chunk_postings = int(man["chunk_postings"])
-    seg = int(man.get("delta_segments", 0)) + 1
+
+    # ---- segment numbering from DISK truth, not just the manifest: a
+    # prior delta that crashed between its doc-stats append and its
+    # manifest refresh left a fully-committed segment with
+    # ``delta_segments`` still at the old value — reusing its number
+    # would silently overwrite its postings while its docs stay in
+    # doc_stats.  A segment counts as committed iff its docs are in
+    # doc_stats (max last_doc <= stats max); an UNcommitted on-disk
+    # segment (crash before the stats append) is exactly the replay
+    # case the deterministic same-number overwrite is designed for.
+    old_max = spark.read.parquet(stats_path).agg(F.max("doc_id")).collect()[0][0]
+    committed = int(man.get("delta_segments", 0))
+    for pid in _live_delta_pids(out_dir, num_parts):
+        s = pid - num_parts + 1
+        if s <= committed:
+            continue
+        part_mx = spark.read.parquet(
+            f"{out_dir}/index.parquet/part={pid}"
+        ).agg(F.max("last_doc")).collect()[0][0]
+        if (
+            part_mx is not None
+            and old_max is not None
+            and int(part_mx) <= int(old_max)
+        ):
+            committed = s
+    seg = committed + 1
+    # chunk_id carries the segment in bits 20+ of an int32: 2047 is the
+    # last representable segment.  Fail LOUDLY before the cast would
+    # wrap negative and scramble both routing and doc order.
+    if seg > 2047:
+        raise RuntimeError(
+            f"delta segment limit reached ({seg-1}): run compact_index "
+            "to fold the segments back before further delta updates"
+        )
     delta_pid = num_parts + seg - 1
 
     # ---- freshness / replay filtering (same discipline as in-place)
-    old_max = spark.read.parquet(stats_path).agg(F.max("doc_id")).collect()[0][0]
     if skip_stale and old_max is not None:
         new_docs = new_docs.where(F.col(doc_col) > old_max)
     new_min = new_docs.agg(F.min(F.col(doc_col))).collect()[0][0]
@@ -914,14 +1111,23 @@ def update_index_delta(
             F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"),
             F.max("doc_id").alias("mx"),
         ).collect()[0]
-        if int(srow["n"]) != int(man["num_docs"]):
+        if int(srow["n"]) != int(man["num_docs"]) or committed != int(
+            man.get("delta_segments", 0)
+        ):
             uni = max(
                 int(man.get("universe", man["num_docs"])),
                 int(srow["mx"]) + 1 if srow["mx"] is not None else 0,
             )
             return _refresh_sidecars(
                 spark, out_dir, man, int(srow["n"]), float(srow["avg"]),
-                {"recovered_finalize": True, "universe": uni},
+                {
+                    "recovered_finalize": True,
+                    "universe": uni,
+                    # re-arm the counter the crashed finalize never
+                    # wrote (also re-arms update_index_incremental's
+                    # live-delta refusal)
+                    "delta_segments": committed,
+                },
             )
         return {**man, "update_sec": 0.0, "parts_reencoded": 0}
     if old_max is not None and new_min <= old_max:
@@ -1035,7 +1241,16 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     weakens pruning.  Compaction retrains, re-encodes every part under
     the CURRENT avg_doc_len, and resets every part's
     ``avg_len_at_encode`` — after it, `part_bound_scales` is empty and
-    bits/posting returns to build-fresh."""
+    bits/posting returns to build-fresh.
+
+    Crash safety: the ENTIRE new state (folded staging, re-encoded
+    index tree, models, checkpoints, term_stats, manifest) is built in
+    dot-prefixed scratch paths while the live index stays fully
+    consistent and delta-inclusive; the switch is a journaled rename
+    commit (`_commit_renames`) that rolls forward on replay.  At no
+    crash point does the live tree hold delta-less hash parts with
+    delta dirs already removed (the silent-missing-postings window of
+    a mutate-in-place fold), nor new payloads under old models."""
     import pickle
     import shutil
 
@@ -1044,6 +1259,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     ship_package(spark)
     t0 = time.perf_counter()
     staging = f"{out_dir}/staging_postings.parquet"
+    _recover_commit(out_dir)
     _recover_swaps([staging, f"{out_dir}/index.parquet", out_dir])
     with open(f"{out_dir}/manifest.json") as fh:
         man = json.load(fh)
@@ -1070,22 +1286,35 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         raise RuntimeError(
             f"staging contains doc_id {staged_mx} beyond the stats "
             f"universe {universe} — an interrupted update left postings "
-            "without their doc stats; re-run update_index_incremental "
-            "with the interrupted batch (replay is exact) before "
+            "without their doc stats; replay the interrupted batch "
+            "first (update_index_incremental, or update_index_delta "
+            "for a crashed delta segment — replays are exact) before "
             "compacting"
         )
 
-    # ---- fold delta segments back into the hash parts (LSM merge):
-    # delta terms' base+delta postings re-chunk into ONE list per term
-    # in the term's hash part; the delta part dirs then disappear from
-    # both staging and the index.  Idempotent: a crash mid-fold leaves
-    # the delta dirs in place (removed only after every affected hash
-    # part swapped) and the tf dedup absorbs already-merged rows.
+    # ---- scratch roots (a stale partial attempt is discarded whole)
+    sc_staging = f"{out_dir}/.compact_staging"
+    sc_index = f"{out_dir}/.compact_index"
+    sc_tstats = f"{out_dir}/.compact_term_stats"
+    sc_models = f"{out_dir}/.compact_models.pkl"
+    sc_ckpt = f"{out_dir}/.compact_ckpt.jsonl"
+    sc_man = f"{out_dir}/.compact_manifest.json"
+    for d in (sc_staging, sc_index, sc_tstats, f"{out_dir}/.compact_fold.parquet"):
+        shutil.rmtree(d, ignore_errors=True)
+    for f in (sc_models, sc_ckpt, sc_man):
+        if os.path.exists(f):
+            os.remove(f)
+
+    # ---- fold delta segments back into the hash parts (LSM merge)
+    # INTO THE SCRATCH staging tree: delta terms' base+delta postings
+    # re-chunk into ONE list per term in the term's hash part;
+    # untouched parts are hardlinked (parquet files are immutable).
     delta_pids = sorted(
         int(r["part_id"])
         for r in staged.select("part_id").distinct().collect()
         if int(r["part_id"]) >= num_parts
     )
+    aff_parts: list[int] = []
     if delta_pids:
         stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
         part_col = (F.crc32(F.col("term")) % num_parts).cast("int")
@@ -1122,26 +1351,37 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
             merged = keep.unionByName(
                 new_chunks.where(F.col("part_id") == pid).drop("part_id")
             )
-            _swap_dir_write(merged, f"{staging}/part_id={pid}")
-        for pid in delta_pids:
-            shutil.rmtree(f"{staging}/part_id={pid}", ignore_errors=True)
-            shutil.rmtree(
-                f"{out_dir}/index.parquet/part={pid}", ignore_errors=True
+            merged.write.mode("overwrite").parquet(
+                f"{sc_staging}/part_id={pid}"
             )
         aff_terms.unpersist()
-        shutil.rmtree(scratch, ignore_errors=True)
-        staged = spark.read.parquet(staging)
+    # untouched hash parts: hardlink into the scratch tree
+    os.makedirs(sc_staging, exist_ok=True)
+    for pid in range(num_parts):
+        if pid in aff_parts:
+            continue
+        src = f"{staging}/part_id={pid}"
+        if os.path.isdir(src):
+            _link_tree(src, f"{sc_staging}/part_id={pid}")
+    # staging-root marker files (_SUCCESS) ride along
+    for name in os.listdir(staging):
+        src = os.path.join(staging, name)
+        if os.path.isfile(src) and not name.startswith("."):
+            try:
+                os.link(src, os.path.join(sc_staging, name))
+            except OSError:
+                shutil.copy2(src, os.path.join(sc_staging, name))
+    staged_new = spark.read.parquet(sc_staging)
 
+    # ---- retrain on the folded corpus, re-encode every part into the
+    # scratch index tree (live index untouched)
     models = side["models"]
     if codec in b_mod.ANS_CODEC_VARIANTS:
         models = b_mod.train_ans_models(
-            staged, variant=b_mod.ANS_CODEC_VARIANTS[codec]
+            staged_new, variant=b_mod.ANS_CODEC_VARIANTS[codec]
         )
     elif codec == "ans_packed":
-        models = b_mod.train_ans_packed_models(staged)
-    # models.pkl is rewritten only after every part is re-encoded
-    # (below): a crash mid-loop must leave the old pkl matching the
-    # old payloads; the re-run retrains deterministically.
+        models = b_mod.train_ans_packed_models(staged_new)
 
     codec_bc = spark.sparkContext.broadcast(
         b_mod.IndexCodec(codec, models, num_docs=universe)
@@ -1149,35 +1389,64 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     recs = {}
     for pid in range(num_parts):
         t_part = time.perf_counter()
-        idx_dir = f"{out_dir}/index.parquet/part={pid}"
-        enc = staged.where(F.col("part_id") == pid).drop("part_id").mapInPandas(
+        idx_dir = f"{sc_index}/part={pid}"
+        enc = staged_new.where(F.col("part_id") == pid).drop("part_id").mapInPandas(
             b_mod._encode_factory(codec_bc, avg_len), schema=b_mod.INDEX_SCHEMA
         )
-        _swap_dir_write(enc, idx_dir)
+        enc.write.mode("overwrite").parquet(idx_dir)
         stats_row = spark.read.parquet(idx_dir).agg(
             F.sum("n").alias("postings"), F.sum(F.length("payload")).alias("bytes")
         ).collect()[0]
         recs[pid] = {
             "part_id": pid,
-            "lineage": _lineage(spark, staged, pid),
+            "lineage": _lineage(spark, staged_new, pid),
             "postings": int(stats_row["postings"] or 0),
             "payload_bytes": int(stats_row["bytes"] or 0),
             "elapsed_sec": round(time.perf_counter() - t_part, 3),
             "codec": codec,
             "avg_len_at_encode": avg_len,
         }
-    with open(f"{out_dir}/models.pkl", "wb") as fh:
+    with open(sc_models, "wb") as fh:
+        # delta_models intentionally dropped: the fold re-encoded every
+        # delta posting under the fresh base models
         pickle.dump({"codec": codec, "models": models}, fh)
-    with open(f"{out_dir}/checkpoints.jsonl", "w") as fh:
+    with open(sc_ckpt, "w") as fh:
         for pid in sorted(recs):
             fh.write(json.dumps(recs[pid]) + "\n")
-    return _refresh_sidecars(
-        spark, out_dir, man, num_docs, avg_len,
-        dict(
-            universe=universe,
-            compactions=int(man.get("compactions", 0)) + 1,
-            compact_sec=round(time.perf_counter() - t0, 3),
-            parts_reencoded=num_parts,
-            delta_segments=0,
-        ),
+
+    # ---- sidecars from the SCRATCH tree (fresh encode: no bound
+    # scales), so the committed state is consistent with no post-commit
+    # write at all
+    total_new = spark.read.parquet(sc_index)
+    b_mod.term_stats_agg(total_new).write.mode("overwrite").parquet(sc_tstats)
+    agg = spark.read.parquet(sc_tstats).agg(
+        F.sum("postings").alias("postings"), F.sum("payload_bytes").alias("bytes")
+    ).collect()[0]
+    man_new = dict(man)
+    man_new.update(
+        num_docs=num_docs,
+        avg_doc_len=avg_len,
+        total_postings=int(agg["postings"] or 0),
+        payload_bytes=int(agg["bytes"] or 0),
+        bits_per_posting=int(agg["bytes"] or 0) * 8 / int(agg["postings"] or 1),
+        universe=universe,
+        compactions=int(man.get("compactions", 0)) + 1,
+        compact_sec=round(time.perf_counter() - t0, 3),
+        parts_reencoded=num_parts,
+        delta_segments=0,
     )
+    with open(sc_man, "w") as fh:
+        json.dump(man_new, fh, indent=2)
+
+    # ---- journaled commit: old state fully live until here; roll
+    # forward on replay
+    _commit_renames(out_dir, [
+        (sc_staging, staging),
+        (sc_index, f"{out_dir}/index.parquet"),
+        (sc_models, f"{out_dir}/models.pkl"),
+        (sc_ckpt, f"{out_dir}/checkpoints.jsonl"),
+        (sc_tstats, f"{out_dir}/term_stats.parquet"),
+        (sc_man, f"{out_dir}/manifest.json"),
+    ])
+    shutil.rmtree(f"{out_dir}/.compact_fold.parquet", ignore_errors=True)
+    return man_new

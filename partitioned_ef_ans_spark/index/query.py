@@ -568,18 +568,9 @@ def make_ranked_kernel(codec_bc, num_docs, avg_len, k, mode, dtype_name="float64
                 lists, tws, weights, max_weights, dtype, qid, k, num_docs
             )
         if mode == "wand_bmw":
-            from partitioned_ef_ans_spark.index.blockmax import _inflate
+            from partitioned_ef_ans_spark.index.blockmax import build_bmw_meta
 
-            spdf = pdf.sort_values(["term", "chunk_id"])
-            bmeta = {}
-            for t, g in spdf.groupby("term", sort=True):
-                ends = np.concatenate(
-                    [np.asarray(x, dtype=np.int64) for x in g["block_maxs"]]
-                )
-                bw = np.concatenate(
-                    [np.asarray(x, dtype=np.float64) for x in g["block_max_weights"]]
-                )
-                bmeta[t] = (ends, _inflate(float(weights[t]) * bw))
+            bmeta = build_bmw_meta(pdf, weights)
             return _kernel_wand_bmw(
                 lists, tws, weights, max_weights, bmeta, dtype, qid, k,
                 num_docs,

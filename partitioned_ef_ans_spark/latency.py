@@ -118,27 +118,9 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
                 if mode == "wand":
                     q_mod._kernel_wand(lists, tws, weights, maxw, np.float32, qid, k, nd)
                 elif mode == "wand_bmw":
-                    from partitioned_ef_ans_spark.index.blockmax import _inflate
+                    from partitioned_ef_ans_spark.index.blockmax import build_bmw_meta
 
-                    spdf = pdf.sort_values(["term", "chunk_id"])
-                    bmeta = {
-                        t: (
-                            np.concatenate(
-                                [np.asarray(x, dtype=np.int64) for x in g["block_maxs"]]
-                            ),
-                            _inflate(
-                                float(weights[t])
-                                * np.concatenate(
-                                    [
-                                        np.asarray(x, dtype=np.float64)
-                                        for x in g["block_max_weights"]
-                                    ]
-                                )
-                            ),
-                        )
-                        for t, g in spdf.groupby("term", sort=True)
-                        if t in lists
-                    }
+                    bmeta = build_bmw_meta(pdf, weights, terms=lists)
                     q_mod._kernel_wand_bmw(
                         lists, tws, weights, maxw, bmeta, np.float32, qid, k, nd
                     )

@@ -446,7 +446,7 @@ def test_update_lock_cross_host_lease(tmp_path):
     with _update_lock(d) as lk:
         rec = open(lock).read().split()
         assert int(rec[0]) == os.getpid()  # content atomic with create
-        assert len(rec) == 3  # pid host acquired_ts
+        assert len(rec) == 4  # pid host acquired_ts uuid-token
         assert lk._hb_thread.is_alive()  # heartbeat keeps the lease fresh
     assert not os.path.exists(lock)
 
@@ -704,3 +704,198 @@ def test_streaming_delta_mode_folds_segments(spark, tmp_path):
         assert _ranked(spark, inc_dir, qs, mode) == _ranked(
             spark, full_dir, qs, mode
         )
+
+
+def test_update_lock_loss_detection_and_foreign_preservation(tmp_path):
+    """Ownership is the record CONTENT (unique uuid token): a holder
+    whose lock was taken over after a lease expiry must detect the
+    loss via its heartbeat and must NOT delete the usurper's lock on
+    exit."""
+    import os
+    import time
+
+    from partitioned_ef_ans_spark.index.checkpoint import _update_lock
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    lock = f"{d}/.update_lock"
+    lk = _update_lock(d, ttl=0.4)
+    with lk:
+        # simulate a lease-expiry takeover: the usurper's record
+        # replaces ours under our feet
+        with open(lock, "w") as fh:
+            fh.write("9999999 usurper-host 1.0 deadbeef")
+        deadline = time.time() + 5
+        while not lk.lost and time.time() < deadline:
+            time.sleep(0.05)
+        assert lk.lost  # heartbeat noticed the foreign record
+    # exit left the usurper's lock in place
+    assert open(lock).read().startswith("9999999 ")
+
+
+def test_update_lock_takeover_verifies_record_after_rename(tmp_path):
+    """The stale-verdict and the claiming rename are not atomic: a
+    contender acting on a stale read must detect (post-rename) that it
+    buried a DIFFERENT record than the one it judged dead, restore it,
+    and back off — never kill a fresh lock."""
+    import os
+
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        UpdateInProgress,
+        _update_lock,
+    )
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    lock = f"{d}/.update_lock"
+    live_record = "424242 live-host 99.0 cafebabe"
+    with open(lock, "w") as fh:
+        fh.write(live_record)
+    lk = _update_lock(d)
+    # the contender's view is stale: it judged a record dead that is
+    # no longer what the file holds
+    lk._holder_state = lambda: (False, "pid 1 dead on this host", "1 h 0.0 aa")
+    with pytest.raises(UpdateInProgress, match="lost the takeover race"):
+        with lk:
+            pass
+    # the live lock survived the failed takeover attempts intact
+    assert open(lock).read() == live_record
+
+
+def test_delta_manifest_lag_never_reuses_segment(spark, tmp_path):
+    """Crash window: a delta committed its doc stats but died before
+    the manifest refresh, leaving ``delta_segments`` lagging.  The
+    next delta must reconcile the counter from DISK and open a new
+    segment (not overwrite the committed one); the in-place path must
+    refuse on disk truth; an all-stale replay re-arms the manifest."""
+    import os
+
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        update_index_delta,
+        update_index_incremental,
+    )
+
+    by_part = _vocab_by_part()
+    d = str(tmp_path / "idx")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part)), d, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    rows_b = _corpus_delta(by_part)
+    update_index_delta(spark, d, _mk_docs(spark, rows_b))
+
+    def regress():
+        with open(f"{d}/manifest.json") as fh:
+            man = json.load(fh)
+        man["delta_segments"] = 0
+        with open(f"{d}/manifest.json", "w") as fh:
+            json.dump(man, fh)
+
+    regress()
+    # in-place path refuses on DISK truth even with the counter at 0
+    with pytest.raises(ValueError, match="delta segments"):
+        update_index_incremental(spark, d, _mk_docs(spark, [(900, "t000")]))
+
+    rows_c = _corpus_delta(by_part, base=200, n=8)
+    m2 = update_index_delta(spark, d, _mk_docs(spark, rows_c))
+    assert m2["delta_segments"] == 2  # disk-reconciled, segment 1 kept
+    assert os.path.isdir(f"{d}/index.parquet/part={NUM_PARTS}")
+    assert os.path.isdir(f"{d}/index.parquet/part={NUM_PARTS + 1}")
+
+    # union equivalence proves the crashed-manifest segment survived
+    full_dir = str(tmp_path / "full")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part) + rows_b + rows_c),
+        full_dir, codec="ans", num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    qs = [(0, [by_part[0][0], by_part[1][1]]), (1, [by_part[2][0]])]
+    assert _ranked(spark, d, qs, "blockmax") == _ranked(
+        spark, full_dir, qs, "blockmax"
+    )
+
+    # all-stale replay through the recovery branch re-arms the counter
+    regress()
+    m3 = update_index_delta(
+        spark, d, _mk_docs(spark, rows_c), skip_stale=True
+    )
+    assert m3["delta_segments"] == 2
+    with open(f"{d}/manifest.json") as fh:
+        assert json.load(fh)["delta_segments"] == 2
+
+
+def test_delta_segment_limit_guard(spark, tmp_path):
+    """chunk_id carries the segment in bits 20+ of an int32: segment
+    2048 would wrap negative.  The guard fails loudly instead."""
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        update_index_delta,
+    )
+
+    by_part = _vocab_by_part()
+    d = str(tmp_path / "idx")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part)), d, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    with open(f"{d}/manifest.json") as fh:
+        man = json.load(fh)
+    man["delta_segments"] = 2047
+    with open(f"{d}/manifest.json", "w") as fh:
+        json.dump(man, fh)
+    with pytest.raises(RuntimeError, match="segment limit"):
+        update_index_delta(spark, d, _mk_docs(spark, [(500, "t000 t001")]))
+
+
+def test_compact_crash_safety(spark, tmp_path, monkeypatch):
+    """Compaction builds the whole new state in scratch paths and
+    commits via a journaled rename set.  A crash BEFORE the commit
+    leaves the live delta-inclusive index fully intact; a crash AFTER
+    the journal write rolls forward at the next locked op."""
+    import os
+
+    import partitioned_ef_ans_spark.index.checkpoint as cp
+
+    by_part = _vocab_by_part()
+    d = str(tmp_path / "idx")
+    cp.build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part)), d, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    rows_b = _corpus_delta(by_part)
+    cp.update_index_delta(spark, d, _mk_docs(spark, rows_b))
+    qs = [(0, [by_part[0][0], by_part[1][1]]), (1, [by_part[2][0]])]
+    pre = _ranked(spark, d, qs, "blockmax")
+
+    # ---- crash BEFORE the journal: old state 100% live
+    def boom(out_dir, pairs):
+        raise RuntimeError("injected pre-commit crash")
+
+    monkeypatch.setattr(cp, "_commit_renames", boom)
+    with pytest.raises(RuntimeError, match="injected pre-commit"):
+        cp.compact_index(spark, d)
+    with open(f"{d}/manifest.json") as fh:
+        assert json.load(fh)["delta_segments"] == 1  # still delta-live
+    assert os.path.isdir(f"{d}/index.parquet/part={NUM_PARTS}")
+    assert _ranked(spark, d, qs, "blockmax") == pre
+
+    # ---- crash AFTER the journal write but before any rename: the
+    # next locked maintenance op (or compact itself) rolls forward
+    def crash_after_journal(out_dir, pairs):
+        journal = f"{out_dir}/.commit_journal.json"
+        with open(journal, "w") as fh:
+            json.dump({"renames": [[s, t] for s, t in pairs]}, fh)
+        raise RuntimeError("injected mid-commit crash")
+
+    monkeypatch.setattr(cp, "_commit_renames", crash_after_journal)
+    with pytest.raises(RuntimeError, match="injected mid-commit"):
+        cp.compact_index(spark, d)
+    monkeypatch.undo()
+    assert os.path.exists(f"{d}/.commit_journal.json")
+    cp._recover_commit(d)  # what every locked op runs first
+    with open(f"{d}/manifest.json") as fh:
+        man = json.load(fh)
+    assert man["delta_segments"] == 0  # rolled FORWARD to compacted
+    assert not os.path.isdir(f"{d}/index.parquet/part={NUM_PARTS}")
+    assert not os.path.exists(f"{d}/.commit_journal.json")
+    assert _ranked(spark, d, qs, "blockmax") == pre
