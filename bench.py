@@ -142,13 +142,23 @@ from partitioned_ef_ans_spark.latency import (  # noqa: E402
 )
 
 
-def latency_mode():
-    """`bench.py --latency`: full latency report on a dedicated index."""
+def _big_index_dir() -> str:
+    """Cache key includes the workload (sf dir + synth size): a small
+    smoke run must never be mistaken for the 144M-posting index."""
+    import zlib
+
+    tag = zlib.crc32(SF_DIR.encode()) % 1_000_000
+    return f"/dev/shm/pefa_bench_index_lat_{SYNTH_DOCS}_{tag}"
+
+
+def _ensure_big_index() -> str:
+    """Build (once) the dedicated sf+synth index shared by the latency
+    and query-scaling modes; returns its directory."""
     from partitioned_ef_ans_spark import corpus as c_mod
     from partitioned_ef_ans_spark.index import build as b_mod
     from partitioned_ef_ans_spark.session import get_spark
 
-    idx_dir = "/dev/shm/pefa_bench_index_lat"
+    idx_dir = _big_index_dir()
     if not os.path.exists(f"{idx_dir}/manifest.json"):
         spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=4 * CPUS)
         spark.sparkContext.setLogLevel("ERROR")
@@ -170,7 +180,12 @@ def latency_mode():
             doc_col="doc_id", text_col="text", chunk_postings=1 << 16,
         )
         spark.stop()
+    return idx_dir
 
+
+def latency_mode():
+    """`bench.py --latency`: full latency report on a dedicated index."""
+    idx_dir = _ensure_big_index()
     man = json.load(open(f"{idx_dir}/manifest.json"))
     from partitioned_ef_ans_spark import corpus as c_mod2
 
@@ -180,6 +195,128 @@ def latency_mode():
            "queries": kernel_latency_stats(idx_dir, qs)}
     out["value"] = out["queries"]["blockmax"]["mean"]
     print(json.dumps(out))
+
+
+#: read-path scaling workload: the pruned default, the vectorized
+#: MaxScore twin, and the exhaustive baseline.  `blockmax_docpart`
+#: (the gather-free shape: each referenced chunk is scanned once for
+#: the whole batch instead of shipped once per referencing query) is
+#: opt-in via PEFA_QSCALING_MODES — its SQL bound machinery makes the
+#: small-core legs many times slower, so it gets its own smaller
+#: measurement rather than 4x-ing the default suite.
+QSCALING_MODES = tuple(
+    os.environ.get(
+        "PEFA_QSCALING_MODES", "blockmax,maxscore_blockmax,ranked_or"
+    ).split(",")
+)
+
+
+def qchild(cpus: int) -> None:
+    """One read-path scaling leg: load the shared big index at
+    local[cpus], run the fixed batch query workload once to warm (JIT,
+    python workers, caches), then time a second pass.  One JSON line."""
+    from partitioned_ef_ans_spark import corpus as c_mod
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.session import get_spark
+
+    idx_dir = _big_index_dir()
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=4 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    index_df, _s, term_stats, codec, man = b_mod.load_index(spark, idx_dir)
+    index_df = index_df.cache()
+    index_df.count()
+    term_stats = term_stats.cache()
+    term_stats.count()
+    qs = c_mod.synthesize_queries(N_QUERIES, vocab_size=20000)
+    qdf = queries_to_df(spark, qs).cache()
+    qdf.count()
+
+    from partitioned_ef_ans_spark.index import blockmax as bmx
+
+    def run_suite() -> dict:
+        t = {}
+        for mode in QSCALING_MODES:
+            t0 = time.perf_counter()
+            if mode == "blockmax_docpart":
+                bmx.run_blockmax_docpartitioned(
+                    spark, index_df, qdf, codec, man["num_docs"],
+                    man["avg_doc_len"], term_stats, k=K,
+                ).count()
+            else:
+                q_mod.run_ranked(
+                    spark, index_df, qdf, codec, man["num_docs"],
+                    man["avg_doc_len"], mode=mode, k=K, dtype="float32",
+                    term_stats_df=term_stats,
+                ).count()
+            t[mode] = round(time.perf_counter() - t0, 3)
+        return t
+
+    run_suite()
+    t = run_suite()
+    print(json.dumps({
+        "metric": "qchild", "value": round(sum(t.values()), 3),
+        "unit": "sec", "queries": t, "cpus": cpus,
+        "n_queries": N_QUERIES, "postings": man["total_postings"],
+    }))
+
+
+def qscaling_mode():
+    """`bench.py --qscaling`: READ-path scaling — the same warm batch
+    query workload at lo vs hi local parallelism against ONE prebuilt
+    index (no build inside the timed region).  Complements --scaling
+    (write path) for the north rule's N→4N criterion: query execution
+    is query-parallel, so the batch should scale like the build."""
+    lo = int(os.environ.get("PEFA_SCALING_LO", "2"))
+    hi = int(os.environ.get("PEFA_SCALING_HI", "8"))
+    reps = int(os.environ.get("PEFA_SCALING_REPS", "2"))
+    _ensure_big_index()
+    times: dict[int, list] = {lo: [], hi: []}
+    per_mode: dict[int, list] = {lo: [], hi: []}
+    postings = None
+    for _ in range(reps):
+        for cpus in (lo, hi):
+            r = subprocess.run(
+                [sys.executable, __file__, "--qchild", str(cpus)],
+                capture_output=True, text=True,
+            )
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            rec = json.loads(line)
+            times[cpus].append(rec["value"])
+            per_mode[cpus].append(rec["queries"])
+            postings = rec.get("postings")
+    t_lo, t_hi = min(times[lo]), min(times[hi])
+    eff = (t_lo / t_hi) / (hi / lo)
+    best = {c: per_mode[c][times[c].index(min(times[c]))] for c in (lo, hi)}
+    rec = {
+        "metric": f"query_scaling_efficiency_{lo}_to_{hi}_cores",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"t_suite_local{lo}_sec": t_lo,
+        f"t_suite_local{hi}_sec": t_hi,
+        "qps_per_mode": {
+            str(c): {m: round(N_QUERIES / s, 1) for m, s in best[c].items()}
+            for c in (lo, hi)
+        },
+        "all_times": {str(k): v for k, v in times.items()},
+        "reps": reps,
+        "n_queries": N_QUERIES,
+        "modes": list(QSCALING_MODES),
+        "aggregation": "min per leg (noisy-neighbor VM), warm second pass",
+        "postings": postings,
+    }
+    # a non-default mode selection records to its own artifact so the
+    # headline 3-mode record is never clobbered by a focused run
+    default_modes = ("blockmax", "maxscore_blockmax", "ranked_or")
+    name = (
+        "BENCH_QSCALING.json"
+        if tuple(QSCALING_MODES) == default_modes
+        else "BENCH_QSCALING_" + "_".join(QSCALING_MODES) + ".json"
+    )
+    with open(Path(__file__).resolve().parent / name, "w") as fh:
+        json.dump(rec, fh)
+    print(json.dumps(rec))
 
 
 def maintenance_mode():
@@ -378,6 +515,12 @@ def main():
         return
     if "--codecs" in sys.argv:
         codecs_mode()
+        return
+    if "--qscaling" in sys.argv:
+        qscaling_mode()
+        return
+    if "--qchild" in sys.argv:
+        qchild(int(sys.argv[sys.argv.index("--qchild") + 1]))
         return
     if "--maintenance" in sys.argv:
         maintenance_mode()

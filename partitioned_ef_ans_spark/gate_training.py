@@ -307,8 +307,8 @@ QUALIFY "rank" <= {k}"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # n_centroids pinned (oracle SQL hard-codes vec_id < 8); the
-    # production default derives the count from the table size
+    # n_centroids pinned (oracle SQL hard-codes LIMIT 8 by vec_id
+    # order); the production default derives the count from the table
     return ann_mod.ivf_topk(_embs(spark, sf_dir), n_centroids=8)
 
 
@@ -338,8 +338,13 @@ sim_{assign_out} AS (
   ) WHERE r = 1
 ),
 {cent_out} AS (
+  -- scaled-integer mean (matches ann.kmeans_centroids): exact,
+  -- summation-order-free, identical across engines — a double avg()
+  -- could flip round(·,6) on an ulp boundary
   SELECT cent_id, list(m ORDER BY pos) AS cvec FROM (
-    SELECT cent_id, pos, round(avg(CAST(v AS DOUBLE)), 6) AS m
+    SELECT cent_id, pos,
+           round(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000.0, 6) AS m
     FROM (
       SELECT cent_id, unnest(embedding) AS v,
              unnest(range(len(embedding))) AS pos
@@ -361,7 +366,7 @@ WITH {_EMB_NORM_CTE},
 cent0 AS (
   SELECT vec_id AS cent_id,
          list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
-  FROM embeddings WHERE vec_id < 8
+  FROM embeddings ORDER BY vec_id LIMIT 8
 ),{iters},
 csim AS (
   SELECT e.vec_id, c.cent_id,
@@ -400,7 +405,7 @@ QUALIFY "rank" <= {k}"""
 def sql_ann_ivf(k: int = 5, n_centroids: int = 8, nprobe: int = 2) -> str:
     return f"""
 WITH {_EMB_NORM_CTE},
-cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < {n_centroids}),
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
 csim AS (
   SELECT e.vec_id, c.cent_id,
          round(list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
@@ -495,32 +500,10 @@ def q_transform_queries_uids(spark: SparkSession, sf_dir: str) -> DataFrame:
     unstemmed lookup (any corpus term's Porter stem is by construction
     in the stemmed dictionary, so sid is null only when uid is), which
     makes this half of transform_queries exactly SQL-expressible; the
-    stemmed line stays rows-only (no SQL Porter stemmer)."""
-    from partitioned_ef_ans_spark import tokenizer
-    from partitioned_ef_ans_spark.operators.dictionary import build_term_dictionary
-    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
-    from partitioned_ef_ans_spark.operators.transform import (
-        stem_udf_df,
-        transform_queries,
-    )
-    from partitioned_ef_ans_spark.gate import GATE_QUERIES
-
-    docs = _docs(spark, sf_dir)
-    tokens = tokenizer.tokenize(docs, doc_col="doc_id", text_col="text")
-    udict = build_term_dictionary(tokens)
-    sdict = build_term_dictionary(
-        stem_udf_df(tokens.select("term").distinct())
-        .select(F.col("stemmed").alias("term"))
-        .distinct()
-    )
-    qdf = queries_to_df(spark, GATE_QUERIES)
-    out = transform_queries(qdf, sdict, udict)
-    return out.select(
-        "query_id",
-        F.concat_ws(
-            " ", F.transform("uterm_ids", lambda x: x.cast("string"))
-        ).alias("uline"),
-    )
+    stemmed line stays rows-only (no SQL Porter stemmer).  A pure
+    projection of :func:`q_transform_queries` — one pipeline, no
+    drift."""
+    return q_transform_queries(spark, sf_dir).select("query_id", "uline")
 
 
 def sql_transform_queries() -> str:

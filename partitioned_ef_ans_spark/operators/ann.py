@@ -110,8 +110,13 @@ def kmeans_centroids(
 
     if n_centroids is None:
         n_centroids = auto_n_centroids(embeddings.count())
+    # seed with the n smallest ACTUAL vec_ids (not `vec_id < n`): id
+    # spaces are not necessarily dense or 0-based (post-dedup tables,
+    # offset ids) — the value-filter form would silently yield fewer
+    # or zero centroids and empty downstream results.  Same class as
+    # the docID-universe-vs-count lesson.
     cent = _materialize(
-        embeddings.where(F.col("vec_id") < n_centroids).select(
+        embeddings.orderBy("vec_id").limit(n_centroids).select(
             F.col("vec_id").alias("cent_id"),
             F.transform(
                 "embedding", lambda x: F.round(x.cast("double"), 6)
@@ -140,9 +145,28 @@ def kmeans_centroids(
         dims = assign.select(
             "cent_id", F.posexplode("embedding").alias("pos", "v")
         )
+        # the centroid mean sums SCALED INTEGERS, not doubles: a
+        # double avg() accumulates in partition order (nondeterministic
+        # run-to-run and vs DuckDB), and a mean landing within an ulp
+        # of a 0.5e-6 rounding boundary would flip round(·, 6) and
+        # diverge the whole iteration.  round(v·1e6) as long is exact,
+        # order-free (integer sums < 2^53), and both engines compute
+        # the identical value.
         cent = _materialize(
-            dims.groupBy("cent_id", "pos")
-            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+            dims.select(
+                "cent_id", "pos",
+                F.round(F.col("v").cast("double") * F.lit(1e6))
+                .cast("long").alias("vi"),
+            )
+            .groupBy("cent_id", "pos")
+            .agg(
+                F.round(
+                    F.sum("vi").cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(1e6),
+                    6,
+                ).alias("m")
+            )
             .groupBy("cent_id")
             .agg(
                 F.transform(
@@ -164,8 +188,8 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-bucketed cosine top-k.
 
-    Default centroids are the embeddings of vec_id 0..n_centroids-1
-    (deterministic); pass ``centroids`` (cent_id, cvec) — e.g. from
+    Default centroids are the embeddings of the n_centroids smallest
+    vec_ids (deterministic); pass ``centroids`` (cent_id, cvec) — e.g. from
     :func:`kmeans_centroids` — for trained buckets.  Each vector joins
     its nearest centroid's bucket; each query probes its ``nprobe``
     closest centroids.  Output shape == cosine_topk (fewer/different
@@ -177,7 +201,9 @@ def ivf_topk(
     else:
         if n_centroids is None:
             n_centroids = auto_n_centroids(embeddings.count())
-        cent = embeddings.where(F.col("vec_id") < n_centroids).select(
+        # n smallest actual ids, not a value filter (sparse-id safety —
+        # see kmeans_centroids)
+        cent = embeddings.orderBy("vec_id").limit(n_centroids).select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
         )
     sim = embeddings.crossJoin(F.broadcast(cent)).select(

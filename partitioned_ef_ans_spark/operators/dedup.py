@@ -115,6 +115,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH candidate generation + exact verification:
     (doc_a, doc_b, jaccard) with jaccard >= threshold."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide into bands ({bands}) "
+            "evenly — trailing minhashes would be computed but never "
+            "banded (paying for recall the join never gets)"
+        )
     sh = shingles(documents, text_col)
     sig = minhash_signatures(sh, num_hashes)
     rows_per_band = num_hashes // bands
@@ -196,9 +202,20 @@ EMB_NEARDUP_THRESHOLD = 0.4
 #: ceil(count/target) salted sub-keys (near-dup-heavy corpora are
 #: exactly the skewed case — one dense cluster would otherwise land a
 #: whole bucket-pair's vectors in ONE join partition).  Env-tunable.
-BUCKET_SALT_TARGET = int(
-    __import__("os").environ.get("PEFA_BUCKET_SALT_TARGET", 100_000)
-)
+def _salt_target_from_env() -> int:
+    import os
+
+    raw = os.environ.get("PEFA_BUCKET_SALT_TARGET", "")
+    try:
+        v = int(raw)
+    except ValueError:
+        v = 100_000
+    # <= 0 would make bucket_salts' ceil(count/target) null/inf and
+    # silently drop every candidate row from the salted join
+    return v if v > 0 else 100_000
+
+
+BUCKET_SALT_TARGET = _salt_target_from_env()
 
 
 def bucket_salts(counts: DataFrame, salt_target: int) -> DataFrame:
@@ -292,7 +309,12 @@ def bucketed_candidate_pairs(
     )
     import math
 
-    theta = math.acos(threshold)
+    # the FINAL pair filter passes round(cos, 6) >= threshold, so a
+    # pair with true cos as low as threshold - 5e-7 must still be
+    # reachable: widen theta by the same rounding bound the radii use
+    # (acos grows as cos shrinks) or a boundary pair the brute-force
+    # oracle emits could be bucket-pruned here
+    theta = math.acos(max(-1.0, threshold - 5e-7))
     surviving = (
         cpairs.join(radii.withColumnRenamed("bucket", "ba")
                     .withColumnRenamed("radius", "ra"), "ba")
