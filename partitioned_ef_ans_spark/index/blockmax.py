@@ -573,18 +573,40 @@ def run_blockmax_docpartitioned(
     term_stats_df: DataFrame,
     k: int = 10,
 ) -> DataFrame:
-    """Block-max pruned retrieval with NO per-query gather: every task
-    prunes and scores only its own chunks.
+    """Block-max pruned retrieval with NO per-query gather AND no
+    per-query payload duplication: every task prunes and scores only
+    its own chunks, and each referenced chunk flows through the plan
+    ONCE for the whole query batch (the referencing queries ride along
+    as a broadcast-joined array).
 
-    stage 1 (tau):   per query, the strongest term's chunks emit their
-                     local top-k single-term scores; a window takes the
-                     global k-th -> tau (tiny: k x chunks(1 term) rows).
-    stage 2 (prune): every (query, term, chunk) row bounds each block
-                     by qw*block_max_w + sum of the OTHER query terms'
-                     frozen qw*max_term_weight; blocks that cannot
-                     reach tau never decode.  Partials of surviving
-                     blocks hash-aggregate per (query, doc) and a
-                     window takes the global top-k.
+    stage 1 (tau):   per strongest TERM (shared across every query it
+                     is strongest for), the list's chunks emit their
+                     local top-k *doc-side* weights; a window takes the
+                     global k-th.  tau(query) = qw * kth_dw - margin —
+                     exact, because multiplying by the positive scalar
+                     qw preserves order, so the k-th of qw*dw equals
+                     qw times the k-th of dw (same double multiply the
+                     per-query kernel would do).
+    stage 2 (prune): every (term, chunk) row bounds each block for
+                     each referencing query by qw*block_max_w + sum of
+                     the OTHER query terms' frozen qw*max_term_weight;
+                     the chunk decodes once under the UNION of the
+                     surviving per-query masks, the query-independent
+                     doc-side weights are computed once, and each
+                     query's partials are its own masked subset scaled
+                     by its qw — element-for-element the same doubles
+                     the per-query shape produced.  Partials
+                     hash-aggregate per (query, doc); a window takes
+                     the global top-k.
+
+    Why the batch shape: the per-(query,term,chunk) join replicated a
+    head term's compressed payload once per referencing query — a
+    500-query Zipf batch moved Σ_q(referenced bytes) through Arrow and
+    decoded head chunks hundreds of times (measured 0.6 qps at 2
+    cores on the 144.5M-posting index vs 9.3 qps for the gather path,
+    BENCH_QSCALING_blockmax_docpart.json).  Work is now
+    O(touched index bytes + Σ query-term partials), independent of
+    how many queries share a term — the shape a 100 TB batch runs.
 
     Upper bounds use the frozen term_stats (never an index aggregate);
     SQL-computed bound components carry a 1e-9 relative inflation so
@@ -622,23 +644,20 @@ def run_blockmax_docpartitioned(
         )
     )
 
-    # ---- stage 1: tau per query from the strongest term only
+    # ---- stage 1: per-term k-th doc-side weight over strongest terms
     w_str = Window.partitionBy("query_id").orderBy(
         F.desc("contrib"), F.asc("term")
     )
     strongest = (
         qstats.withColumn("r", F.row_number().over(w_str))
         .where(F.col("r") == 1)
-        # df from term_stats, NOT the index rows: the chunk-row df is
-        # frozen per segment and stale when the list spans deltas
-        .select("query_id", "term", "qtf", F.col("df").alias("term_df"))
+        .select("query_id", "term", "qw")
     )
-    s_rows = index_df.join(F.broadcast(strongest), "term").select(
-        "query_id", "qtf", F.col("term_df").alias("df"), "chunk_id",
-        "payload", "doc_lens",
-    )
+    s_rows = index_df.join(
+        F.broadcast(strongest.select("term").distinct()), "term"
+    ).select("term", "chunk_id", "payload", "doc_lens")
 
-    def singles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def term_top_dw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from partitioned_ef_ans_spark.index.build import decode_lists_segmented
 
         codec_l = codec_bc.value
@@ -648,78 +667,109 @@ def run_blockmax_docpartitioned(
             decoded = decode_lists_segmented(
                 codec_l, [bytes(p) for p in pdf["payload"]], pdf["chunk_id"]
             )
-            qids, vals = [], []
-            for (qid, qtf, df_, dl), (_docs, freqs) in zip(
-                zip(pdf["query_id"], pdf["qtf"], pdf["df"], pdf["doc_lens"]), decoded
+            terms, vals = [], []
+            for (t, dl), (_docs, freqs) in zip(
+                zip(pdf["term"], pdf["doc_lens"]), decoded
             ):
-                qw = q._q_weight(qtf, df_, num_docs, np.float64)
                 nl = np.asarray(dl, np.float64) / avg_len
-                s = q._doc_weights(freqs, nl, np.float64) * qw
-                top = -np.partition(-s, min(k, len(s)) - 1)[:k] if len(s) else s
-                qids.append(np.full(len(top), qid, dtype=np.int64))
+                dw = q._doc_weights(freqs, nl, np.float64)
+                top = -np.partition(-dw, min(k, len(dw)) - 1)[:k] if len(dw) else dw
+                terms.extend([t] * len(top))
                 vals.append(top.astype(np.float64))
             yield pd.DataFrame(
-                {"query_id": np.concatenate(qids), "s": np.concatenate(vals)}
+                {"term": terms,
+                 "dw": np.concatenate(vals) if vals else np.empty(0)}
             )
 
-    w_tau = Window.partitionBy("query_id").orderBy(F.desc("s"))
-    taus = (
-        s_rows.mapInPandas(singles, schema="query_id long, s double")
+    w_tau = Window.partitionBy("term").orderBy(F.desc("dw"))
+    kth_dw = (
+        s_rows.mapInPandas(term_top_dw, schema="term string, dw double")
         .withColumn("r", F.row_number().over(w_tau))
         .where(F.col("r") == k)
-        .select("query_id", (F.col("s") - TAU_MARGIN).alias("tau"))
+        .select("term", F.col("dw").alias("dwk"))
+    )
+    # lists shorter than k have no k-th weight -> no tau row -> -inf
+    taus = strongest.join(kth_dw, "term").select(
+        "query_id", (F.col("qw") * F.col("dwk") - TAU_MARGIN).alias("tau")
     )
 
-    # ---- stage 2: chunk-local prune + partials
+    # ---- stage 2: one row per (term, chunk); referencing queries ride
+    # along as a broadcast-joined array
     totals = qstats.groupBy("query_id").agg(F.sum("contrib").alias("total"))
-    joined = (
-        q.query_lists_df(index_df, queries_df, term_stats_df)
-        .join(F.broadcast(totals), "query_id")
-        .join(
-            F.broadcast(
-                qstats.select("query_id", "term", "contrib", "qw")
-            ),
-            ["query_id", "term"],
-        )
+    qmeta = (
+        qstats.join(F.broadcast(totals), "query_id")
         .join(F.broadcast(taus), "query_id", "left")
         .withColumn("tau", F.coalesce(F.col("tau"), F.lit(float("-inf"))))
     )
+    qlist = qmeta.groupBy("term").agg(
+        # df is term-level (authoritative term_stats value, identical
+        # on every row of the group)
+        F.max("df").alias("df"),
+        F.collect_list(
+            F.struct("query_id", "qtf", "qw", "contrib", "total", "tau")
+        ).alias("qs"),
+    )
+    joined = index_df.drop("df").join(F.broadcast(qlist), "term")
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         codec_l = codec_bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            payloads, masks, metas = [], [], []
+            payloads, unions, metas = [], [], []
             for row in pdf.itertuples(index=False):
                 bw = np.asarray(row.block_max_weights, dtype=np.float64)
-                rest = (float(row.total) - float(row.contrib)) * (1.0 + 1e-9)
-                bound = _inflate(float(row.qw) * bw) + rest
-                mask = bound >= float(row.tau)
-                if not mask.any():
+                qs = row.qs
+                qw_a = np.array([float(s["qw"]) for s in qs])
+                rest = np.array(
+                    [(float(s["total"]) - float(s["contrib"])) * (1.0 + 1e-9)
+                     for s in qs]
+                )
+                tau_a = np.array([float(s["tau"]) for s in qs])
+                # queries x blocks bound matrix; same scalar math as
+                # the per-query shape, vectorized over the batch
+                bounds = _inflate(qw_a[:, None] * bw[None, :]) + rest[:, None]
+                masks = bounds >= tau_a[:, None]
+                union = masks.any(axis=0)
+                if not union.any():
                     continue
                 payloads.append(bytes(row.payload))
-                masks.append(mask)
-                metas.append(row)
+                unions.append(union)
+                metas.append((row, masks))
             if not payloads:
                 continue
             decoded = decode_selected(
-                payloads, masks, codec_l,
-                chunk_ids=[int(row.chunk_id) for row in metas],
+                payloads, unions, codec_l,
+                chunk_ids=[int(row.chunk_id) for row, _ in metas],
             )
             qids, docs_out, scores = [], [], []
-            for row, (docs, freqs, sel) in zip(metas, decoded):
+            for (row, masks), (docs, freqs, sel) in zip(metas, decoded):
                 if not len(docs):
                     continue
                 nrm = np.asarray(row.doc_lens, dtype=np.float64) / avg_len
                 starts_pos = sel * bs
                 lens = np.minimum((sel + 1) * bs, len(nrm)) - starts_pos
                 nsl = nrm[ragged_ranges(starts_pos, lens)]
-                qw = q._q_weight(int(row.qtf), int(row.df), num_docs, np.float64)
-                w = q._doc_weights(freqs, nsl, np.float64) * qw
-                qids.append(np.full(len(docs), row.query_id, dtype=np.int64))
-                docs_out.append(docs)
-                scores.append(w)
+                # query-independent doc-side weights, computed ONCE
+                dw = q._doc_weights(freqs, nsl, np.float64)
+                slot_of_post = np.repeat(np.arange(len(sel)), lens)
+                df_ = int(row.df)
+                for qi, s in enumerate(row.qs):
+                    qmask = masks[qi][sel]
+                    if not qmask.any():
+                        continue
+                    keep = qmask[slot_of_post]
+                    if not keep.any():
+                        continue
+                    qw_np = q._q_weight(
+                        int(s["qtf"]), df_, num_docs, np.float64
+                    )
+                    qids.append(
+                        np.full(int(keep.sum()), int(s["query_id"]),
+                                dtype=np.int64)
+                    )
+                    docs_out.append(docs[keep])
+                    scores.append(dw[keep] * qw_np)
             if not qids:
                 continue
             yield pd.DataFrame(
@@ -732,8 +782,8 @@ def run_blockmax_docpartitioned(
 
     per_doc = (
         joined.select(
-            "query_id", "qtf", "df", "qw", "contrib", "total", "tau",
-            "chunk_id", "payload", "doc_lens", "block_max_weights",
+            "df", "chunk_id", "payload", "doc_lens", "block_max_weights",
+            "qs",
         )
         .mapInPandas(partials, schema="query_id long, doc_id long, partial double")
         .groupBy("query_id", "doc_id")

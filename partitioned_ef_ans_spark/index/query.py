@@ -665,6 +665,44 @@ def query_lists_df(
     )
 
 
+def batched_query_lists_df(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    term_stats_df: DataFrame | None = None,
+) -> DataFrame:
+    """One row per referenced (term, chunk); the referencing queries
+    ride along as a broadcast-joined struct array ``qs`` of
+    (query_id, qtf, n_terms), plus the authoritative term-level ``df``.
+
+    The per-(query, term) join of :func:`query_lists_df` replicates a
+    term's compressed payload once PER REFERENCING QUERY — a Zipf
+    query batch moves Σ_q(referenced bytes) through Arrow and decodes
+    head chunks once per query.  This batch twin moves every touched
+    chunk exactly once regardless of batch size: the shape the
+    doc-partitioned runners use.
+    """
+    qf = query_freqs(queries_df)
+    qterms = qf.select("term").distinct()
+    if term_stats_df is not None:
+        per_term = term_stats_df.join(
+            F.broadcast(qterms), "term", "left_semi"
+        ).select("term", "df")
+    else:
+        per_term = (
+            index_df.join(F.broadcast(qterms), "term", "left_semi")
+            .groupBy("term")
+            .agg(F.sum("n").cast("long").alias("df"))
+        )
+    qlist = qf.groupBy("term").agg(
+        F.collect_list(F.struct("query_id", "qtf", "n_terms")).alias("qs")
+    )
+    return (
+        index_df.drop("df")
+        .join(F.broadcast(qlist), "term")
+        .join(F.broadcast(per_term), "term")
+    )
+
+
 #: per-TASK compressed-bytes budget for the query-parallel gather: a
 #: query whose referenced posting lists exceed this routes to the
 #: doc-partitioned path instead of gathering whole lists into one task
@@ -793,12 +831,16 @@ def run_ranked_docpartitioned(
     Each index CHUNK (a doc-range slice of one term's list) computes
     its docs' partial scores locally — no per-query gathering of whole
     posting lists, so a single query scales across every partition of
-    a 100 TB index.  Partials are hash-aggregated per (query, doc)
-    (map-side combined) and the global top-k is a window over the few
-    surviving rows.  Scores are double and rounded before ranking, so
-    results are rank-identical to ranked_or/WAND/taat under the gate's
-    comparison discipline (per-doc sums are order-independent up to
-    the rounding quantum).
+    a 100 TB index.  Each referenced chunk flows through the plan and
+    decodes ONCE for the whole query batch (batched_query_lists_df);
+    the query-independent doc-side weights are computed once and each
+    referencing query's partials are that vector scaled by its qw —
+    the identical doubles the per-query form produced.  Partials are
+    hash-aggregated per (query, doc) (map-side combined) and the
+    global top-k is a window over the few surviving rows.  Scores are
+    double and rounded before ranking, so results are rank-identical
+    to ranked_or/WAND/taat under the gate's comparison discipline
+    (per-doc sums are order-independent up to the rounding quantum).
     """
     from partitioned_ef_ans_spark.session import ship_package
     from pyspark.sql.window import Window
@@ -806,7 +848,7 @@ def run_ranked_docpartitioned(
     ship_package(spark)
     sc = spark.sparkContext
     codec_bc = sc.broadcast(codec)
-    joined = query_lists_df(index_df, queries_df, term_stats_df)
+    joined = batched_query_lists_df(index_df, queries_df, term_stats_df)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from partitioned_ef_ans_spark.index.build import decode_lists_segmented
@@ -819,15 +861,18 @@ def run_ranked_docpartitioned(
                 codec_l, [bytes(p) for p in pdf["payload"]], pdf["chunk_id"]
             )
             qids, docs_out, scores = [], [], []
-            for (qid, qtf, df_, dl), (docs, freqs) in zip(
-                zip(pdf["query_id"], pdf["qtf"], pdf["df"], pdf["doc_lens"]), decoded
+            for (qs, df_, dl), (docs, freqs) in zip(
+                zip(pdf["qs"], pdf["df"], pdf["doc_lens"]), decoded
             ):
-                qw = _q_weight(qtf, df_, num_docs, np.float64)
                 nlv = np.asarray(dl, dtype=np.float64) / avg_len
-                w = _doc_weights(freqs, nlv, np.float64) * qw
-                qids.append(np.full(len(docs), qid, dtype=np.int64))
-                docs_out.append(docs)
-                scores.append(w)
+                dw = _doc_weights(freqs, nlv, np.float64)
+                for s in qs:
+                    qw = _q_weight(int(s["qtf"]), df_, num_docs, np.float64)
+                    qids.append(
+                        np.full(len(docs), int(s["query_id"]), dtype=np.int64)
+                    )
+                    docs_out.append(docs)
+                    scores.append(dw * qw)
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(qids),
@@ -837,7 +882,7 @@ def run_ranked_docpartitioned(
             )
 
     per_doc = (
-        joined.select("query_id", "qtf", "df", "chunk_id", "payload", "doc_lens")
+        joined.select("qs", "df", "chunk_id", "payload", "doc_lens")
         .mapInPandas(partials, schema="query_id long, doc_id long, partial double")
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("partial"), bm25.ROUND_DECIMALS).alias("score"))
@@ -866,14 +911,15 @@ def run_ranked_and_docpartitioned(
     by EVERY query term (count(distinct term) == n_terms — the
     leapfrog intersection's result set, computed relationally), and
     the global top-k is a window over the survivors.  Rank-identical
-    to ranked_and under the round-then-rank discipline."""
+    to ranked_and under the round-then-rank discipline.  Chunks flow
+    once per batch (batched_query_lists_df), not once per query."""
     from partitioned_ef_ans_spark.session import ship_package
     from pyspark.sql.window import Window
 
     ship_package(spark)
     sc = spark.sparkContext
     codec_bc = sc.broadcast(codec)
-    joined = query_lists_df(index_df, queries_df, term_stats_df)
+    joined = batched_query_lists_df(index_df, queries_df, term_stats_df)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from partitioned_ef_ans_spark.index.build import decode_lists_segmented
@@ -886,21 +932,23 @@ def run_ranked_and_docpartitioned(
                 codec_l, [bytes(p) for p in pdf["payload"]], pdf["chunk_id"]
             )
             qids, terms_out, nts, docs_out, scores = [], [], [], [], []
-            for (qid, term, qtf, df_, nt, dl), (docs, freqs) in zip(
-                zip(
-                    pdf["query_id"], pdf["term"], pdf["qtf"], pdf["df"],
-                    pdf["n_terms"], pdf["doc_lens"],
-                ),
+            for (term, qs, df_, dl), (docs, freqs) in zip(
+                zip(pdf["term"], pdf["qs"], pdf["df"], pdf["doc_lens"]),
                 decoded,
             ):
-                qw = _q_weight(qtf, df_, num_docs, np.float64)
                 nlv = np.asarray(dl, dtype=np.float64) / avg_len
-                w = _doc_weights(freqs, nlv, np.float64) * qw
-                qids.append(np.full(len(docs), qid, dtype=np.int64))
-                terms_out.extend([term] * len(docs))
-                nts.append(np.full(len(docs), nt, dtype=np.int64))
-                docs_out.append(docs)
-                scores.append(w)
+                dw = _doc_weights(freqs, nlv, np.float64)
+                for s in qs:
+                    qw = _q_weight(int(s["qtf"]), df_, num_docs, np.float64)
+                    qids.append(
+                        np.full(len(docs), int(s["query_id"]), dtype=np.int64)
+                    )
+                    terms_out.extend([term] * len(docs))
+                    nts.append(
+                        np.full(len(docs), int(s["n_terms"]), dtype=np.int64)
+                    )
+                    docs_out.append(docs)
+                    scores.append(dw * qw)
             if not docs_out:
                 continue
             yield pd.DataFrame(
@@ -915,8 +963,7 @@ def run_ranked_and_docpartitioned(
 
     per_doc = (
         joined.select(
-            "query_id", "term", "n_terms", "qtf", "df", "chunk_id",
-            "payload", "doc_lens",
+            "term", "qs", "df", "chunk_id", "payload", "doc_lens",
         )
         .mapInPandas(
             partials,
@@ -954,14 +1001,15 @@ def run_boolean_docpartitioned(
     (query, doc[, term]) matches locally, the count is a relational
     aggregation (distinct docs for OR; docs hit by every distinct
     query term for AND).  Zero-match queries emit no row, exactly like
-    the kernel path."""
+    the kernel path.  Chunks flow and decode once per batch
+    (batched_query_lists_df), not once per referencing query."""
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
     sc = spark.sparkContext
     codec_bc = sc.broadcast(codec)
     qdf = queries_df.select("query_id", F.array_distinct("terms").alias("terms"))
-    joined = query_lists_df(index_df, qdf, term_stats_df)
+    joined = batched_query_lists_df(index_df, qdf, term_stats_df)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from partitioned_ef_ans_spark.index.build import decode_lists_segmented
@@ -974,13 +1022,18 @@ def run_boolean_docpartitioned(
                 codec_l, [bytes(p) for p in pdf["payload"]], pdf["chunk_id"]
             )
             qids, terms_out, nts, docs_out = [], [], [], []
-            for (qid, term, nt), (docs, _f) in zip(
-                zip(pdf["query_id"], pdf["term"], pdf["n_terms"]), decoded
+            for (term, qs), (docs, _f) in zip(
+                zip(pdf["term"], pdf["qs"]), decoded
             ):
-                qids.append(np.full(len(docs), qid, dtype=np.int64))
-                terms_out.extend([term] * len(docs))
-                nts.append(np.full(len(docs), nt, dtype=np.int64))
-                docs_out.append(docs)
+                for s in qs:
+                    qids.append(
+                        np.full(len(docs), int(s["query_id"]), dtype=np.int64)
+                    )
+                    terms_out.extend([term] * len(docs))
+                    nts.append(
+                        np.full(len(docs), int(s["n_terms"]), dtype=np.int64)
+                    )
+                    docs_out.append(docs)
             if not docs_out:
                 continue
             yield pd.DataFrame(
@@ -994,7 +1047,7 @@ def run_boolean_docpartitioned(
 
     # doc_lens/scoring columns pruned: the exchange carries ids only
     rows = joined.select(
-        "query_id", "term", "n_terms", "chunk_id", "payload"
+        "term", "qs", "chunk_id", "payload"
     ).mapInPandas(
         partials,
         schema="query_id long, term string, n_terms long, doc_id long",
