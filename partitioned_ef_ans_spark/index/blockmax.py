@@ -259,7 +259,7 @@ def _collect_per_term(pdf: pd.DataFrame, codec, avg_len: float) -> dict:
 
 def _tau_from_strongest(
     pdf: pd.DataFrame, per_term: dict, weights: dict, codec,
-    avg_len: float, k: int, dtype,
+    avg_len: float, k: int, dtype, tomb=None, ttag: str = "",
 ):
     """tau = (k-th best single-term score of the strongest list) -
     margin — a valid lower bound on the k-th best final score.  Full
@@ -284,16 +284,25 @@ def _tau_from_strongest(
     )
     sub = pdf[pdf["term"] == strongest]
     lists0, norms0 = q._decode_group(sub, codec, avg_len)
-    tws0 = q._term_weights(lists0, norms0, dtype, tag=codec.tag)
+    # deleted docs must not set tau: a tombstoned doc's single-term
+    # score above the k-th surviving score would make tau inadmissible
+    lists0, norms0 = q._apply_tomb(lists0, norms0, tomb, drop_empty=False)
+    tws0 = q._term_weights(lists0, norms0, dtype, tag=codec.tag + ttag)
     s0 = (tws0[strongest] * dtype(weights[strongest])).astype(np.float64)
     if len(s0) > k:
         return float(np.partition(s0, len(s0) - k)[len(s0) - k]) - TAU_MARGIN
     return -np.inf
 
 
-def kernel_blockmax(pdf: pd.DataFrame, codec, num_docs: int, avg_len: float, k: int, dtype):
+def kernel_blockmax(
+    pdf: pd.DataFrame, codec, num_docs: int, avg_len: float, k: int, dtype,
+    tomb=None, ttag: str = "",
+):
     """One query's grouped index rows -> top-k rows (RESULT_SCHEMA).
-    Requires a block-family codec (pef has no intra-list blocks)."""
+    Requires a block-family codec (pef has no intra-list blocks).
+    ``tomb``: sorted int64 tombstone array — deleted docs are excluded
+    from tau and from scoring; the frozen block maxima stay admissible
+    (upper bounds over a superset)."""
     from partitioned_ef_ans_spark.index import query as q
 
     if codec.codec_name == "pef":
@@ -309,7 +318,9 @@ def kernel_blockmax(pdf: pd.DataFrame, codec, num_docs: int, avg_len: float, k: 
     }
 
     # 1. threshold
-    tau = _tau_from_strongest(pdf, per_term, weights, codec, avg_len, k, dtype)
+    tau = _tau_from_strongest(
+        pdf, per_term, weights, codec, avg_len, k, dtype, tomb=tomb, ttag=ttag
+    )
 
     # 2. sweep all terms' blocks
     all_starts = np.concatenate(
@@ -383,6 +394,12 @@ def kernel_blockmax(pdf: pd.DataFrame, codec, num_docs: int, avg_len: float, k: 
         )
         for t, parts in lists.items()
     }
+    if tomb is not None:
+        for t in list(merged):
+            docs, freqs, nsl = merged[t]
+            keep = q.tomb_keep(docs, tomb)
+            if keep is not None:
+                merged[t] = (docs[keep], freqs[keep], nsl[keep])
     terms = sorted(merged)
     all_docs = np.unique(np.concatenate([merged[t][0] for t in terms]))
     scores = np.zeros(len(all_docs), dtype=dtype)
@@ -445,7 +462,8 @@ def _gather_term_blocks(d: dict, masks: list[np.ndarray], codec, bs: int):
 
 
 def kernel_maxscore_blockmax(
-    pdf: pd.DataFrame, codec, num_docs: int, avg_len: float, k: int, dtype
+    pdf: pd.DataFrame, codec, num_docs: int, avg_len: float, k: int, dtype,
+    tomb=None, ttag: str = "",
 ):
     """Vectorized MaxScore with block-selective decode — the
     essential/non-essential split of queries.hpp:478-587 re-expressed
@@ -479,7 +497,9 @@ def kernel_maxscore_blockmax(
         t: q._q_weight(d["qtf"], d["df"], num_docs, dtype)
         for t, d in per_term.items()
     }
-    tau = _tau_from_strongest(pdf, per_term, weights, codec, avg_len, k, dtype)
+    tau = _tau_from_strongest(
+        pdf, per_term, weights, codec, avg_len, k, dtype, tomb=tomb, ttag=ttag
+    )
 
     ub_t = {
         t: float(
@@ -505,7 +525,11 @@ def kernel_maxscore_blockmax(
     )
     sub = pdf[pdf["term"].isin(essential)]
     lists_e, norms_e = q._decode_group(sub, codec, avg_len)
-    tws_e = q._term_weights(lists_e, norms_e, dtype, tag=codec.tag)
+    # candidates seed from SURVIVING essential postings only; deleted
+    # docs gathered later by non-essential probes never join `cand`,
+    # so the probe loop needs no masking of its own
+    lists_e, norms_e = q._apply_tomb(lists_e, norms_e, tomb, drop_empty=False)
+    tws_e = q._term_weights(lists_e, norms_e, dtype, tag=codec.tag + ttag)
     cand = np.unique(np.concatenate([lists_e[t][0] for t in essential]))
     acc = np.zeros(len(cand), dtype=np.float64)  # exact-so-far, bounds only
     contribs: dict[str, tuple] = {}
@@ -572,6 +596,7 @@ def run_blockmax_docpartitioned(
     avg_len: float,
     term_stats_df: DataFrame,
     k: int = 10,
+    tomb_bc=None,
 ) -> DataFrame:
     """Block-max pruned retrieval with NO per-query gather AND no
     per-query payload duplication: every task prunes and scores only
@@ -661,6 +686,7 @@ def run_blockmax_docpartitioned(
         from partitioned_ef_ans_spark.index.build import decode_lists_segmented
 
         codec_l = codec_bc.value
+        tomb = tomb_bc.value[0] if tomb_bc is not None else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -672,6 +698,11 @@ def run_blockmax_docpartitioned(
                 zip(pdf["term"], pdf["doc_lens"]), decoded
             ):
                 nl = np.asarray(dl, np.float64) / avg_len
+                # tau must come from SURVIVING docs only (a deleted
+                # doc's weight above the k-th would over-tighten it)
+                keep = q.tomb_keep(_docs, tomb)
+                if keep is not None:
+                    freqs, nl = freqs[keep], nl[keep]
                 dw = q._doc_weights(freqs, nl, np.float64)
                 top = -np.partition(-dw, min(k, len(dw)) - 1)[:k] if len(dw) else dw
                 terms.extend([t] * len(top))
@@ -713,6 +744,7 @@ def run_blockmax_docpartitioned(
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         codec_l = codec_bc.value
+        tomb = tomb_bc.value[0] if tomb_bc is not None else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -753,6 +785,12 @@ def run_blockmax_docpartitioned(
                 # query-independent doc-side weights, computed ONCE
                 dw = q._doc_weights(freqs, nsl, np.float64)
                 slot_of_post = np.repeat(np.arange(len(sel)), lens)
+                tkeep = q.tomb_keep(docs, tomb)
+                if tkeep is not None:
+                    docs, dw = docs[tkeep], dw[tkeep]
+                    slot_of_post = slot_of_post[tkeep]
+                    if not len(docs):
+                        continue
                 df_ = int(row.df)
                 for qi, s in enumerate(row.qs):
                     qmask = masks[qi][sel]

@@ -708,6 +708,79 @@ def _refresh_sidecars(
     return man
 
 
+# ------------------------------------------------------------- deletes
+# Lucene-style tombstones: delete_docs records doc ids in a sidecar;
+# every query path masks them (query.run_ranked/run_boolean
+# ``tombstones=``) while corpus statistics stay frozen at build, so
+# surviving docs' scores are unchanged by deletion.  compact_index
+# folds tombstones physically (postings dropped, stats/models/universe
+# recomputed) and resets the sidecar.  Updates never clear tombstones:
+# the incremental/delta contract requires FRESH (monotone) doc ids, so
+# a deleted id can never be legitimately re-added — re-ingesting a
+# document is insert-under-new-id + delete-old-id, the LSM pattern.
+
+TOMBSTONES_FILE = "tombstones.parquet"
+
+
+def load_tombstones(out_dir: str):
+    """Sorted unique int64 tombstone array, or None when the index has
+    no (un-compacted) deletes.  Cheap enough per query batch: the set
+    is bounded by deletes-since-last-compaction, and it is broadcast
+    to workers anyway — when it outgrows broadcast comfort, compact."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, TOMBSTONES_FILE)
+    if not os.path.exists(path):
+        return None
+    ids = pq.read_table(path).column("doc_id").to_numpy()
+    if not len(ids):
+        return None
+    return np.unique(ids.astype(np.int64))
+
+
+def _write_tombstones(out_dir: str, ids) -> None:
+    """Atomic replace: readers (and a crash) see the old or the new
+    complete set, never a partial file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, TOMBSTONES_FILE)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(
+        pa.table({"doc_id": pa.array([int(x) for x in ids], type=pa.int64())}),
+        tmp,
+    )
+    os.replace(tmp, path)
+
+
+@_locked
+def delete_docs(spark: SparkSession, out_dir: str, doc_ids) -> dict:
+    """Tombstone ``doc_ids`` in the index at ``out_dir`` (single-writer
+    locked, crash-safe: one atomic sidecar replace).  Ids outside the
+    index's docID universe are ignored (they cannot appear in any
+    posting list).  Idempotent: re-deleting is a no-op union."""
+    import numpy as np
+
+    _recover_commit(out_dir)
+    with open(f"{out_dir}/manifest.json") as fh:
+        man = json.load(fh)
+    universe = int(man.get("universe", man["num_docs"]))
+    req = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    in_uni = req[(req >= 0) & (req < universe)]
+    prev = load_tombstones(out_dir)
+    merged = (
+        in_uni if prev is None else np.union1d(prev, in_uni)
+    )
+    _write_tombstones(out_dir, merged)
+    return {
+        "requested": int(len(req)),
+        "ignored_out_of_universe": int(len(req) - len(in_uni)),
+        "tombstones_total": int(len(merged)),
+        "previously": 0 if prev is None else int(len(prev)),
+    }
+
+
 @_locked
 def update_index_incremental(
     spark: SparkSession,
@@ -1268,109 +1341,172 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         side = pickle.load(fh)
     codec = side["codec"]
     staged = spark.read.parquet(staging)
-    srow = spark.read.parquet(f"{out_dir}/doc_stats.parquet").agg(
+    stats_all = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
+    srow_all = stats_all.agg(
         F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"),
         F.max("doc_id").alias("mx"),
     ).collect()[0]
-    num_docs, avg_len = int(srow["n"]), float(srow["avg"] or 0.0)
-    universe = max(
+    # the interrupted-update guard runs against the UNFILTERED universe
+    # (tombstoned ids are still legitimately present in staging)
+    guard_universe = max(
         int(man.get("universe", man["num_docs"])),
-        int(srow["mx"]) + 1 if srow["mx"] is not None else 0,
+        int(srow_all["mx"]) + 1 if srow_all["mx"] is not None else 0,
     )
     # a crashed update may have merged postings into staging whose doc
     # stats never landed — compacting that state would bake stale
     # num_docs/avg_len (and an under-sized universe) into every
     # payload.  Detect and direct the caller to the self-healing path.
     staged_mx = staged.agg(F.max(F.array_max("doc_ids"))).collect()[0][0]
-    if staged_mx is not None and int(staged_mx) >= universe:
+    if staged_mx is not None and int(staged_mx) >= guard_universe:
         raise RuntimeError(
             f"staging contains doc_id {staged_mx} beyond the stats "
-            f"universe {universe} — an interrupted update left postings "
-            "without their doc stats; replay the interrupted batch "
-            "first (update_index_incremental, or update_index_delta "
-            "for a crashed delta segment — replays are exact) before "
-            "compacting"
+            f"universe {guard_universe} — an interrupted update left "
+            "postings without their doc stats; replay the interrupted "
+            "batch first (update_index_incremental, or "
+            "update_index_delta for a crashed delta segment — replays "
+            "are exact) before compacting"
         )
+
+    # ---- tombstones fold in physically: every structure below is
+    # computed over the SURVIVING corpus (stats, models, universe,
+    # chunking), exactly what a fresh build on the live docs would see
+    tombs = load_tombstones(out_dir)
+    if tombs is None:
+        stats_live, tombs_df = stats_all, None
+        srow = srow_all
+    else:
+        tombs_df = spark.createDataFrame(
+            [(int(x),) for x in tombs], "doc_id long"
+        )
+        stats_live = stats_all.join(
+            F.broadcast(tombs_df), "doc_id", "left_anti"
+        )
+        srow = stats_live.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"),
+            F.max("doc_id").alias("mx"),
+        ).collect()[0]
+        if int(srow["n"]) == 0:
+            raise RuntimeError(
+                "compaction would delete every document — rebuild from "
+                "scratch instead of compacting a fully-tombstoned index"
+            )
+    num_docs, avg_len = int(srow["n"]), float(srow["avg"] or 0.0)
+    if tombs is None:
+        universe = guard_universe
+    else:
+        # surviving ids only: the fold drops every tombstoned posting,
+        # so the tightest valid encode universe is max live id + 1
+        universe = max(int(srow["mx"]) + 1, 1)
 
     # ---- scratch roots (a stale partial attempt is discarded whole)
     sc_staging = f"{out_dir}/.compact_staging"
     sc_index = f"{out_dir}/.compact_index"
     sc_tstats = f"{out_dir}/.compact_term_stats"
+    sc_dstats = f"{out_dir}/.compact_doc_stats"
     sc_models = f"{out_dir}/.compact_models.pkl"
     sc_ckpt = f"{out_dir}/.compact_ckpt.jsonl"
     sc_man = f"{out_dir}/.compact_manifest.json"
-    for d in (sc_staging, sc_index, sc_tstats, f"{out_dir}/.compact_fold.parquet"):
+    sc_tomb = f"{out_dir}/.compact_tombstones.parquet"
+    for d in (
+        sc_staging, sc_index, sc_tstats, sc_dstats,
+        f"{out_dir}/.compact_fold.parquet",
+    ):
         shutil.rmtree(d, ignore_errors=True)
-    for f in (sc_models, sc_ckpt, sc_man):
+    for f in (sc_models, sc_ckpt, sc_man, sc_tomb):
         if os.path.exists(f):
             os.remove(f)
 
-    # ---- fold delta segments back into the hash parts (LSM merge)
-    # INTO THE SCRATCH staging tree: delta terms' base+delta postings
-    # re-chunk into ONE list per term in the term's hash part;
-    # untouched parts are hardlinked (parquet files are immutable).
-    delta_pids = sorted(
-        int(r["part_id"])
-        for r in staged.select("part_id").distinct().collect()
-        if int(r["part_id"]) >= num_parts
-    )
+    part_col = (F.crc32(F.col("term")) % num_parts).cast("int")
+    chunk_postings = int(man["chunk_postings"])
     aff_parts: list[int] = []
-    if delta_pids:
-        stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
-        part_col = (F.crc32(F.col("term")) % num_parts).cast("int")
-        aff_terms = (
-            staged.where(F.col("part_id") >= num_parts)
-            .select("term").distinct().cache()
-        )
-        aff_parts = sorted(
-            r["p"] for r in
-            aff_terms.select(part_col.alias("p")).distinct().collect()
-        )
-        sub = staged.join(F.broadcast(aff_terms), "term", "left_semi")
-        tf_union = sub.select(
+    if tombs_df is not None:
+        # ---- physical delete path: the docID universe SHRINKS, so
+        # every chunk's stride / EF layout changes — re-chunk the
+        # ENTIRE surviving corpus (base hash parts + delta segments)
+        # in one distributed pass.  Compaction re-encodes every
+        # payload anyway; deletes trade the untouched-part hardlink
+        # shortcut for one extra shuffle, nothing asymptotic.
+        tf_union = staged.select(
             "term", F.explode(F.arrays_zip("doc_ids", "freqs")).alias("z")
         ).select(
             "term",
             F.col("z.doc_ids").alias("doc_id"),
             F.col("z.freqs").cast("int").alias("tf"),
-        ).dropDuplicates(["term", "doc_id"])
-        chunk_postings = int(man["chunk_postings"])
+        ).dropDuplicates(["term", "doc_id"]).join(
+            F.broadcast(tombs_df), "doc_id", "left_anti"
+        )
         new_chunks = p_mod.build_postings(
             tf_union, num_docs=universe, chunk_postings=chunk_postings,
-            doc_norms=stats_df,
+            doc_norms=stats_live,
         ).withColumn("part_id", part_col)
-        scratch = f"{out_dir}/.compact_fold.parquet"
-        new_chunks.write.mode("overwrite").parquet(scratch)
-        new_chunks = spark.read.parquet(scratch)
-        for pid in aff_parts:
-            keep = (
-                staged.where(F.col("part_id") == pid)
-                .join(F.broadcast(aff_terms), "term", "left_anti")
-                .drop("part_id")
+        new_chunks.write.partitionBy("part_id").mode("overwrite").parquet(
+            sc_staging
+        )
+    else:
+        # ---- fold delta segments back into the hash parts (LSM
+        # merge) INTO THE SCRATCH staging tree: delta terms'
+        # base+delta postings re-chunk into ONE list per term in the
+        # term's hash part; untouched parts are hardlinked (parquet
+        # files are immutable).
+        delta_pids = sorted(
+            int(r["part_id"])
+            for r in staged.select("part_id").distinct().collect()
+            if int(r["part_id"]) >= num_parts
+        )
+        if delta_pids:
+            stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
+            aff_terms = (
+                staged.where(F.col("part_id") >= num_parts)
+                .select("term").distinct().cache()
             )
-            merged = keep.unionByName(
-                new_chunks.where(F.col("part_id") == pid).drop("part_id")
+            aff_parts = sorted(
+                r["p"] for r in
+                aff_terms.select(part_col.alias("p")).distinct().collect()
             )
-            merged.write.mode("overwrite").parquet(
-                f"{sc_staging}/part_id={pid}"
-            )
-        aff_terms.unpersist()
-    # untouched hash parts: hardlink into the scratch tree
-    os.makedirs(sc_staging, exist_ok=True)
-    for pid in range(num_parts):
-        if pid in aff_parts:
-            continue
-        src = f"{staging}/part_id={pid}"
-        if os.path.isdir(src):
-            _link_tree(src, f"{sc_staging}/part_id={pid}")
-    # staging-root marker files (_SUCCESS) ride along
-    for name in os.listdir(staging):
-        src = os.path.join(staging, name)
-        if os.path.isfile(src) and not name.startswith("."):
-            try:
-                os.link(src, os.path.join(sc_staging, name))
-            except OSError:
-                shutil.copy2(src, os.path.join(sc_staging, name))
+            sub = staged.join(F.broadcast(aff_terms), "term", "left_semi")
+            tf_union = sub.select(
+                "term", F.explode(F.arrays_zip("doc_ids", "freqs")).alias("z")
+            ).select(
+                "term",
+                F.col("z.doc_ids").alias("doc_id"),
+                F.col("z.freqs").cast("int").alias("tf"),
+            ).dropDuplicates(["term", "doc_id"])
+            new_chunks = p_mod.build_postings(
+                tf_union, num_docs=universe, chunk_postings=chunk_postings,
+                doc_norms=stats_df,
+            ).withColumn("part_id", part_col)
+            scratch = f"{out_dir}/.compact_fold.parquet"
+            new_chunks.write.mode("overwrite").parquet(scratch)
+            new_chunks = spark.read.parquet(scratch)
+            for pid in aff_parts:
+                keep = (
+                    staged.where(F.col("part_id") == pid)
+                    .join(F.broadcast(aff_terms), "term", "left_anti")
+                    .drop("part_id")
+                )
+                merged = keep.unionByName(
+                    new_chunks.where(F.col("part_id") == pid).drop("part_id")
+                )
+                merged.write.mode("overwrite").parquet(
+                    f"{sc_staging}/part_id={pid}"
+                )
+            aff_terms.unpersist()
+        # untouched hash parts: hardlink into the scratch tree
+        os.makedirs(sc_staging, exist_ok=True)
+        for pid in range(num_parts):
+            if pid in aff_parts:
+                continue
+            src = f"{staging}/part_id={pid}"
+            if os.path.isdir(src):
+                _link_tree(src, f"{sc_staging}/part_id={pid}")
+        # staging-root marker files (_SUCCESS) ride along
+        for name in os.listdir(staging):
+            src = os.path.join(staging, name)
+            if os.path.isfile(src) and not name.startswith("."):
+                try:
+                    os.link(src, os.path.join(sc_staging, name))
+                except OSError:
+                    shutil.copy2(src, os.path.join(sc_staging, name))
     staged_new = spark.read.parquet(sc_staging)
 
     # ---- retrain on the folded corpus, re-encode every part into the
@@ -1434,19 +1570,39 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         compact_sec=round(time.perf_counter() - t0, 3),
         parts_reencoded=num_parts,
         delta_segments=0,
+        docs_purged=int(man.get("docs_purged", 0)) + (
+            int(srow_all["n"]) - num_docs if tombs is not None else 0
+        ),
     )
     with open(sc_man, "w") as fh:
         json.dump(man_new, fh, indent=2)
 
     # ---- journaled commit: old state fully live until here; roll
     # forward on replay
-    _commit_renames(out_dir, [
+    renames = [
         (sc_staging, staging),
         (sc_index, f"{out_dir}/index.parquet"),
         (sc_models, f"{out_dir}/models.pkl"),
         (sc_ckpt, f"{out_dir}/checkpoints.jsonl"),
         (sc_tstats, f"{out_dir}/term_stats.parquet"),
-        (sc_man, f"{out_dir}/manifest.json"),
-    ])
+    ]
+    if tombs is not None:
+        # purged doc stats + an EMPTY tombstone sidecar swap in with
+        # the same journaled commit — no crash point where the folded
+        # index is live while deleted docs still have stats, or where
+        # the fold committed but the (now-stale) tombstones survive
+        stats_live.write.mode("overwrite").parquet(sc_dstats)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"doc_id": pa.array([], type=pa.int64())}), sc_tomb
+        )
+        renames += [
+            (sc_dstats, f"{out_dir}/doc_stats.parquet"),
+            (sc_tomb, os.path.join(out_dir, TOMBSTONES_FILE)),
+        ]
+    renames.append((sc_man, f"{out_dir}/manifest.json"))
+    _commit_renames(out_dir, renames)
     shutil.rmtree(f"{out_dir}/.compact_fold.parquet", ignore_errors=True)
     return man_new

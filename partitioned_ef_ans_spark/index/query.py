@@ -45,6 +45,69 @@ RESULT_SCHEMA = "query_id long, rank int, doc_id long, score double"
 COUNT_SCHEMA = "query_id long, matches long"
 
 
+def broadcast_tombstones(spark, tombstones):
+    """Normalize a tombstone id collection to a broadcast
+    ``(sorted int64 array, cache-tag suffix)`` — or None when empty.
+    The tag suffix keys the worker-side weight caches so two tombstone
+    sets over the same index never alias a cached slice."""
+    import zlib
+
+    if tombstones is None:
+        return None
+    t = np.unique(np.asarray(tombstones, dtype=np.int64))
+    if not len(t):
+        return None
+    tag = f"|del{len(t)}x{zlib.crc32(t.tobytes()):08x}"
+    return spark.sparkContext.broadcast((t, tag))
+
+
+def _as_tomb_bc(spark, tombstones):
+    """Public entry points accept raw id collections or an
+    already-broadcast tombstone pair (so the giant-query dispatch
+    re-uses one broadcast across routed/rest legs)."""
+    from pyspark.broadcast import Broadcast
+
+    if tombstones is None or isinstance(tombstones, Broadcast):
+        return tombstones
+    return broadcast_tombstones(spark, tombstones)
+
+
+def tomb_keep(docs: np.ndarray, tomb: np.ndarray | None):
+    """Bool keep-mask over ``docs`` against the SORTED tombstone array,
+    or None when no element is masked (zero-copy fast path)."""
+    if tomb is None or not len(docs):
+        return None
+    idx = np.searchsorted(tomb, docs)
+    hit = np.zeros(len(docs), dtype=bool)
+    inb = idx < len(tomb)
+    hit[inb] = tomb[idx[inb]] == docs[inb]
+    if not hit.any():
+        return None
+    return ~hit
+
+
+def _apply_tomb(lists: dict, norms: dict, tomb, drop_empty: bool = True):
+    """Mask deleted docs out of decoded per-term lists (aligned with
+    their norm slices).  Terms whose surviving list is empty are
+    dropped when ``drop_empty`` (disjunctive kernels never see them;
+    conjunctive correctness is preserved by the existing
+    ``len(lists) < n_terms`` emptiness checks)."""
+    if tomb is None:
+        return lists, norms
+    for t in list(lists):
+        docs, freqs = lists[t]
+        keep = tomb_keep(docs, tomb)
+        if keep is None:
+            continue
+        if drop_empty and not keep.any():
+            del lists[t]
+            del norms[t]
+            continue
+        lists[t] = (docs[keep], freqs[keep])
+        norms[t] = norms[t][keep]
+    return lists, norms
+
+
 def _q_weight(qtf, df, num_docs, dtype):
     if dtype == np.float32:
         return bm25.query_term_weight_np(int(qtf), int(df), int(num_docs))
@@ -516,7 +579,9 @@ def _kernel_maxscore(lists, tws, weights, max_weights, dtype, qid, k, num_docs, 
     return _topk_rows([(s, -d) for s, d in heap], qid, k)
 
 
-def make_ranked_kernel(codec_bc, num_docs, avg_len, k, mode, dtype_name="float64"):
+def make_ranked_kernel(
+    codec_bc, num_docs, avg_len, k, mode, dtype_name="float64", tomb_bc=None
+):
     dtype = np.float32 if dtype_name == "float32" else np.float64
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -525,6 +590,7 @@ def make_ranked_kernel(codec_bc, num_docs, avg_len, k, mode, dtype_name="float64
         qid = int(pdf["query_id"].iloc[0])
         n_terms = int(pdf["n_terms"].iloc[0])
         codec = codec_bc.value
+        tomb, ttag = tomb_bc.value if tomb_bc is not None else (None, "")
         if mode in ("blockmax", "maxscore_blockmax"):
             # decode selectively themselves — whole blocks are pruned
             # via block_max_weights before any payload is touched
@@ -535,9 +601,12 @@ def make_ranked_kernel(codec_bc, num_docs, avg_len, k, mode, dtype_name="float64
                 if mode == "blockmax"
                 else bmx.kernel_maxscore_blockmax
             )
-            return fn(pdf, codec, num_docs, avg_len, k, dtype)
+            return fn(pdf, codec, num_docs, avg_len, k, dtype, tomb=tomb, ttag=ttag)
         lists, norms = _decode_group(pdf, codec, avg_len)
-        tws = _term_weights(lists, norms, dtype, tag=codec.tag)
+        lists, norms = _apply_tomb(lists, norms, tomb)
+        if not lists:
+            return _topk_rows([], qid, k)
+        tws = _term_weights(lists, norms, dtype, tag=codec.tag + ttag)
         per_term = pdf.drop_duplicates("term").set_index("term")
         weights = {
             t: _q_weight(per_term.loc[t, "qtf"], per_term.loc[t, "df"], num_docs, dtype)
@@ -584,7 +653,7 @@ def make_ranked_kernel(codec_bc, num_docs, avg_len, k, mode, dtype_name="float64
     return kernel
 
 
-def make_bool_kernel(codec_bc, conjunctive):
+def make_bool_kernel(codec_bc, conjunctive, tomb_bc=None):
     def _empty():
         return pd.DataFrame(
             {
@@ -600,8 +669,17 @@ def make_bool_kernel(codec_bc, conjunctive):
         n_terms = int(pdf["n_terms"].iloc[0])
         # avg_len=1.0: boolean kernels never score, norms are unused
         lists, _ = _decode_group(pdf, codec_bc.value, 1.0)
+        if tomb_bc is not None:
+            tomb = tomb_bc.value[0]
+            for t in list(lists):
+                docs, freqs = lists[t]
+                keep = tomb_keep(docs, tomb)
+                if keep is not None:
+                    lists[t] = (docs[keep], freqs[keep])
         if conjunctive:
-            if len(lists) < n_terms:
+            if len(lists) < n_terms or any(
+                len(v[0]) == 0 for v in lists.values()
+            ):
                 return _empty()
             # smallest-first intersection (and_query sorts by length,
             # queries.hpp:54-58)
@@ -750,6 +828,7 @@ def run_ranked(
     dtype: str = "float64",
     term_stats_df: DataFrame | None = None,
     docpart_budget_bytes: int | None = DOCPART_DISPATCH_BUDGET_BYTES,
+    tombstones=None,
 ) -> DataFrame:
     """All modes are rank-identical; ``blockmax`` (vectorized block-max
     WAND, index/blockmax.py) is the default/production path — 3-4x the
@@ -772,6 +851,7 @@ def run_ranked(
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
+    tomb_bc = _as_tomb_bc(spark, tombstones)
     if codec.docs is None and mode in ("blockmax", "maxscore_blockmax"):
         mode = "taat"
     if codec.docs is None and mode == "wand_bmw":
@@ -789,29 +869,31 @@ def run_ranked(
                 # match-count filter (never the union-scoring paths)
                 routed = run_ranked_and_docpartitioned(
                     spark, index_df, big_df, codec, num_docs, avg_len, k=k,
-                    term_stats_df=term_stats_df,
+                    term_stats_df=term_stats_df, tomb_bc=tomb_bc,
                 )
             elif mode in ("blockmax", "maxscore_blockmax") and codec.docs is not None:
                 routed = bmx.run_blockmax_docpartitioned(
                     spark, index_df, big_df, codec, num_docs, avg_len,
-                    term_stats_df, k=k,
+                    term_stats_df, k=k, tomb_bc=tomb_bc,
                 )
             else:
                 routed = run_ranked_docpartitioned(
                     spark, index_df, big_df, codec, num_docs, avg_len, k=k,
-                    term_stats_df=term_stats_df,
+                    term_stats_df=term_stats_df, tomb_bc=tomb_bc,
                 )
             rest = run_ranked(
                 spark, index_df, rest_df, codec, num_docs, avg_len,
                 mode=mode, k=k, dtype=dtype, term_stats_df=term_stats_df,
-                docpart_budget_bytes=None,
+                docpart_budget_bytes=None, tombstones=tomb_bc,
             )
             return rest.unionByName(routed)
 
     sc = spark.sparkContext
     codec_bc = sc.broadcast(codec)
     joined = query_lists_df(index_df, queries_df, term_stats_df)
-    kernel = make_ranked_kernel(codec_bc, num_docs, avg_len, k, mode, dtype)
+    kernel = make_ranked_kernel(
+        codec_bc, num_docs, avg_len, k, mode, dtype, tomb_bc=tomb_bc
+    )
     return joined.groupBy("query_id").applyInPandas(kernel, schema=RESULT_SCHEMA)
 
 
@@ -824,6 +906,7 @@ def run_ranked_docpartitioned(
     avg_len: float,
     k: int = 10,
     term_stats_df: DataFrame | None = None,
+    tomb_bc=None,
 ) -> DataFrame:
     """Document-partitioned exhaustive BM25 (the second parallelism
     axis).
@@ -854,6 +937,7 @@ def run_ranked_docpartitioned(
         from partitioned_ef_ans_spark.index.build import decode_lists_segmented
 
         codec_l = codec_bc.value
+        tomb = tomb_bc.value[0] if tomb_bc is not None else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -865,6 +949,11 @@ def run_ranked_docpartitioned(
                 zip(pdf["qs"], pdf["df"], pdf["doc_lens"]), decoded
             ):
                 nlv = np.asarray(dl, dtype=np.float64) / avg_len
+                keep = tomb_keep(docs, tomb)
+                if keep is not None:
+                    docs, freqs, nlv = docs[keep], freqs[keep], nlv[keep]
+                    if not len(docs):
+                        continue
                 dw = _doc_weights(freqs, nlv, np.float64)
                 for s in qs:
                     qw = _q_weight(int(s["qtf"]), df_, num_docs, np.float64)
@@ -904,6 +993,7 @@ def run_ranked_and_docpartitioned(
     avg_len: float,
     k: int = 10,
     term_stats_df: DataFrame | None = None,
+    tomb_bc=None,
 ) -> DataFrame:
     """Document-partitioned CONJUNCTIVE BM25 — the ranked_and twin of
     run_ranked_docpartitioned: per-chunk partials carry which term
@@ -925,6 +1015,7 @@ def run_ranked_and_docpartitioned(
         from partitioned_ef_ans_spark.index.build import decode_lists_segmented
 
         codec_l = codec_bc.value
+        tomb = tomb_bc.value[0] if tomb_bc is not None else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -937,6 +1028,11 @@ def run_ranked_and_docpartitioned(
                 decoded,
             ):
                 nlv = np.asarray(dl, dtype=np.float64) / avg_len
+                keep = tomb_keep(docs, tomb)
+                if keep is not None:
+                    docs, freqs, nlv = docs[keep], freqs[keep], nlv[keep]
+                    if not len(docs):
+                        continue
                 dw = _doc_weights(freqs, nlv, np.float64)
                 for s in qs:
                     qw = _q_weight(int(s["qtf"]), df_, num_docs, np.float64)
@@ -995,6 +1091,7 @@ def run_boolean_docpartitioned(
     codec,
     conjunctive: bool,
     term_stats_df: DataFrame | None = None,
+    tomb_bc=None,
 ) -> DataFrame:
     """Document-partitioned boolean match counting — the gather-free
     twin of run_boolean for giant queries: every chunk emits its
@@ -1015,6 +1112,7 @@ def run_boolean_docpartitioned(
         from partitioned_ef_ans_spark.index.build import decode_lists_segmented
 
         codec_l = codec_bc.value
+        tomb = tomb_bc.value[0] if tomb_bc is not None else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1025,6 +1123,11 @@ def run_boolean_docpartitioned(
             for (term, qs), (docs, _f) in zip(
                 zip(pdf["term"], pdf["qs"]), decoded
             ):
+                keep = tomb_keep(docs, tomb)
+                if keep is not None:
+                    docs = docs[keep]
+                    if not len(docs):
+                        continue
                 for s in qs:
                     qids.append(
                         np.full(len(docs), int(s["query_id"]), dtype=np.int64)
@@ -1080,15 +1183,18 @@ def run_boolean(
     conjunctive: bool,
     term_stats_df: DataFrame | None = None,
     docpart_budget_bytes: int | None = DOCPART_DISPATCH_BUDGET_BYTES,
+    tombstones=None,
 ) -> DataFrame:
     """Boolean match counts; giant queries auto-route to the
     doc-partitioned twin exactly like run_ranked (the match count is a
-    commutative aggregate, so the split is seamless)."""
+    commutative aggregate, so the split is seamless).  ``tombstones``
+    masks deleted docs out of the match sets (see run_ranked)."""
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
     sc = spark.sparkContext
     codec_bc = sc.broadcast(codec)
+    tomb_bc = _as_tomb_bc(spark, tombstones)
     # boolean ops dedup query terms first (queries.hpp:30-34)
     qdf = queries_df.select("query_id", F.array_distinct("terms").alias("terms"))
     if term_stats_df is not None and docpart_budget_bytes is not None:
@@ -1098,14 +1204,15 @@ def run_boolean(
                 spark, index_df,
                 qdf.where(F.col("query_id").isin(big)),
                 codec, conjunctive, term_stats_df=term_stats_df,
+                tomb_bc=tomb_bc,
             )
             rest = run_boolean(
                 spark, index_df,
                 qdf.where(~F.col("query_id").isin(big)),
                 codec, conjunctive, term_stats_df=term_stats_df,
-                docpart_budget_bytes=None,
+                docpart_budget_bytes=None, tombstones=tomb_bc,
             )
             return rest.unionByName(routed)
     joined = query_lists_df(index_df, qdf, term_stats_df)
-    kernel = make_bool_kernel(codec_bc, conjunctive)
+    kernel = make_bool_kernel(codec_bc, conjunctive, tomb_bc=tomb_bc)
     return joined.groupBy("query_id").applyInPandas(kernel, schema=COUNT_SCHEMA)
