@@ -12,10 +12,12 @@ types, the 21 training/event-pipeline operators) sits inside that
 window; only the rows-only ANS stats twins (independently pinned by
 pytest — tests/test_decode_kinds.py, tests/test_stats_pinned.py) sit
 past it.  Per-codec decode twins are collapsed into three
-family-union entries and the four EF-family WAND twins into one (same
-oracle strength, fewer slots) — 53 entries total: the first 50 are
-ALL oracle-hashed (transform_queries via the pinned Porter stem
-table, functions/stem_fixture.py), the 3 past-window ones rows-only.
+family-union entries, the four EF-family WAND twins into one, and the
+two IVF ANN twins into one (same oracle strength, fewer slots) — 53
+entries total: the first 50 are ALL oracle-hashed (transform_queries
+via the pinned Porter stem table, functions/stem_fixture.py;
+ranked_deleted_top10 gates the tombstone-deletion plane against a
+frozen-stats masked oracle), the 3 past-window ones rows-only.
 """
 
 from __future__ import annotations
@@ -65,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_indexed": gate.q_bool_indexed,
         "bool_docpart": gate.q_bool_docpart,
         "wand_top10_ef_family": gate.q_wand_top10_ef_family,
+        "ranked_deleted_top10": gate.q_ranked_deleted_top10,
         # ---- stats with closed-form oracles (2)
         "index_stats_u32": gate.q_index_stats_u32,
         "index_block_stats_u32": gate.q_index_block_stats_u32,
@@ -72,7 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_decode_flat_ef_family": gate.q_index_decode_flat_ef_family,
         "index_decode_flat_ans_family": gate.q_index_decode_flat_ans_family,
         "index_decode_flat_block_family": gate.q_index_decode_flat_block_family,
-        # ---- training-data pipeline (19)
+        # ---- training-data pipeline (20)
         **gate_training.TRAINING_QUERIES,
         # ---- rows-only ANS stats twins (pytest-pinned; past-window OK)
         "index_stats": gate.q_index_stats,
@@ -112,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_indexed": gate.sql_bool_indexed(),
         "bool_docpart": gate.sql_bool_docpart(),
         "wand_top10_ef_family": gate.sql_wand_union_ef_family(),
+        "ranked_deleted_top10": gate.sql_ranked_deleted(),
         "index_stats_u32": gate.sql_index_stats_u32(),
         "index_block_stats_u32": gate.sql_index_block_stats_u32(),
         "index_decode_flat_ef_family": gate.sql_decode_flat_union(

@@ -470,6 +470,97 @@ def maintenance_mode():
     print(json.dumps(out))
 
 
+def deletes_mode():
+    """`bench.py --deletes`: tombstone economics on the shared big
+    index.  (a) warm batch-query wall at 0% / 1% / 10% deleted docs —
+    the mask rides one broadcast sorted-id array through every kernel,
+    so overhead should be small and flat in the deleted fraction;
+    (b) write-side costs: the delete_docs sidecar upsert (O(deletes),
+    no index touch) and compact_index folding tombstones physically
+    (full re-encode like plain compaction, plus one corpus re-chunk
+    shuffle because the docID universe shrinks).  One JSON line,
+    persisted to BENCH_DELETES.json."""
+    import shutil
+
+    import numpy as np
+
+    from partitioned_ef_ans_spark import corpus as c_mod
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import checkpoint as ck
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.session import get_spark
+
+    idx_dir = _ensure_big_index()
+    cpus = int(os.environ.get("PEFA_DELETES_CPUS", "8"))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=4 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    index_df, _s, term_stats, codec, man = b_mod.load_index(spark, idx_dir)
+    index_df = index_df.cache()
+    index_df.count()
+    term_stats = term_stats.cache()
+    term_stats.count()
+    qs = c_mod.synthesize_queries(N_QUERIES, vocab_size=20000)
+    qdf = queries_to_df(spark, qs).cache()
+    qdf.count()
+    num_docs = int(man["num_docs"])
+
+    def tomb_ids(pct: int):
+        ids = np.arange(num_docs, dtype=np.int64)
+        return ids[ids % 100 < pct]  # even spread across every chunk
+
+    q: dict = {}
+    for pct in (0, 1, 10):
+        tomb = tomb_ids(pct) if pct else None
+        wall = None
+        for _rep in range(2):  # first pass warms, second is recorded
+            t0 = time.perf_counter()
+            for mode in ("blockmax", "ranked_or"):
+                q_mod.run_ranked(
+                    spark, index_df, qdf, codec, num_docs,
+                    man["avg_doc_len"], mode=mode, k=K, dtype="float32",
+                    term_stats_df=term_stats, tombstones=tomb,
+                ).count()
+            wall = round(time.perf_counter() - t0, 3)
+        q[f"query_suite_{pct}pct_deleted_sec"] = wall
+
+    # write side on a hardlink copy (parquet files are immutable and
+    # every maintenance commit writes new files, so links are safe)
+    scratch = f"/dev/shm/pefa_bench_del_{os.getpid()}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.copytree(idx_dir, scratch, copy_function=os.link)
+    tomb1 = tomb_ids(1)
+    t0 = time.perf_counter()
+    ck.delete_docs(spark, scratch, tomb1)
+    q["delete_docs_1pct_sec"] = round(time.perf_counter() - t0, 3)
+    if os.environ.get("PEFA_DELETES_COMPACT", "1") == "1":
+        t0 = time.perf_counter()
+        man2 = ck.compact_index(spark, scratch)
+        q["compact_fold_1pct_sec"] = round(time.perf_counter() - t0, 3)
+        q["compact_num_docs"] = man2["num_docs"]
+        q["compact_bits_per_posting"] = man2["bits_per_posting"]
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+    out = {
+        "metric": "masked_query_overhead_ratio_10pct_deleted",
+        "value": round(
+            q["query_suite_10pct_deleted_sec"]
+            / q["query_suite_0pct_deleted_sec"], 3,
+        ),
+        "unit": "ratio",
+        "queries": q,
+        "sf": SF_DIR,
+        "synth_docs": SYNTH_DOCS,
+        "n_queries": N_QUERIES,
+        "postings": man["total_postings"],
+        "cpus": cpus,
+    }
+    with open(Path(__file__).resolve().parent / "BENCH_DELETES.json", "w") as fh:
+        json.dump(out, fh)
+    print(json.dumps(out))
+
+
 def codecs_mode():
     """`bench.py --codecs`: build every index family on the same corpus
     and report bits/posting + build seconds side by side (the
@@ -524,6 +615,9 @@ def main():
         return
     if "--maintenance" in sys.argv:
         maintenance_mode()
+        return
+    if "--deletes" in sys.argv:
+        deletes_mode()
         return
     if "--scaling" in sys.argv:
         # N -> 4N parallelism on identical input.  The pair is (2, 8):

@@ -303,9 +303,34 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone documents by id (Lucene-style liveness masking):
+    `queries` masks them immediately from the sidecar; `compact`
+    folds them physically (stats/models/universe recomputed over the
+    survivors) and resets the sidecar."""
+    from partitioned_ef_ans_spark.index.checkpoint import delete_docs
+
+    _require_resumable_layout(args.index_dir)
+    ids: list[int] = []
+    if args.ids:
+        ids += [int(x) for x in args.ids.replace(",", " ").split()]
+    if args.ids_file:
+        with open(args.ids_file) as fh:
+            ids += [int(x) for x in fh.read().split()]
+    if not ids:
+        print("no ids given (--ids / --ids-file)", file=sys.stderr)
+        return 1
+    spark = _spark(args)
+    info = delete_docs(spark, args.index_dir, ids)
+    print(json.dumps(info))
+    spark.stop()
+    return 0
+
+
 def cmd_queries(args) -> int:
     from partitioned_ef_ans_spark.index import build as b_mod
     from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.index.checkpoint import load_tombstones
     from partitioned_ef_ans_spark.operators.ranked import queries_to_df
 
     qs = _read_query_lines(sys.stdin)
@@ -317,6 +342,13 @@ def cmd_queries(args) -> int:
         # timing, quantiles per operator (queries.cpp:23-52)
         from partitioned_ef_ans_spark.latency import kernel_latency_stats
 
+        if load_tombstones(args.index_dir) is not None and not args.include_deleted:
+            print(
+                "note: --latency times kernels WITHOUT tombstone masking; "
+                "compact first for a post-delete index, or pass "
+                "--include-deleted to acknowledge",
+                file=sys.stderr,
+            )
         stats = kernel_latency_stats(
             args.index_dir, qs, modes=tuple(args.mode.split(",")),
             runs=max(2, args.runs), k=args.k,
@@ -328,6 +360,9 @@ def cmd_queries(args) -> int:
     index_df, _stats, term_stats, codec, man = b_mod.load_index(
         spark, args.index_dir
     )
+    # tombstoned docs are masked by default; --include-deleted ignores
+    # the sidecar (e.g. to diff pre/post-delete rankings)
+    tombs = None if args.include_deleted else load_tombstones(args.index_dir)
     index_df = index_df.cache()
     index_df.count()  # warmup, like the reference's mmap warmup
     qdf = queries_to_df(spark, qs).cache()
@@ -339,6 +374,7 @@ def cmd_queries(args) -> int:
                 spark, index_df, qdf, codec, man["num_docs"],
                 man["avg_doc_len"], mode=mode, k=args.k,
                 dtype="float32", term_stats_df=term_stats,
+                tombstones=tombs,
             )
             nrows = res.count()
             dt = time.perf_counter() - t0
@@ -450,6 +486,14 @@ def build_parser() -> argparse.ArgumentParser:
     cpt.add_argument("index_dir")
     cpt.set_defaults(fn=cmd_compact)
 
+    dl = sub.add_parser("delete")
+    dl.add_argument("index_dir")
+    dl.add_argument("--ids", default=None,
+                    help="comma/space-separated doc ids to tombstone")
+    dl.add_argument("--ids-file", default=None,
+                    help="file of whitespace-separated doc ids")
+    dl.set_defaults(fn=cmd_delete)
+
     w = sub.add_parser("create_wand_data")
     w.add_argument("index_dir")
     w.add_argument("out")
@@ -462,6 +506,8 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--runs", type=lambda v: max(1, int(v)), default=1)
     q.add_argument("--print-topk", action="store_true")
+    q.add_argument("--include-deleted", action="store_true",
+                   help="ignore the tombstone sidecar (pre-delete view)")
     q.add_argument("--latency", action="store_true",
                    help="per-query in-process latency quantiles "
                         "(op_perftest shape) instead of the Spark suite")

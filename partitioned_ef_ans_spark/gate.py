@@ -762,11 +762,14 @@ def sql_postings_flat() -> str:
     return f"WITH {_TOK_CTE}, {_TF_CTE} SELECT term, doc_id, tf FROM tf"
 
 
-def _sql_ranked(conjunctive: bool) -> str:
+def _sql_ranked(conjunctive: bool, doc_filter: str = "") -> str:
     qrys, nq = _values_queries()
     docw = bm25.duckdb_doc_term_weight(tf="tf.tf", norm_len="ds.norm_len")
     qw = bm25.duckdb_query_term_weight(qtf="q.qtf", df="dfs.df", num_docs="nd.num_docs")
     having = "HAVING count(*) = any_value(qn.n_terms)" if conjunctive else ""
+    # doc_filter applies to SCORING only — dfs/nd/ds stay full-corpus,
+    # mirroring the tombstone plane's frozen-stats semantics
+    where = f"WHERE {doc_filter}" if doc_filter else ""
     return f"""
 WITH {_TOK_CTE}, {_TF_CTE}, {_DFS_CTE}, {_ND_CTE}, {_DS_CTE},
 qrys AS ({qrys}),
@@ -782,6 +785,7 @@ per_doc AS (
   JOIN qw ON tf.term = qw.term
   JOIN ds ON tf.doc_id = ds.doc_id
   JOIN nq qn ON qw.query_id = qn.query_id
+  {where}
   GROUP BY qw.query_id, tf.doc_id
   {having}
 )
@@ -795,6 +799,49 @@ ORDER BY query_id, "rank"
 
 def sql_ranked_or() -> str:
     return _sql_ranked(False)
+
+
+# every 7th doc tombstoned — deterministic at any scale factor, and
+# dense enough that deleted docs DO rank in the unfiltered top-10
+# (the mask is load-bearing, tests/test_deletes.py proves the same at
+# build scale)
+GATE_DELETE_PRED = "doc_id % 7 = 3"
+
+
+def q_ranked_deleted_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-masked block-max retrieval (the document-deletion
+    plane, index/checkpoint.delete_docs semantics): docs matching
+    GATE_DELETE_PRED are deleted; corpus statistics stay frozen at
+    build so surviving docs' scores are bit-stable, and the pruned
+    kernel must remain rank-identical to the oracle that filters
+    deleted docs from scoring only."""
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix = _get_index(spark, sf_dir)
+    tomb = [
+        r["doc_id"]
+        for r in load_documents(spark, sf_dir)
+        .where(F.expr(GATE_DELETE_PRED))
+        .select("doc_id")
+        .collect()
+    ]
+    return q_mod.run_ranked(
+        spark,
+        ix["index_df"],
+        gate_queries_df(spark),
+        ix["codec"],
+        ix["num_docs"],
+        ix["avg_len"],
+        mode="blockmax",
+        k=TOP_K,
+        dtype="float64",
+        term_stats_df=ix["term_stats"],
+        tombstones=tomb,
+    )
+
+
+def sql_ranked_deleted() -> str:
+    return _sql_ranked(False, doc_filter=f"NOT (tf.{GATE_DELETE_PRED})")
 
 
 def sql_ranked_and() -> str:

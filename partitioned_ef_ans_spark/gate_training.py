@@ -699,6 +699,26 @@ SELECT user_id,
 FROM g GROUP BY user_id"""
 
 
+def q_ann_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two IVF twins (pinned centroids / trained Lloyd k-means)
+    collapsed into one window entry keyed by ``variant`` — same oracle
+    strength as the twins it replaces, one fewer slot (the codec
+    family-union pattern applied to the ANN plane)."""
+    a = q_ann_ivf(spark, sf_dir).withColumn("variant", F.lit("ivf"))
+    b = q_ann_ivf_kmeans(spark, sf_dir).withColumn(
+        "variant", F.lit("ivf_kmeans")
+    )
+    return a.unionByName(b)
+
+
+def sql_ann_ivf_family() -> str:
+    return (
+        f"SELECT v.*, 'ivf' AS variant FROM ({sql_ann_ivf()}) v "
+        "UNION ALL "
+        f"SELECT v.*, 'ivf_kmeans' AS variant FROM ({sql_ann_ivf_kmeans()}) v"
+    )
+
+
 TRAINING_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_sessions": q_events_sessions,
@@ -719,8 +739,7 @@ TRAINING_QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
     "ann_cosine_topk": q_ann_topk,
-    "ann_ivf_topk": q_ann_ivf,
-    "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
+    "ann_ivf_family_topk": q_ann_ivf_family,
 }
 
 TRAINING_ORACLES = {
@@ -746,6 +765,5 @@ TRAINING_ORACLES = {
     "embedding_neardup": sql_embedding_neardup(),
     "embedding_neardup_bucketed": sql_embedding_neardup(),
     "ann_cosine_topk": sql_ann_topk(),
-    "ann_ivf_topk": sql_ann_ivf(),
-    "ann_ivf_kmeans_topk": sql_ann_ivf_kmeans(),
+    "ann_ivf_family_topk": sql_ann_ivf_family(),
 }

@@ -127,6 +127,44 @@ def test_cli_resumable_build_then_update(tmp_path):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def test_cli_delete_then_compact():
+    """delete -> queries masks the tombstoned doc; --include-deleted
+    restores the pre-delete view; compact folds physically and the doc
+    stays gone with no sidecar."""
+    idx = f"/dev/shm/pefa_cli_del_{os.getpid()}"
+    shutil.rmtree(idx, ignore_errors=True)
+
+    def topk(*extra):
+        out = run_cli("queries", idx, "--print-topk", *extra,
+                      stdin="1\tdup\n")
+        return [
+            l.split("\t") for l in out.splitlines()
+            if l and not l.startswith("{")
+        ]
+
+    try:
+        run_cli("create_freq_index", "block_ansmsb", f"{SF}/documents.parquet",
+                idx, "--resumable", "--num-parts", "4")
+        top_doc = int(topk()[0][2])
+
+        out = run_cli("delete", idx, "--ids", str(top_doc))
+        rec = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
+        assert rec["tombstones_total"] == 1
+
+        masked = topk()
+        assert masked and top_doc not in {int(t[2]) for t in masked}
+        assert int(topk("--include-deleted")[0][2]) == top_doc
+
+        run_cli("compact", idx)
+        post = topk()
+        assert post and top_doc not in {int(t[2]) for t in post}
+        from partitioned_ef_ans_spark.index.checkpoint import load_tombstones
+
+        assert load_tombstones(idx) is None  # sidecar reset at fold
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def test_cli_package_and_spark_submit(tmp_path):
     """The --py-files packaging story: build the zip, then run a real
     ``spark-submit --py-files pefa.zip cli.py`` (north_rule's cluster
