@@ -510,36 +510,82 @@ def deletes_mode():
         return ids[ids % 100 < pct]  # even spread across every chunk
 
     q: dict = {}
-    for pct in (0, 1, 10):
-        tomb = tomb_ids(pct) if pct else None
-        wall = None
-        for _rep in range(2):  # first pass warms, second is recorded
-            t0 = time.perf_counter()
-            for mode in ("blockmax", "ranked_or"):
-                q_mod.run_ranked(
-                    spark, index_df, qdf, codec, num_docs,
-                    man["avg_doc_len"], mode=mode, k=K, dtype="float32",
-                    term_stats_df=term_stats, tombstones=tomb,
-                ).count()
-            wall = round(time.perf_counter() - t0, 3)
-        q[f"query_suite_{pct}pct_deleted_sec"] = wall
+    fracs = (0, 1, 10)
+    tombs = {pct: tomb_ids(pct) if pct else None for pct in fracs}
+    reps = int(os.environ.get("PEFA_DELETES_REPS", "3"))
 
-    # write side on a hardlink copy (parquet files are immutable and
-    # every maintenance commit writes new files, so links are safe)
-    scratch = f"/dev/shm/pefa_bench_del_{os.getpid()}"
-    shutil.rmtree(scratch, ignore_errors=True)
-    shutil.copytree(idx_dir, scratch, copy_function=os.link)
-    tomb1 = tomb_ids(1)
-    t0 = time.perf_counter()
-    ck.delete_docs(spark, scratch, tomb1)
-    q["delete_docs_1pct_sec"] = round(time.perf_counter() - t0, 3)
+    def suite(pct: int) -> float:
+        t0 = time.perf_counter()
+        for mode in ("blockmax", "ranked_or"):
+            q_mod.run_ranked(
+                spark, index_df, qdf, codec, num_docs,
+                man["avg_doc_len"], mode=mode, k=K, dtype="float32",
+                term_stats_df=term_stats, tombstones=tombs[pct],
+            ).count()
+        return time.perf_counter() - t0
+
+    for pct in fracs:  # warm pass per tombstone set (weight caches)
+        suite(pct)
+    walls: dict[int, list] = {pct: [] for pct in fracs}
+    for _rep in range(reps):  # interleaved min-per-leg (noisy VM)
+        for pct in fracs:
+            walls[pct].append(suite(pct))
+    for pct in fracs:
+        q[f"query_suite_{pct}pct_deleted_sec"] = round(min(walls[pct]), 3)
+        q[f"query_suite_{pct}pct_all_reps"] = [round(w, 3) for w in walls[pct]]
+
+    # write side needs the resumable (maintainable) layout — the
+    # shared query index above is the plain single-tree build, which
+    # compact_index refuses.  Built once per workload from the same
+    # corpus, then hardlink-copied per run (parquet files are
+    # immutable and every maintenance commit writes new files).
     if os.environ.get("PEFA_DELETES_COMPACT", "1") == "1":
+        from pyspark.sql import functions as F
+
+        res_dir = _big_index_dir() + "_res"
+        if not os.path.exists(f"{res_dir}/manifest.json"):
+            corpus_path = f"/dev/shm/pefa_bench_corpus_{SYNTH_DOCS}"
+            if os.path.exists(f"{corpus_path}/_SUCCESS"):
+                corpus = spark.read.parquet(corpus_path).withColumnRenamed(
+                    "content", "text"
+                )
+            else:
+                real = spark.read.parquet(
+                    f"{SF_DIR}/documents.parquet"
+                ).select("doc_id", "text")
+                n_real = real.count()
+                synth = c_mod.synthesize_corpus_distributed(
+                    spark, SYNTH_DOCS, vocab_size=20000,
+                    num_partitions=2 * cpus,
+                ).select(
+                    (
+                        F.regexp_extract("path", r"f(\d+)\.", 1).cast("long")
+                        + F.lit(n_real)
+                    ).alias("doc_id"),
+                    F.col("content").alias("text"),
+                )
+                corpus = real.unionByName(synth)
+            ck.build_index_resumable(
+                spark, corpus, res_dir, codec="ans", num_parts=16,
+                chunk_postings=1 << 16,
+            )
+        res_docs = int(
+            json.load(open(f"{res_dir}/manifest.json"))["num_docs"]
+        )
+        scratch = f"/dev/shm/pefa_bench_del_{os.getpid()}"
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.copytree(res_dir, scratch, copy_function=os.link)
+        ids = np.arange(res_docs, dtype=np.int64)
+        tomb1 = ids[ids % 100 < 1]
+        t0 = time.perf_counter()
+        ck.delete_docs(spark, scratch, tomb1)
+        q["delete_docs_1pct_sec"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         man2 = ck.compact_index(spark, scratch)
         q["compact_fold_1pct_sec"] = round(time.perf_counter() - t0, 3)
         q["compact_num_docs"] = man2["num_docs"]
-        q["compact_bits_per_posting"] = man2["bits_per_posting"]
-    shutil.rmtree(scratch, ignore_errors=True)
+        q["compact_bits_per_posting"] = round(man2["bits_per_posting"], 4)
+        shutil.rmtree(scratch, ignore_errors=True)
     spark.stop()
 
     out = {
