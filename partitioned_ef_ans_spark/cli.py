@@ -342,16 +342,10 @@ def cmd_queries(args) -> int:
         # timing, quantiles per operator (queries.cpp:23-52)
         from partitioned_ef_ans_spark.latency import kernel_latency_stats
 
-        if load_tombstones(args.index_dir) is not None and not args.include_deleted:
-            print(
-                "note: --latency times kernels WITHOUT tombstone masking; "
-                "compact first for a post-delete index, or pass "
-                "--include-deleted to acknowledge",
-                file=sys.stderr,
-            )
         stats = kernel_latency_stats(
             args.index_dir, qs, modes=tuple(args.mode.split(",")),
             runs=max(2, args.runs), k=args.k,
+            tombstones=None if args.include_deleted else "auto",
         )
         for mode, s in stats.items():
             print(json.dumps({"mode": mode, "unit": "us", **s}))

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -209,8 +210,7 @@ def build_index_resumable(
         "build_sec": round(time.perf_counter() - t0, 3),
         "chunk_postings": chunk_postings,
     }
-    with open(f"{out_dir}/manifest.json", "w") as fh:
-        json.dump(metrics, fh, indent=2)
+    _write_manifest_atomic(out_dir, metrics)
     return metrics
 
 
@@ -341,6 +341,19 @@ def _recover_commit(out_dir: str) -> None:
     journal = f"{out_dir}/.commit_journal.json"
     if os.path.exists(journal):
         _apply_commit(journal)
+
+
+def _write_manifest_atomic(out_dir: str, man: dict) -> None:
+    """Replace manifest.json atomically: a concurrent reader sees the
+    old or the new manifest, never a truncated half-write; the fresh
+    inode also stamps every committed state for snapshot_index."""
+    path = f"{out_dir}/manifest.json"
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(man, fh, indent=2)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
 
 
 def _link_tree(src: str, dst: str) -> None:
@@ -703,8 +716,7 @@ def _refresh_sidecars(
         bits_per_posting=int(agg["bytes"] or 0) * 8 / int(agg["postings"] or 1),
         **extra,
     )
-    with open(f"{out_dir}/manifest.json", "w") as fh:
-        json.dump(man, fh, indent=2)
+    _write_manifest_atomic(out_dir, man)
     return man
 
 
@@ -779,6 +791,93 @@ def delete_docs(spark: SparkSession, out_dir: str, doc_ids) -> dict:
         "tombstones_total": int(len(merged)),
         "previously": 0 if prev is None else int(len(prev)),
     }
+
+
+# --------------------------------------------------------- read snapshots
+# Writers are serialized by the lease lock, but readers are not: a
+# query session that spans an update/compaction/delete commit could
+# read a torn mix of old and new artifacts (Spark scans parquet
+# lazily, so even a consistent load_index does not pin the bytes).
+# snapshot_index pins one committed state by hardlinking the live
+# tree — parquet files are immutable and every maintenance commit
+# replaces whole files/dirs by rename, so links keep exactly one
+# state's bytes alive at zero storage cost — and verifies the state
+# could not have moved during the walk.
+
+def _writer_active(out_dir: str, ttl: float = _LOCK_LEASE_TTL) -> bool:
+    """A live writer lease exists (fresh heartbeat mtime).  A stale
+    lease is NOT active: its holder is dead, the on-disk state is
+    whatever it left behind, and waiting on a corpse would hang every
+    reader."""
+    try:
+        st = os.stat(f"{out_dir}/.update_lock")
+    except (FileNotFoundError, OSError):
+        return False
+    return (time.time() - st.st_mtime) <= ttl
+
+
+def snapshot_index(out_dir: str, dest: str | None = None,
+                   timeout: float = 120.0) -> str:
+    """Pin a consistent read-only view of the index and return its
+    path (pass it to build.load_index / kernel_latency_stats like the
+    live dir).  Consistency protocol: the copy is accepted only if
+    there was no live writer lease and no commit journal both before
+    and after the hardlink walk AND the manifest file identity
+    (inode, mtime_ns) did not move — every maintenance op rewrites the
+    manifest last via atomic replace, so an unchanged manifest brackets
+    an unchanged committed state.  Otherwise the copy is discarded and
+    retried until ``timeout``.
+
+    POSIX-link filesystems only (local/HDFS-fuse/NFS); on object
+    stores, quiesce writers and copy instead.  Release with
+    ``release_snapshot`` when the reader session ends."""
+    import uuid
+
+    journal = f"{out_dir}/.commit_journal.json"
+    manifest = f"{out_dir}/manifest.json"
+    dest = dest or f"{out_dir}/.snap_{uuid.uuid4().hex[:12]}"
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            if not (_writer_active(out_dir) or os.path.exists(journal)):
+                st0 = os.stat(manifest)
+                shutil.rmtree(dest, ignore_errors=True)
+                os.makedirs(dest)
+                for name in os.listdir(out_dir):
+                    if name.startswith("."):
+                        continue  # scratch trees, journal, lock, snaps
+                    s = os.path.join(out_dir, name)
+                    d = os.path.join(dest, name)
+                    if os.path.isdir(s):
+                        _link_tree(s, d)
+                    else:
+                        try:
+                            os.link(s, d)
+                        except OSError:
+                            shutil.copy2(s, d)
+                st1 = os.stat(manifest)
+                if (
+                    not (_writer_active(out_dir) or os.path.exists(journal))
+                    and (st1.st_ino, st1.st_mtime_ns)
+                    == (st0.st_ino, st0.st_mtime_ns)
+                ):
+                    return dest
+                shutil.rmtree(dest, ignore_errors=True)
+        except (FileNotFoundError, OSError):
+            # a rename swept a file out from under the walk — retry
+            shutil.rmtree(dest, ignore_errors=True)
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"no quiescent index state within {timeout}s at {out_dir} "
+                "(writer lease held or commits kept landing)"
+            )
+        time.sleep(0.2)
+
+
+def release_snapshot(snap_dir: str) -> None:
+    """Drop a snapshot's links (storage is reclaimed once no snapshot
+    links a replaced file)."""
+    shutil.rmtree(snap_dir, ignore_errors=True)
 
 
 @_locked

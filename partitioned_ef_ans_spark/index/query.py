@@ -45,19 +45,26 @@ RESULT_SCHEMA = "query_id long, rank int, doc_id long, score double"
 COUNT_SCHEMA = "query_id long, matches long"
 
 
-def broadcast_tombstones(spark, tombstones):
-    """Normalize a tombstone id collection to a broadcast
-    ``(sorted int64 array, cache-tag suffix)`` — or None when empty.
-    The tag suffix keys the worker-side weight caches so two tombstone
-    sets over the same index never alias a cached slice."""
+def normalize_tombstones(tombstones):
+    """Sorted unique int64 tombstone array + cache-tag suffix, or
+    (None, "") when empty.  The tag suffix keys the worker-side weight
+    caches so two tombstone sets over the same index never alias a
+    cached slice."""
     import zlib
 
     if tombstones is None:
-        return None
+        return None, ""
     t = np.unique(np.asarray(tombstones, dtype=np.int64))
     if not len(t):
+        return None, ""
+    return t, f"|del{len(t)}x{zlib.crc32(t.tobytes()):08x}"
+
+
+def broadcast_tombstones(spark, tombstones):
+    """Broadcast form of normalize_tombstones, or None when empty."""
+    t, tag = normalize_tombstones(tombstones)
+    if t is None:
         return None
-    tag = f"|del{len(t)}x{zlib.crc32(t.tobytes()):08x}"
     return spark.sparkContext.broadcast((t, tag))
 
 

@@ -21,10 +21,14 @@ ALL_MODES = (
 
 
 def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
-                         k: int = 10) -> dict:
+                         k: int = 10, tombstones="auto") -> dict:
     """{mode: {mean, q50, q90, q95}} in microseconds over the query
     set ``qs`` = [(qid, [terms...]), ...] against the index at
-    ``idx_dir``."""
+    ``idx_dir``.
+
+    ``tombstones``: "auto" (default) masks the index's tombstone
+    sidecar exactly like the distributed paths; an explicit id
+    collection masks that set; None times the unmasked kernels."""
     import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq
@@ -64,6 +68,11 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
                     else (np.asarray(bw, dtype=np.float64) * sc).astype(np.float32)
                     for bw, sc in zip(tbl["block_max_weights"], s)
                 ]
+    if isinstance(tombstones, str) and tombstones == "auto":
+        from partitioned_ef_ans_spark.index.checkpoint import load_tombstones
+
+        tombstones = load_tombstones(idx_dir)
+    tomb, ttag = q_mod.normalize_tombstones(tombstones)
     by_term = {t: g for t, g in tbl.groupby("term")}
     has_blocks = "block_maxs" in tbl.columns
     stats = {}
@@ -98,7 +107,8 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
                         else bmx_mod.kernel_maxscore_blockmax
                     )
                     t0 = time.perf_counter()
-                    fn(pdf, codec, nd, avg_len, k, np.float32)
+                    fn(pdf, codec, nd, avg_len, k, np.float32,
+                       tomb=tomb, ttag=ttag)
                     if run:
                         lat.append((time.perf_counter() - t0) * 1e6)
                     continue
@@ -108,7 +118,12 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
                     )
                 t0 = time.perf_counter()
                 lists, norms = q_mod._decode_group(pdf, codec, avg_len)
-                tws = q_mod._term_weights(lists, norms, np.float32, tag=codec.tag)
+                lists, norms = q_mod._apply_tomb(lists, norms, tomb)
+                if not lists:
+                    continue
+                tws = q_mod._term_weights(
+                    lists, norms, np.float32, tag=codec.tag + ttag
+                )
                 per_term = pdf.drop_duplicates("term").set_index("term")
                 weights = {
                     t: q_mod._q_weight(per_term.loc[t, "qtf"], per_term.loc[t, "df"], nd, np.float32)

@@ -173,6 +173,31 @@ def test_tombstones_mask_boolean(spark, del_index):
     ) == exp_or
 
 
+def test_latency_kernels_mask_tombstones(spark, del_index):
+    """The in-process latency path (queries --latency / bench.py
+    --latency) masks exactly like the distributed kernels: explicit
+    sets and the "auto" sidecar route both sample, and the blockmax
+    counters move (the masked kernels really ran)."""
+    from partitioned_ef_ans_spark.index.checkpoint import delete_docs
+    from partitioned_ef_ans_spark.latency import kernel_latency_stats
+
+    qs = [(q, t) for q, t in QUERIES if t]
+    stats = kernel_latency_stats(
+        del_index, qs, modes=("blockmax", "ranked_or", "ranked_and"),
+        runs=2, k=5, tombstones=DELETED,
+    )
+    assert all(s["mean"] > 0 for s in stats.values())
+    assert 0 < stats["blockmax"]["blocks_scored"] <= stats["blockmax"][
+        "blocks_referenced"
+    ]
+    # sidecar auto-load: same masked kernels fire without passing ids
+    delete_docs(spark, del_index, DELETED)
+    auto = kernel_latency_stats(
+        del_index, qs, modes=("blockmax",), runs=2, k=5
+    )
+    assert auto["blockmax"]["mean"] > 0
+
+
 def test_delete_docs_api_and_compaction_fold(spark, tmp_path):
     from partitioned_ef_ans_spark.index.checkpoint import (
         compact_index,
