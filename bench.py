@@ -607,6 +607,112 @@ def deletes_mode():
     print(json.dumps(out))
 
 
+def merge_mode():
+    """`bench.py --merge`: shard-merge economics — build N shard
+    indexes independently on disjoint slices of the bench corpus, then
+    `merge_indexes` them, vs one global build on the same corpus.  The
+    merge re-encodes everything but skips tokenization (the dominant
+    build cost), and the shard builds are embarrassingly parallel
+    across cluster segments (timed sequentially here; max-per-shard is
+    the parallel wall).  One JSON line -> BENCH_MERGE.json."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark import corpus as c_mod
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        merge_indexes,
+    )
+    from partitioned_ef_ans_spark.session import get_spark
+
+    shards = int(os.environ.get("PEFA_MERGE_SHARDS", "4"))
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_path = f"/dev/shm/pefa_bench_corpus_{SYNTH_DOCS}"
+    if not os.path.exists(f"{corpus_path}/_SUCCESS"):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", F.col("text").alias("content")
+        )
+        n_real = docs.count()
+        synth = c_mod.synthesize_corpus_distributed(
+            spark, SYNTH_DOCS, vocab_size=20000, num_partitions=2 * CPUS
+        ).select(
+            (
+                F.regexp_extract("path", r"f(\d+)\.", 1).cast("long")
+                + F.lit(n_real)
+            ).alias("doc_id"),
+            "content",
+        )
+        docs.unionByName(synth).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path).withColumnRenamed(
+        "content", "text"
+    )
+    n_total = corpus.count()
+    cut = [round(i * n_total / shards) for i in range(shards + 1)]
+
+    q: dict = {}
+    roots = []
+    try:
+        g = f"/dev/shm/pefa_merge_g_{os.getpid()}"
+        roots.append(g)
+        t0 = time.perf_counter()
+        gman = build_index_resumable(
+            spark, corpus, g, codec="ans", num_parts=16,
+            chunk_postings=1 << 16,
+        )
+        q["global_build_sec"] = round(time.perf_counter() - t0, 2)
+        q["postings"] = gman["total_postings"]
+        q["global_bpp"] = round(gman["bits_per_posting"], 4)
+
+        shard_secs = []
+        shard_dirs = []
+        for i in range(shards):
+            d = f"/dev/shm/pefa_merge_s{i}_{os.getpid()}"
+            roots.append(d)
+            shard_dirs.append(d)
+            t0 = time.perf_counter()
+            build_index_resumable(
+                spark,
+                corpus.where(
+                    (F.col("doc_id") >= cut[i]) & (F.col("doc_id") < cut[i + 1])
+                ),
+                d, codec="ans", num_parts=16, chunk_postings=1 << 16,
+            )
+            shard_secs.append(round(time.perf_counter() - t0, 2))
+        q["shard_build_secs"] = shard_secs
+        q["shard_build_max_sec"] = max(shard_secs)
+
+        m = f"/dev/shm/pefa_merge_m_{os.getpid()}"
+        roots.append(m)
+        t0 = time.perf_counter()
+        mman = merge_indexes(spark, m, shard_dirs, num_parts=16)
+        q["merge_sec"] = round(time.perf_counter() - t0, 2)
+        q["merged_bpp"] = round(mman["bits_per_posting"], 4)
+        assert mman["total_postings"] == gman["total_postings"]
+    finally:
+        for d in roots:
+            shutil.rmtree(d, ignore_errors=True)
+    spark.stop()
+
+    out = {
+        "metric": "merge_vs_global_build_ratio",
+        "value": round(q["merge_sec"] / q["global_build_sec"], 3),
+        "unit": "ratio",
+        "queries": q,
+        "sf": SF_DIR,
+        "synth_docs": SYNTH_DOCS,
+        "shards": shards,
+        "cpus": CPUS,
+    }
+    with open(Path(__file__).resolve().parent / "BENCH_MERGE.json", "w") as fh:
+        json.dump(out, fh)
+    print(json.dumps(out))
+
+
 def codecs_mode():
     """`bench.py --codecs`: build every index family on the same corpus
     and report bits/posting + build seconds side by side (the
@@ -664,6 +770,9 @@ def main():
         return
     if "--deletes" in sys.argv:
         deletes_mode()
+        return
+    if "--merge" in sys.argv:
+        merge_mode()
         return
     if "--scaling" in sys.argv:
         # N -> 4N parallelism on identical input.  The pair is (2, 8):

@@ -303,6 +303,28 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Merge independently built shard indexes (disjoint docID spaces,
+    one codec) into one — the parallel per-shard build pattern; source
+    tombstones fold in and the merge skips tokenization."""
+    from partitioned_ef_ans_spark.index.checkpoint import merge_indexes
+
+    for s in args.sources:
+        _require_resumable_layout(s)
+    spark = _spark(args)
+    man = merge_indexes(
+        spark, args.out, args.sources, num_parts=args.num_parts
+    )
+    print(json.dumps({
+        "num_docs": man["num_docs"],
+        "total_postings": man["total_postings"],
+        "bits_per_posting": round(man["bits_per_posting"], 3),
+        "merged_from": man["merged_from"],
+    }))
+    spark.stop()
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Tombstone documents by id (Lucene-style liveness masking):
     `queries` masks them immediately from the sidecar; `compact`
@@ -479,6 +501,12 @@ def build_parser() -> argparse.ArgumentParser:
     cpt = sub.add_parser("compact")
     cpt.add_argument("index_dir")
     cpt.set_defaults(fn=cmd_compact)
+
+    mg = sub.add_parser("merge")
+    mg.add_argument("out")
+    mg.add_argument("sources", nargs="+")
+    mg.add_argument("--num-parts", type=int, default=8)
+    mg.set_defaults(fn=cmd_merge)
 
     dl = sub.add_parser("delete")
     dl.add_argument("index_dir")

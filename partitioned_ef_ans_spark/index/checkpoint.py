@@ -793,6 +793,133 @@ def delete_docs(spark: SparkSession, out_dir: str, doc_ids) -> dict:
     }
 
 
+# ------------------------------------------------------------ shard merge
+
+def merge_indexes(
+    spark: SparkSession,
+    out_dir: str,
+    src_dirs: list[str],
+    num_parts: int = 8,
+    chunk_postings: int | None = None,
+) -> dict:
+    """Merge independently built resumable-layout indexes into one —
+    the per-shard parallel-build pattern for corpora too large for one
+    global build: each shard's index builds with NO cross-shard
+    shuffle, and the merge re-chunks + re-encodes from the shards'
+    STAGED postings, skipping tokenization entirely (the dominant
+    build cost).  Requirements: one shared codec, disjoint docID
+    spaces (verified — re-sharding overlapping corpora is the caller's
+    job).  Each source is read through a pinned snapshot, so a shard
+    may keep taking updates while it is being merged.  Source
+    tombstones fold in (deleted docs are dropped, like compaction).
+
+    Crash-safe the same way build_index_resumable is: the synthesized
+    staging + doc_stats land first (idempotent overwrite), then the
+    shared stage-2 machinery (model train, per-part encode
+    checkpoints, sidecars, manifest-last) resumes exactly."""
+    os.makedirs(out_dir, exist_ok=True)  # lock lives inside out_dir
+    with _update_lock(out_dir):
+        return _merge_indexes_locked(
+            spark, out_dir, src_dirs, num_parts, chunk_postings
+        )
+
+
+def _merge_indexes_locked(
+    spark, out_dir, src_dirs, num_parts, chunk_postings
+) -> dict:
+    import pickle
+
+    staging = f"{out_dir}/staging_postings.parquet"
+    if not src_dirs:
+        raise ValueError("merge_indexes needs at least one source")
+
+    snaps = []
+    try:
+        if not os.path.exists(f"{staging}/_SUCCESS"):
+            for s in src_dirs:
+                snaps.append(snapshot_index(s))
+            codecs, chunk_sizes = set(), set()
+            tfs, stats = [], []
+            for snap in snaps:
+                with open(f"{snap}/models.pkl", "rb") as fh:
+                    codecs.add(pickle.load(fh)["codec"])
+                with open(f"{snap}/manifest.json") as fh:
+                    chunk_sizes.add(int(json.load(fh)["chunk_postings"]))
+                staged_s = spark.read.parquet(
+                    f"{snap}/staging_postings.parquet"
+                )
+                tf_s = staged_s.select(
+                    "term",
+                    F.explode(F.arrays_zip("doc_ids", "freqs")).alias("z"),
+                ).select(
+                    "term",
+                    F.col("z.doc_ids").alias("doc_id"),
+                    F.col("z.freqs").cast("int").alias("tf"),
+                ).dropDuplicates(["term", "doc_id"])
+                st_s = spark.read.parquet(f"{snap}/doc_stats.parquet")
+                tomb = load_tombstones(snap)
+                if tomb is not None:
+                    tdf = spark.createDataFrame(
+                        [(int(x),) for x in tomb], "doc_id long"
+                    )
+                    tf_s = tf_s.join(F.broadcast(tdf), "doc_id", "left_anti")
+                    st_s = st_s.join(F.broadcast(tdf), "doc_id", "left_anti")
+                tfs.append(tf_s)
+                stats.append(st_s)
+            if len(codecs) != 1:
+                raise ValueError(f"sources use different codecs: {codecs}")
+            codec = codecs.pop()
+            if chunk_postings is None:
+                chunk_postings = max(chunk_sizes)
+
+            from functools import reduce
+
+            stats_u = reduce(lambda a, b: a.unionByName(b), stats)
+            stats_u.write.mode("overwrite").parquet(
+                f"{out_dir}/doc_stats.parquet"
+            )
+            stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
+            chk = stats_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("doc_id").alias("nd"),
+                F.max("doc_id").alias("mx"),
+            ).collect()[0]
+            if int(chk["n"]) != int(chk["nd"]):
+                raise ValueError(
+                    f"docID spaces overlap: {chk['n']} stats rows but "
+                    f"{chk['nd']} distinct ids — re-shard the sources "
+                    "onto disjoint id ranges before merging"
+                )
+            universe = int(chk["mx"]) + 1 if chk["mx"] is not None else 0
+            tf_u = reduce(lambda a, b: a.unionByName(b), tfs)
+            p_mod.build_postings(
+                tf_u, num_docs=universe, chunk_postings=chunk_postings,
+                doc_norms=stats_df,
+            ).withColumn(
+                "part_id", F.crc32(F.col("term")) % num_parts
+            ).write.mode("overwrite").partitionBy("part_id").parquet(staging)
+        else:
+            # resuming a crashed merge: codec from the sources again
+            with open(f"{src_dirs[0]}/models.pkl", "rb") as fh:
+                codec = pickle.load(fh)["codec"]
+            with open(f"{src_dirs[0]}/manifest.json") as fh:
+                chunk_postings = int(json.load(fh)["chunk_postings"])
+    finally:
+        for snap in snaps:
+            release_snapshot(snap)
+
+    # stage 2 of the resumable build takes over: staging + doc_stats
+    # exist, so tokenization is skipped and models/encode/sidecars/
+    # manifest resume from checkpoints
+    man = build_index_resumable(
+        spark, None, out_dir, codec=codec, num_parts=num_parts,
+        chunk_postings=chunk_postings,
+    )
+    man["merged_from"] = list(src_dirs)
+    _write_manifest_atomic(out_dir, man)
+    return man
+
+
 # --------------------------------------------------------- read snapshots
 # Writers are serialized by the lease lock, but readers are not: a
 # query session that spans an update/compaction/delete commit could

@@ -1,0 +1,139 @@
+"""Shard-index merge (checkpoint.merge_indexes): the parallel
+per-shard build → merge pattern for corpora too large for one global
+build.  Invariants: merging shard indexes is EXACTLY a fresh build on
+the concatenated corpus (decode-identical, same bits/posting and
+manifest scalars, rank-identical queries), source tombstones fold in,
+overlapping docID spaces are refused, and a crashed merge resumes."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+VOCAB = [f"w{i:02d}" for i in range(14)]
+QUERIES = [(0, ["w00", "w03"]), (1, ["w01", "w05", "w07"]), (2, ["w02"]),
+           (3, ["w04", "w09", "w11", "w13"])]
+
+
+def _corpus(ids):
+    rows = []
+    for d in ids:
+        terms = []
+        for i, t in enumerate(VOCAB):
+            reps = (d * (i + 3) + i) % 5
+            if (d + i) % 3 == 0:
+                reps += 1
+            terms += [t] * reps
+        rows.append((d, " ".join(terms) or VOCAB[d % len(VOCAB)]))
+    return rows
+
+
+def _build(spark, out_dir, ids, num_parts=4):
+    from partitioned_ef_ans_spark.index.checkpoint import build_index_resumable
+
+    return build_index_resumable(
+        spark, spark.createDataFrame(_corpus(ids), "doc_id long, text string"),
+        out_dir, codec="ans", num_parts=num_parts, chunk_postings=16,
+    )
+
+
+def _decode_flat_rows(spark, out_dir):
+    from partitioned_ef_ans_spark.cli import _decode_flat
+    from partitioned_ef_ans_spark.index import build as b_mod
+
+    index_df, _s, _t, codec, _m = b_mod.load_index(spark, out_dir)
+    return {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in _decode_flat(spark, index_df, codec).collect()
+    }
+
+
+def _ranked(spark, out_dir, mode="blockmax", k=10):
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    index_df, _s, ts, codec, man = b_mod.load_index(spark, out_dir)
+    res = q_mod.run_ranked(
+        spark, index_df, queries_to_df(spark, QUERIES), codec,
+        man["num_docs"], man["avg_doc_len"], mode=mode, k=k,
+        term_stats_df=ts,
+    )
+    return [
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in res.orderBy("query_id", "rank").collect()
+    ]
+
+
+def test_merge_equals_fresh_build(spark, tmp_path):
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        delete_docs,
+        merge_indexes,
+    )
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    merged = str(tmp_path / "merged")
+    fresh = str(tmp_path / "fresh")
+    ids_a, ids_b = list(range(0, 20)), list(range(100, 116))
+    deleted_a = [2, 7]
+    _build(spark, a, ids_a, num_parts=2)
+    _build(spark, b, ids_b, num_parts=8)  # shard layouts may differ
+    delete_docs(spark, a, deleted_a)
+
+    man = merge_indexes(spark, merged, [a, b], num_parts=4)
+    survivors = [d for d in ids_a if d not in deleted_a] + ids_b
+    _build(spark, fresh, survivors)
+    with open(f"{fresh}/manifest.json") as fh:
+        fman = json.load(fh)
+
+    assert man["num_docs"] == len(survivors)
+    assert man["universe"] == fman["universe"]
+    assert man["avg_doc_len"] == fman["avg_doc_len"]
+    assert man["bits_per_posting"] == fman["bits_per_posting"]
+    assert man["merged_from"] == [a, b]
+    assert _decode_flat_rows(spark, merged) == _decode_flat_rows(spark, fresh)
+    assert _ranked(spark, merged) == _ranked(spark, fresh)
+    assert _ranked(spark, merged, "ranked_or") == _ranked(spark, fresh, "ranked_or")
+
+
+def test_merge_refuses_overlapping_ids(spark, tmp_path):
+    from partitioned_ef_ans_spark.index.checkpoint import merge_indexes
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    _build(spark, a, range(0, 10))
+    _build(spark, b, range(5, 15))
+    with pytest.raises(ValueError, match="overlap"):
+        merge_indexes(spark, str(tmp_path / "m"), [a, b])
+
+
+def test_merge_resumes_after_crash(spark, tmp_path, monkeypatch):
+    """Kill the merge mid-encode; the rerun resumes from checkpoints
+    and lands bit-identical to an uninterrupted merge."""
+    from partitioned_ef_ans_spark.index import checkpoint as ck
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    m1 = str(tmp_path / "m1")
+    m2 = str(tmp_path / "m2")
+    _build(spark, a, range(0, 12))
+    _build(spark, b, range(50, 60))
+    ck.merge_indexes(spark, m1, [a, b], num_parts=4)
+
+    orig = ck.build_index_resumable
+
+    def boom(spark_, corpus, out_dir, **kw):
+        return orig(spark_, corpus, out_dir, fail_after_parts=2, **kw)
+
+    monkeypatch.setattr(ck, "build_index_resumable", boom)
+    with pytest.raises(ck.BuildInterrupted):
+        ck.merge_indexes(spark, m2, [a, b], num_parts=4)
+    monkeypatch.undo()
+    ck.merge_indexes(spark, m2, [a, b], num_parts=4)
+    assert _decode_flat_rows(spark, m1) == _decode_flat_rows(spark, m2)
+    with open(f"{m1}/manifest.json") as fh1, open(f"{m2}/manifest.json") as fh2:
+        a1, a2 = json.load(fh1), json.load(fh2)
+    assert a1["bits_per_posting"] == a2["bits_per_posting"]
+    assert a2["parts_skipped_resume"] >= 2
