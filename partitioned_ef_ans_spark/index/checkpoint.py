@@ -833,21 +833,35 @@ def _merge_indexes_locked(
     if not src_dirs:
         raise ValueError("merge_indexes needs at least one source")
 
+    # codec + chunk size derive from the sources the same way on a
+    # fresh run and on a crash-resume (manifest reads are atomic)
+    codecs, chunk_sizes = set(), set()
+    for s in src_dirs:
+        with open(f"{s}/models.pkl", "rb") as fh:
+            codecs.add(pickle.load(fh)["codec"])
+        with open(f"{s}/manifest.json") as fh:
+            chunk_sizes.add(int(json.load(fh)["chunk_postings"]))
+    if len(codecs) != 1:
+        raise ValueError(f"sources use different codecs: {codecs}")
+    codec = codecs.pop()
+    if chunk_postings is None:
+        chunk_postings = max(chunk_sizes)
+
     snaps = []
     try:
         if not os.path.exists(f"{staging}/_SUCCESS"):
             for s in src_dirs:
                 snaps.append(snapshot_index(s))
-            codecs, chunk_sizes = set(), set()
             tfs, stats = [], []
-            for snap in snaps:
-                with open(f"{snap}/models.pkl", "rb") as fh:
-                    codecs.add(pickle.load(fh)["codec"])
-                with open(f"{snap}/manifest.json") as fh:
-                    chunk_sizes.add(int(json.load(fh)["chunk_postings"]))
+            for src, snap in zip(src_dirs, snaps):
                 staged_s = spark.read.parquet(
                     f"{snap}/staging_postings.parquet"
                 )
+                # (term, doc_id) is unique across a source's staging by
+                # construction — in-place updates REPLACE term lists,
+                # delta segments carry only fresh monotone ids — so no
+                # dedup shuffle is needed here (the decode-equality
+                # tests against a fresh build would catch a violation)
                 tf_s = staged_s.select(
                     "term",
                     F.explode(F.arrays_zip("doc_ids", "freqs")).alias("z"),
@@ -855,8 +869,24 @@ def _merge_indexes_locked(
                     "term",
                     F.col("z.doc_ids").alias("doc_id"),
                     F.col("z.freqs").cast("int").alias("tf"),
-                ).dropDuplicates(["term", "doc_id"])
+                )
                 st_s = spark.read.parquet(f"{snap}/doc_stats.parquet")
+                # same guard as compact_index: a source whose crashed
+                # update staged postings without their doc stats would
+                # merge docs with missing/corrupt norms — make the
+                # caller heal the source first (replays are exact)
+                grow = staged_s.agg(
+                    F.max(F.array_max("doc_ids"))
+                ).collect()[0][0]
+                gmx = st_s.agg(F.max("doc_id")).collect()[0][0]
+                if grow is not None and (
+                    gmx is None or int(grow) > int(gmx)
+                ):
+                    raise RuntimeError(
+                        f"source {src} has staged postings without doc "
+                        "stats (interrupted update) — replay the "
+                        "interrupted batch on the source before merging"
+                    )
                 tomb = load_tombstones(snap)
                 if tomb is not None:
                     tdf = spark.createDataFrame(
@@ -866,11 +896,6 @@ def _merge_indexes_locked(
                     st_s = st_s.join(F.broadcast(tdf), "doc_id", "left_anti")
                 tfs.append(tf_s)
                 stats.append(st_s)
-            if len(codecs) != 1:
-                raise ValueError(f"sources use different codecs: {codecs}")
-            codec = codecs.pop()
-            if chunk_postings is None:
-                chunk_postings = max(chunk_sizes)
 
             from functools import reduce
 
@@ -898,12 +923,6 @@ def _merge_indexes_locked(
             ).withColumn(
                 "part_id", F.crc32(F.col("term")) % num_parts
             ).write.mode("overwrite").partitionBy("part_id").parquet(staging)
-        else:
-            # resuming a crashed merge: codec from the sources again
-            with open(f"{src_dirs[0]}/models.pkl", "rb") as fh:
-                codec = pickle.load(fh)["codec"]
-            with open(f"{src_dirs[0]}/manifest.json") as fh:
-                chunk_postings = int(json.load(fh)["chunk_postings"])
     finally:
         for snap in snaps:
             release_snapshot(snap)
@@ -950,10 +969,12 @@ def snapshot_index(out_dir: str, dest: str | None = None,
     live dir).  Consistency protocol: the copy is accepted only if
     there was no live writer lease and no commit journal both before
     and after the hardlink walk AND the manifest file identity
-    (inode, mtime_ns) did not move — every maintenance op rewrites the
-    manifest last via atomic replace, so an unchanged manifest brackets
-    an unchanged committed state.  Otherwise the copy is discarded and
-    retried until ``timeout``.
+    (inode, mtime_ns) did not move — every index-mutating op rewrites
+    the manifest last via atomic replace, so an unchanged manifest
+    brackets an unchanged committed state.  (delete_docs replaces only
+    the tombstone sidecar — itself a single atomic file swap under the
+    writer lease, so either side of it is a consistent view.)
+    Otherwise the copy is discarded and retried until ``timeout``.
 
     POSIX-link filesystems only (local/HDFS-fuse/NFS); on object
     stores, quiesce writers and copy instead.  Release with

@@ -109,6 +109,40 @@ def test_merge_refuses_overlapping_ids(spark, tmp_path):
         merge_indexes(spark, str(tmp_path / "m"), [a, b])
 
 
+def test_merge_refuses_crashed_source(spark, tmp_path):
+    """A source whose interrupted update left staged postings without
+    doc stats must be healed before merging (same guard as
+    compact_index) — merging it would bake missing norms in."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from partitioned_ef_ans_spark.index.checkpoint import merge_indexes
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    _build(spark, a, range(0, 10))
+    _build(spark, b, range(50, 58))
+    # simulate the crash: clone a staged row (schema-exact) but point
+    # it at a doc with no stats row
+    import os as _os
+
+    part0 = f"{b}/staging_postings.parquet/part_id=0"
+    f0 = sorted(
+        f for f in _os.listdir(part0) if f.endswith(".parquet")
+    )[0]
+    t = pq.read_table(f"{part0}/{f0}")
+    row = t.slice(0, 1).to_pydict()
+    row["doc_ids"] = [[900]]
+    row["freqs"] = [[1]]
+    if "doc_lens" in row:
+        row["doc_lens"] = [[7]]
+    pq.write_table(
+        pa.table(row, schema=t.schema), f"{part0}/zz_orphan.parquet"
+    )
+    with pytest.raises(RuntimeError, match="without doc stats"):
+        merge_indexes(spark, str(tmp_path / "m"), [a, b])
+
+
 def test_merge_resumes_after_crash(spark, tmp_path, monkeypatch):
     """Kill the merge mid-encode; the rerun resumes from checkpoints
     and lands bit-identical to an uninterrupted merge."""
