@@ -693,6 +693,15 @@ def merge_mode():
         q["merge_sec"] = round(time.perf_counter() - t0, 2)
         q["merged_bpp"] = round(mman["bits_per_posting"], 4)
         assert mman["total_postings"] == gman["total_postings"]
+
+        # the O(compressed-bytes) segment-append path (no re-encode)
+        mc = f"/dev/shm/pefa_merge_c_{os.getpid()}"
+        roots.append(mc)
+        t0 = time.perf_counter()
+        cman = merge_indexes(spark, mc, shard_dirs, mode="concat")
+        q["concat_merge_sec"] = round(time.perf_counter() - t0, 2)
+        q["concat_bpp"] = round(cman["bits_per_posting"], 4)
+        assert cman["total_postings"] == gman["total_postings"]
     finally:
         for d in roots:
             shutil.rmtree(d, ignore_errors=True)

@@ -313,13 +313,15 @@ def cmd_merge(args) -> int:
         _require_resumable_layout(s)
     spark = _spark(args)
     man = merge_indexes(
-        spark, args.out, args.sources, num_parts=args.num_parts
+        spark, args.out, args.sources, num_parts=args.num_parts,
+        mode=args.mode,
     )
     print(json.dumps({
         "num_docs": man["num_docs"],
         "total_postings": man["total_postings"],
         "bits_per_posting": round(man["bits_per_posting"], 3),
         "merged_from": man["merged_from"],
+        "merge_mode": man.get("merge_mode", "rebuild"),
     }))
     spark.stop()
     return 0
@@ -506,6 +508,10 @@ def build_parser() -> argparse.ArgumentParser:
     mg.add_argument("out")
     mg.add_argument("sources", nargs="+")
     mg.add_argument("--num-parts", type=int, default=8)
+    mg.add_argument("--mode", default="rebuild",
+                    choices=("rebuild", "concat"),
+                    help="concat = segment-append, no re-encode "
+                         "(ordered disjoint id ranges, non-EF codec)")
     mg.set_defaults(fn=cmd_merge)
 
     dl = sub.add_parser("delete")

@@ -801,6 +801,7 @@ def merge_indexes(
     src_dirs: list[str],
     num_parts: int = 8,
     chunk_postings: int | None = None,
+    mode: str = "rebuild",
 ) -> dict:
     """Merge independently built resumable-layout indexes into one —
     the per-shard parallel-build pattern for corpora too large for one
@@ -816,9 +817,25 @@ def merge_indexes(
     Crash-safe the same way build_index_resumable is: the synthesized
     staging + doc_stats land first (idempotent overwrite), then the
     shared stage-2 machinery (model train, per-part encode
-    checkpoints, sidecars, manifest-last) resumes exactly."""
+    checkpoints, sidecars, manifest-last) resumes exactly.
+
+    ``mode="concat"`` is the O(compressed-bytes) Lucene-style segment
+    append: no re-encoding at all — each source's segments become
+    delta segments of the target (chunk_id seg bits remapped, payload
+    bytes untouched, per-segment models carried over, per-part
+    ``avg_len_at_encode`` preserved so bound inflation stays
+    admissible under the merged average).  Requires ordered disjoint
+    docID RANGES (max id of each source < min id of the next — chunk
+    concatenation order must equal doc order) and a universe-free
+    codec family (EF layouts depend on the global universe; use
+    rebuild).  Source tombstones stay as a mask (union sidecar), not
+    a fold.  A later compact_index normalizes everything."""
     os.makedirs(out_dir, exist_ok=True)  # lock lives inside out_dir
     with _update_lock(out_dir):
+        if mode == "concat":
+            return _merge_concat_locked(spark, out_dir, src_dirs)
+        if mode != "rebuild":
+            raise ValueError(f"unknown merge mode {mode!r}")
         return _merge_indexes_locked(
             spark, out_dir, src_dirs, num_parts, chunk_postings
         )
@@ -937,6 +954,237 @@ def _merge_indexes_locked(
     man["merged_from"] = list(src_dirs)
     _write_manifest_atomic(out_dir, man)
     return man
+
+
+def _merge_concat_locked(spark, out_dir, src_dirs) -> dict:
+    """Segment-append merge (see merge_indexes mode="concat").  All
+    artifacts are rebuilt from scratch on every attempt and the
+    manifest lands last, so a crashed attempt is simply redone — the
+    work is hardlinks plus one untouched-payload column remap per
+    source segment, cheap at any index size."""
+    import pickle
+
+    t0 = time.perf_counter()
+    if not src_dirs:
+        raise ValueError("merge_indexes needs at least one source")
+    man_path = f"{out_dir}/manifest.json"
+    if os.path.exists(man_path):
+        with open(man_path) as fh:
+            man = json.load(fh)
+        if man.get("merged_from") == list(src_dirs) and man.get(
+            "merge_mode"
+        ) == "concat":
+            return man  # idempotent rerun of a committed merge
+        raise ValueError(f"{out_dir} already contains a different index")
+    for name in (
+        "index.parquet", "staging_postings.parquet", "doc_stats.parquet",
+        "term_stats.parquet",
+    ):
+        shutil.rmtree(f"{out_dir}/{name}", ignore_errors=True)
+    for name in ("models.pkl", "checkpoints.jsonl", TOMBSTONES_FILE):
+        if os.path.exists(f"{out_dir}/{name}"):
+            os.remove(f"{out_dir}/{name}")
+
+    snaps = [snapshot_index(s) for s in src_dirs]
+    try:
+        metas = []
+        for src, snap in zip(src_dirs, snaps):
+            with open(f"{snap}/manifest.json") as fh:
+                man_s = json.load(fh)
+            with open(f"{snap}/models.pkl", "rb") as fh:
+                side_s = pickle.load(fh)
+            rng = spark.read.parquet(f"{snap}/doc_stats.parquet").agg(
+                F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            # interrupted-update guard (see _merge_indexes_locked)
+            smx = spark.read.parquet(
+                f"{snap}/staging_postings.parquet"
+            ).agg(F.max(F.array_max("doc_ids"))).collect()[0][0]
+            if smx is not None and (
+                rng["hi"] is None or int(smx) > int(rng["hi"])
+            ):
+                raise RuntimeError(
+                    f"source {src} has staged postings without doc "
+                    "stats (interrupted update) — replay the "
+                    "interrupted batch on the source before merging"
+                )
+            metas.append(
+                {"src": src, "snap": snap, "man": man_s, "side": side_s,
+                 "lo": rng["lo"], "hi": rng["hi"]}
+            )
+        codecs = {m["side"]["codec"] for m in metas}
+        if len(codecs) != 1:
+            raise ValueError(f"sources use different codecs: {codecs}")
+        codec = codecs.pop()
+        if codec in ("pef", "ef", "single", "uniform"):
+            raise ValueError(
+                "concat merge needs universe-free payloads — EF-family "
+                "indexes re-encode under the global universe; use "
+                "mode='rebuild'"
+            )
+        metas.sort(key=lambda m: (m["lo"] if m["lo"] is not None else -1))
+        for a, b in zip(metas, metas[1:]):
+            if a["hi"] is None or b["lo"] is None or int(a["hi"]) >= int(
+                b["lo"]
+            ):
+                raise ValueError(
+                    "concat merge needs ordered disjoint docID ranges "
+                    f"(source {a['src']} max {a['hi']} vs "
+                    f"{b['src']} min {b['lo']}); use mode='rebuild'"
+                )
+        total_segs = sum(
+            1 + int(m["man"].get("delta_segments", 0)) for m in metas
+        )
+        if total_segs - 1 > 2047:
+            raise RuntimeError(
+                f"concat merge would need {total_segs - 1} delta "
+                "segments (chunk_id carries 2047 max) — compact the "
+                "sources or use mode='rebuild'"
+            )
+
+        m0 = metas[0]
+        num_parts = int(m0["man"]["num_parts"])
+        chunk_postings = int(m0["man"]["chunk_postings"])
+        # ---- source 0 carries over verbatim (hardlinks)
+        _link_tree(
+            f"{m0['snap']}/staging_postings.parquet",
+            f"{out_dir}/staging_postings.parquet",
+        )
+        _link_tree(f"{m0['snap']}/index.parquet", f"{out_dir}/index.parquet")
+        done: dict[int, dict] = {}
+        with open(f"{m0['snap']}/checkpoints.jsonl") as fh:
+            for line in fh:
+                rec = json.loads(line)
+                done[int(rec["part_id"])] = rec
+        delta_models = dict(m0["side"].get("delta_models") or {})
+        next_seg = 1 + int(m0["man"].get("delta_segments", 0))
+
+        # ---- every further source segment appends as a delta segment
+        for m in metas[1:]:
+            np_s = int(m["man"]["num_parts"])
+            d_s = int(m["man"].get("delta_segments", 0))
+            idx_s = spark.read.parquet(f"{m['snap']}/index.parquet")
+            stg_s = spark.read.parquet(f"{m['snap']}/staging_postings.parquet")
+            recs_s: dict[int, dict] = {}
+            with open(f"{m['snap']}/checkpoints.jsonl") as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    recs_s[int(rec["part_id"])] = rec
+            base_avgs = [
+                r["avg_len_at_encode"]
+                for p, r in recs_s.items()
+                if p < np_s and r.get("avg_len_at_encode")
+            ]
+            for s_src in range(0, d_s + 1):
+                t_seg = next_seg
+                next_seg += 1
+                shift = (t_seg - s_src) << 20
+                tgt_pid = num_parts + t_seg - 1
+                seg_filter = (
+                    F.shiftright(F.col("chunk_id"), 20) == F.lit(s_src)
+                )
+                sel = idx_s.where(seg_filter).drop("part").withColumn(
+                    "chunk_id",
+                    (F.col("chunk_id") + F.lit(shift)).cast("int"),
+                )
+                sel.write.mode("overwrite").parquet(
+                    f"{out_dir}/index.parquet/part={tgt_pid}"
+                )
+                stg_s.where(seg_filter).drop("part_id").withColumn(
+                    "chunk_id",
+                    (F.col("chunk_id") + F.lit(shift)).cast("int"),
+                ).write.mode("overwrite").parquet(
+                    f"{out_dir}/staging_postings.parquet/part_id={tgt_pid}"
+                )
+                if s_src == 0:
+                    models_t = m["side"]["models"]
+                    # a base segment mixes its source's parts, whose
+                    # bounds froze under per-part averages — the MIN
+                    # inflates most, which keeps every bound admissible
+                    avg_enc = min(base_avgs) if base_avgs else float(
+                        m["man"]["avg_doc_len"]
+                    )
+                else:
+                    models_t = (m["side"].get("delta_models") or {}).get(
+                        s_src
+                    )
+                    src_rec = recs_s.get(np_s + s_src - 1, {})
+                    avg_enc = src_rec.get(
+                        "avg_len_at_encode", float(m["man"]["avg_doc_len"])
+                    )
+                if models_t is not None:
+                    delta_models[t_seg] = models_t
+                srow = spark.read.parquet(
+                    f"{out_dir}/index.parquet/part={tgt_pid}"
+                ).agg(
+                    F.sum("n").alias("postings"),
+                    F.sum(F.length("payload")).alias("bytes"),
+                ).collect()[0]
+                done[tgt_pid] = {
+                    "part_id": tgt_pid,
+                    "postings": int(srow["postings"] or 0),
+                    "payload_bytes": int(srow["bytes"] or 0),
+                    "codec": codec,
+                    "avg_len_at_encode": avg_enc,
+                    "delta_segment": t_seg,
+                    "concat_from": m["src"],
+                }
+
+        side_out = {"codec": codec, "models": m0["side"]["models"]}
+        if delta_models:
+            side_out["delta_models"] = delta_models
+        with open(f"{out_dir}/models.pkl", "wb") as fh:
+            pickle.dump(side_out, fh)
+        with open(f"{out_dir}/checkpoints.jsonl", "w") as fh:
+            for pid in sorted(done):
+                fh.write(json.dumps(done[pid]) + "\n")
+
+        from functools import reduce
+
+        stats_u = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(f"{m['snap']}/doc_stats.parquet")
+                for m in metas
+            ],
+        )
+        stats_u.write.mode("overwrite").parquet(f"{out_dir}/doc_stats.parquet")
+        srow = spark.read.parquet(f"{out_dir}/doc_stats.parquet").agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"),
+            F.max("doc_id").alias("mx"),
+        ).collect()[0]
+        tombs = [
+            t for t in (load_tombstones(m["snap"]) for m in metas)
+            if t is not None
+        ]
+        if tombs:
+            import numpy as np
+
+            _write_tombstones(
+                out_dir, np.unique(np.concatenate(tombs))
+            )
+
+        man = dict(m0["man"])
+        man.pop("merged_from", None)
+        # term_stats refreeze + manifest-last commit, with bound scales
+        # applied from the checkpoint records written above
+        man = _refresh_sidecars(
+            spark, out_dir, man, int(srow["n"]), float(srow["avg"] or 0.0),
+            dict(
+                universe=int(srow["mx"]) + 1 if srow["mx"] is not None else 0,
+                num_parts=num_parts,
+                chunk_postings=chunk_postings,
+                delta_segments=next_seg - 1,
+                merged_from=list(src_dirs),
+                merge_mode="concat",
+                merge_sec=round(time.perf_counter() - t0, 3),
+            ),
+        )
+        return man
+    finally:
+        for snap in snaps:
+            release_snapshot(snap)
 
 
 # --------------------------------------------------------- read snapshots

@@ -109,6 +109,100 @@ def test_merge_refuses_overlapping_ids(spark, tmp_path):
         merge_indexes(spark, str(tmp_path / "m"), [a, b])
 
 
+def test_concat_merge_rank_identical_and_compactable(spark, tmp_path):
+    """mode="concat": segment-append with zero re-encoding.  The
+    merged index must decode to exactly the union corpus, rank
+    identically to a fresh build on it (frozen per-part bounds stay
+    admissible under the merged avg_len), keep source tombstones as a
+    mask, accept further delta updates, and normalize to the fresh
+    build under one compaction."""
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        compact_index,
+        delete_docs,
+        load_tombstones,
+        merge_indexes,
+        update_index_delta,
+    )
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    merged = str(tmp_path / "merged")
+    fresh = str(tmp_path / "fresh")
+    ids_a, ids_a2, ids_b = list(range(0, 20)), [20, 21, 22], list(range(100, 116))
+    _build(spark, a, ids_a, num_parts=2)
+    update_index_delta(  # source with its own delta segment
+        spark, a,
+        spark.createDataFrame(_corpus(ids_a2), "doc_id long, text string"),
+    )
+    _build(spark, b, ids_b, num_parts=8)
+    delete_docs(spark, b, [101, 107])
+
+    man = merge_indexes(spark, merged, [a, b], mode="concat")
+    all_ids = ids_a + ids_a2 + ids_b
+    _build(spark, fresh, all_ids)
+
+    assert man["merge_mode"] == "concat"
+    assert man["num_docs"] == len(all_ids)
+    assert man["delta_segments"] >= 2  # a's delta + b's base at least
+    assert list(load_tombstones(merged)) == [101, 107]
+    assert _decode_flat_rows(spark, merged) == _decode_flat_rows(spark, fresh)
+    # rank-identical on surviving docs: fresh oracle masked the same way
+    tombs = load_tombstones(merged)
+    from tests.test_deletes import _mask_rerank
+
+    for mode in ("blockmax", "maxscore_blockmax", "ranked_or"):
+        got = _ranked_tomb(spark, merged, mode, tombs)
+        full = _ranked_tomb(spark, fresh, mode, None, k=60)
+        assert got == _mask_rerank(full, set(tombs)), mode
+
+    # idempotent rerun returns the committed manifest
+    again = merge_indexes(spark, merged, [a, b], mode="concat")
+    assert again["merge_sec"] == man["merge_sec"]
+
+    # further delta updates append after the merged segments
+    new_ids = [500, 501]
+    man2 = update_index_delta(
+        spark, merged,
+        spark.createDataFrame(_corpus(new_ids), "doc_id long, text string"),
+    )
+    assert man2["delta_segments"] == man["delta_segments"] + 1
+
+    # one compaction folds segments + tombstones to the normal form
+    compact_index(spark, merged)
+    fresh2 = str(tmp_path / "fresh2")
+    survivors = [d for d in all_ids if d not in (101, 107)] + new_ids
+    _build(spark, fresh2, survivors, num_parts=2)
+    assert _decode_flat_rows(spark, merged) == _decode_flat_rows(spark, fresh2)
+
+
+def _ranked_tomb(spark, out_dir, mode, tombs, k=10):
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    index_df, _s, ts, codec, man = b_mod.load_index(spark, out_dir)
+    res = q_mod.run_ranked(
+        spark, index_df, queries_to_df(spark, QUERIES), codec,
+        man["num_docs"], man["avg_doc_len"], mode=mode, k=k,
+        term_stats_df=ts, tombstones=tombs,
+    )
+    return [
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in res.orderBy("query_id", "rank").collect()
+    ]
+
+
+def test_concat_merge_refusals(spark, tmp_path):
+    from partitioned_ef_ans_spark.index.checkpoint import merge_indexes
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    _build(spark, a, [0, 2, 4, 6, 8])
+    _build(spark, b, [1, 3, 5, 7, 9])  # disjoint SETS but interleaved
+    with pytest.raises(ValueError, match="ordered disjoint"):
+        merge_indexes(spark, str(tmp_path / "m"), [a, b], mode="concat")
+
+
 def test_merge_refuses_crashed_source(spark, tmp_path):
     """A source whose interrupted update left staged postings without
     doc stats must be healed before merging (same guard as
