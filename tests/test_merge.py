@@ -154,6 +154,13 @@ def test_concat_merge_rank_identical_and_compactable(spark, tmp_path):
         got = _ranked_tomb(spark, merged, mode, tombs)
         full = _ranked_tomb(spark, fresh, mode, None, k=60)
         assert got == _mask_rerank(full, set(tombs)), mode
+    # the doc-partitioned dispatch decodes chunk batches directly —
+    # its per-segment model routing must survive the seg-bit remap
+    expect = _mask_rerank(_ranked_tomb(spark, fresh, "blockmax", None, k=60),
+                          set(tombs))
+    assert _ranked_tomb(
+        spark, merged, "blockmax", tombs, budget=0
+    ) == expect
 
     # idempotent rerun returns the committed manifest
     again = merge_indexes(spark, merged, [a, b], mode="concat")
@@ -175,7 +182,7 @@ def test_concat_merge_rank_identical_and_compactable(spark, tmp_path):
     assert _decode_flat_rows(spark, merged) == _decode_flat_rows(spark, fresh2)
 
 
-def _ranked_tomb(spark, out_dir, mode, tombs, k=10):
+def _ranked_tomb(spark, out_dir, mode, tombs, k=10, budget=None):
     from partitioned_ef_ans_spark.index import build as b_mod
     from partitioned_ef_ans_spark.index import query as q_mod
     from partitioned_ef_ans_spark.operators.ranked import queries_to_df
@@ -185,6 +192,7 @@ def _ranked_tomb(spark, out_dir, mode, tombs, k=10):
         spark, index_df, queries_to_df(spark, QUERIES), codec,
         man["num_docs"], man["avg_doc_len"], mode=mode, k=k,
         term_stats_df=ts, tombstones=tombs,
+        docpart_budget_bytes=budget,
     )
     return [
         (r["query_id"], r["rank"], r["doc_id"], r["score"])
