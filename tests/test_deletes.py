@@ -270,3 +270,46 @@ def test_deletes_compose_with_delta_updates(spark, tmp_path):
     assert load_tombstones(live) is None
     assert _decode_flat_rows(spark, live) == _decode_flat_rows(spark, fresh)
     assert _ranked(spark, live, "blockmax") == _ranked(spark, fresh, "blockmax")
+
+
+def test_deletes_inside_delta_segments(spark, tmp_path):
+    """Tombstones that hit docs living in DELTA segments: masking must
+    reach segment-routed decode, and the compaction fold must drop the
+    segment's postings too (not only base-part ones)."""
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        compact_index,
+        delete_docs,
+        load_tombstones,
+        update_index_delta,
+    )
+
+    live = str(tmp_path / "live")
+    fresh = str(tmp_path / "fresh")
+    _build(spark, live, range(N_DOCS))
+    seg1 = list(range(100, 106))
+    seg2 = list(range(200, 204))
+    for batch in (seg1, seg2):
+        update_index_delta(
+            spark, live,
+            spark.createDataFrame(_corpus(batch), "doc_id long, text string"),
+        )
+    # delete across ALL three segments: base, first delta, second delta
+    dels = [3, 11, 101, 104, 201]
+    delete_docs(spark, live, dels)
+
+    tombs = load_tombstones(live)
+    full = _ranked(spark, live, "ranked_or", k=N_DOCS + 15)
+    expect = _mask_rerank(full, set(dels))
+    assert {r[2] for r in full[:40]} & set(dels)  # mask load-bearing
+    assert _ranked(spark, live, "blockmax", tombstones=tombs) == expect
+    assert _ranked(spark, live, "ranked_or", tombstones=tombs) == expect
+
+    man = compact_index(spark, live)
+    survivors = [
+        d for d in list(range(N_DOCS)) + seg1 + seg2 if d not in dels
+    ]
+    _build(spark, fresh, survivors)
+    assert man["num_docs"] == len(survivors)
+    assert man["delta_segments"] == 0
+    assert _decode_flat_rows(spark, live) == _decode_flat_rows(spark, fresh)
+    assert _ranked(spark, live, "blockmax") == _ranked(spark, fresh, "blockmax")
