@@ -511,7 +511,7 @@ def build_parser() -> argparse.ArgumentParser:
     mg.add_argument("--mode", default="rebuild",
                     choices=("rebuild", "concat"),
                     help="concat = segment-append, no re-encode "
-                         "(ordered disjoint id ranges, non-EF codec)")
+                         "(needs ordered disjoint id ranges)")
     mg.set_defaults(fn=cmd_merge)
 
     dl = sub.add_parser("delete")

@@ -115,7 +115,9 @@ def decode_selected(payloads: list[bytes], masks: list[np.ndarray], codec,
     (seg = chunk_id >> 20) on LSM-updated indexes; payloads group by
     segment and each group takes the batched path below.
     """
-    if chunk_ids is not None and codec.delta_models:
+    if chunk_ids is not None and (
+        codec.delta_models or getattr(codec, "delta_universes", None)
+    ):
         from partitioned_ef_ans_spark.index.build import group_by_segment
 
         groups = group_by_segment(chunk_ids)

@@ -263,7 +263,8 @@ class IndexCodec:
     """
 
     def __init__(self, codec_name: str, models=None, num_docs: int = 0,
-                 delta_models: dict | None = None):
+                 delta_models: dict | None = None,
+                 delta_universes: dict | None = None):
         import uuid
 
         self.codec_name = codec_name
@@ -275,6 +276,15 @@ class IndexCodec:
         #: the segment embedded in chunk_id (seg = chunk_id >> 20).
         #: Empty for fresh/compacted indexes and model-free codecs.
         self.delta_models = dict(delta_models or {})
+        #: per-segment docID universes for concat-merged EF-family
+        #: indexes (checkpoint.merge_indexes mode="concat"): an
+        #: appended segment's EF payloads stay laid out against the
+        #: SOURCE index's universe — decode routes by segment exactly
+        #: like models.  Empty everywhere else (universe-free codecs
+        #: never need it; compaction re-encodes under one universe).
+        self.delta_universes = {
+            int(k): int(v) for k, v in (delta_universes or {}).items()
+        }
         self._seg_cache: dict = {}
         # per-bundle identity: worker-global decode/weight caches key on
         # this so two indexes served by the same long-lived python
@@ -303,11 +313,22 @@ class IndexCodec:
         KeyError when the segment's models are missing — decoding a
         delta payload with the wrong models would be silent garbage."""
         s = int(s)
-        if s == 0 or not self.delta_models:
+        if not (self.delta_models or self.delta_universes):
+            return self
+        if s == 0 and s not in self.delta_universes:
             return self
         if s not in self._seg_cache:
             sub = IndexCodec(
-                self.codec_name, self.delta_models[s], num_docs=self.num_docs
+                self.codec_name,
+                # model-based codecs MUST have the segment's models
+                # (KeyError, not silent garbage); EF concat segments
+                # carry a universe instead.  Segment 0 only ever routes
+                # for a universe (concat-merged EF base whose payloads
+                # predate the union universe) — its models are the base
+                # models.
+                self.models if s == 0
+                else (self.delta_models[s] if self.delta_models else None),
+                num_docs=int(self.delta_universes.get(s, self.num_docs)),
             )
             # deterministic per-parent tag: worker caches key on
             # (tag, chunk_id) and chunk_id embeds the segment
@@ -587,13 +608,16 @@ def group_by_segment(chunk_ids) -> dict[int, list[int]] | None:
 
 def decode_lists_segmented(codec, payloads: list[bytes], segs) -> list:
     """decode_lists with per-payload SEGMENT routing: payloads from a
-    delta segment decode under that segment's own models.  Single-
-    segment indexes take the direct path."""
-    if not codec.delta_models:
+    delta segment decode under that segment's own models (ANS
+    families) or its own docID universe (EF families on concat-merged
+    indexes).  Single-segment indexes take the direct path."""
+    if not (codec.delta_models or getattr(codec, "delta_universes", None)):
         return codec.decode_lists(payloads)
     groups = group_by_segment(segs)
     if groups is None:
-        return codec.decode_lists(payloads)
+        # all base-segment — still route seg 0, whose universe may be
+        # pinned on a concat-merged EF index
+        return codec.seg(0).decode_lists(payloads)
     out: list = [None] * len(payloads)
     for s, idxs in groups.items():
         dec = codec.seg(s).decode_lists([payloads[i] for i in idxs])
@@ -698,6 +722,7 @@ def load_index(spark: SparkSession, out_dir: str):
         num_docs=manifest.get("universe", manifest["num_docs"]),
         # per-delta-segment models for LSM-updated indexes
         delta_models=side.get("delta_models"),
+        delta_universes=side.get("delta_universes"),
     )
     index_df = spark.read.parquet(f"{out_dir}/index.parquet")
     if "part" in index_df.columns:

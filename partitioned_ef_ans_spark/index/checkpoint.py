@@ -1017,12 +1017,10 @@ def _merge_concat_locked(spark, out_dir, src_dirs) -> dict:
         if len(codecs) != 1:
             raise ValueError(f"sources use different codecs: {codecs}")
         codec = codecs.pop()
-        if codec in ("pef", "ef", "single", "uniform"):
-            raise ValueError(
-                "concat merge needs universe-free payloads — EF-family "
-                "indexes re-encode under the global universe; use "
-                "mode='rebuild'"
-            )
+        # EF families lay payloads out against the build-time universe:
+        # appended segments carry their SOURCE's universe in
+        # delta_universes and decode routes by segment (IndexCodec.seg)
+        ef_family = codec in ("pef", "ef", "single", "uniform")
         metas.sort(key=lambda m: (m["lo"] if m["lo"] is not None else -1))
         for a, b in zip(metas, metas[1:]):
             if a["hi"] is None or b["lo"] is None or int(a["hi"]) >= int(
@@ -1058,6 +1056,16 @@ def _merge_concat_locked(spark, out_dir, src_dirs) -> dict:
                 rec = json.loads(line)
                 done[int(rec["part_id"])] = rec
         delta_models = dict(m0["side"].get("delta_models") or {})
+        delta_universes = {
+            int(k): int(v)
+            for k, v in (m0["side"].get("delta_universes") or {}).items()
+        }
+        if ef_family and 0 not in delta_universes:
+            # src0's payloads stay laid out against ITS universe, which
+            # the union universe outgrows — seg 0 routes too
+            delta_universes[0] = int(
+                m0["man"].get("universe", m0["man"]["num_docs"])
+            )
         next_seg = 1 + int(m0["man"].get("delta_segments", 0))
 
         # ---- every further source segment appends as a delta segment
@@ -1115,6 +1123,16 @@ def _merge_concat_locked(spark, out_dir, src_dirs) -> dict:
                     )
                 if models_t is not None:
                     delta_models[t_seg] = models_t
+                if ef_family:
+                    # the appended payloads keep their source layout
+                    src_uni = (m["side"].get("delta_universes") or {}).get(
+                        s_src
+                    ) if s_src else None
+                    delta_universes[t_seg] = int(
+                        src_uni
+                        if src_uni is not None
+                        else m["man"].get("universe", m["man"]["num_docs"])
+                    )
                 srow = spark.read.parquet(
                     f"{out_dir}/index.parquet/part={tgt_pid}"
                 ).agg(
@@ -1134,6 +1152,8 @@ def _merge_concat_locked(spark, out_dir, src_dirs) -> dict:
         side_out = {"codec": codec, "models": m0["side"]["models"]}
         if delta_models:
             side_out["delta_models"] = delta_models
+        if delta_universes:
+            side_out["delta_universes"] = delta_universes
         with open(f"{out_dir}/models.pkl", "wb") as fh:
             pickle.dump(side_out, fh)
         with open(f"{out_dir}/checkpoints.jsonl", "w") as fh:

@@ -46,6 +46,7 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
         side["codec"], side["models"],
         num_docs=man.get("universe", man["num_docs"]),
         delta_models=side.get("delta_models"),
+        delta_universes=side.get("delta_universes"),
     )
     tbl = pq.read_table(f"{idx_dir}/index.parquet").to_pandas()
     nd = man["num_docs"]

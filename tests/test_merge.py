@@ -200,6 +200,53 @@ def _ranked_tomb(spark, out_dir, mode, tombs, k=10, budget=None):
     ]
 
 
+def test_concat_merge_ef_family(spark, tmp_path):
+    """EF payloads are laid out against the build-time universe, so a
+    concat merge pins per-segment universes (delta_universes) — every
+    segment, INCLUDING src0's base (whose universe the union outgrows),
+    must decode under its own layout.  The id gap between the shards
+    makes a universe mix-up decode garbage, not near-misses."""
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        compact_index,
+        merge_indexes,
+    )
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    merged = str(tmp_path / "m")
+    fresh = str(tmp_path / "f")
+    ids_a, ids_b = list(range(0, 18)), list(range(200, 214))
+    for d, ids in ((a, ids_a), (b, ids_b)):
+        build_index_resumable(
+            spark,
+            spark.createDataFrame(_corpus(ids), "doc_id long, text string"),
+            d, codec="pef", num_parts=4, chunk_postings=16,
+        )
+    man = merge_indexes(spark, merged, [a, b], mode="concat")
+    build_index_resumable(
+        spark,
+        spark.createDataFrame(
+            _corpus(ids_a + ids_b), "doc_id long, text string"
+        ),
+        fresh, codec="pef", num_parts=4, chunk_postings=16,
+    )
+    assert man["num_docs"] == len(ids_a) + len(ids_b)
+    assert _decode_flat_rows(spark, merged) == _decode_flat_rows(spark, fresh)
+    for mode in ("ranked_or", "taat", "wand"):
+        assert _ranked(spark, merged, mode) == _ranked(spark, fresh, mode), mode
+
+    # compaction re-encodes everything under the union universe and
+    # drops the per-segment universes
+    compact_index(spark, merged)
+    assert _decode_flat_rows(spark, merged) == _decode_flat_rows(spark, fresh)
+    import pickle
+
+    with open(f"{merged}/models.pkl", "rb") as fh:
+        side = pickle.load(fh)
+    assert not side.get("delta_universes")
+
+
 def test_concat_merge_refusals(spark, tmp_path):
     from partitioned_ef_ans_spark.index.checkpoint import merge_indexes
 
