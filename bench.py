@@ -361,7 +361,10 @@ def maintenance_mode():
         )
     corpus = spark.read.parquet(corpus_path).withColumnRenamed("content", "text")
     n_total = corpus.count()
-    holdout = 2 * sum(batches)  # one chain for the delta path, one in-place
+    pol_batches = int(os.environ.get("PEFA_MAINT_POLICY_BATCHES", "6"))
+    pol_b = int(os.environ.get("PEFA_MAINT_POLICY_BATCH_DOCS", "200"))
+    # one chain for the delta path, one in-place, one policy chain
+    holdout = 2 * sum(batches) + pol_batches * pol_b
     cut = n_total - holdout
 
     import shutil
@@ -406,6 +409,37 @@ def maintenance_mode():
     )
     lat_modes = ("blockmax", "ranked_or")
     q["delta_latency_us"] = kernel_latency_stats(idx, lat_qs, modes=lat_modes)
+
+    # MINOR compaction first: fold the 3 segments into one (O(live
+    # deltas)) and measure its cost + the read-amp it recovers
+    from partitioned_ef_ans_spark.index.checkpoint import compact_deltas
+
+    t0 = time.perf_counter()
+    mm = compact_deltas(spark, idx)
+    q["minor_compact_sec"] = round(time.perf_counter() - t0, 2)
+    q["minor_folded_segments"] = int(mm.get("folded_segments", 0))
+    q["minor_bpp"] = round(mm["bits_per_posting"], 4)
+    q["minor_latency_us"] = kernel_latency_stats(idx, lat_qs, modes=lat_modes)
+
+    # ---- tiered-merge policy chain: small batches under
+    # max_segments=2 — segment count stays bounded with every 3rd
+    # update paying the O(live deltas) fold, no manual scheduling
+    pol_secs, pol_segs, pol_folds = [], [], 0
+    for _ in range(pol_batches):
+        batch = corpus.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + pol_b)
+        )
+        t0 = time.perf_counter()
+        m = update_index_delta(spark, idx, batch, max_segments=2)
+        pol_secs.append(round(time.perf_counter() - t0, 2))
+        pol_segs.append(int(m.get("delta_segments", 0)))
+        pol_folds += 1 if m.get("auto_minor_compacted") else 0
+        lo += pol_b
+    q["policy_batch_docs"] = pol_b
+    q["policy_update_secs"] = pol_secs
+    q["policy_segments_after"] = pol_segs
+    q["policy_auto_folds"] = pol_folds
+    q["policy_latency_us"] = kernel_latency_stats(idx, lat_qs, modes=lat_modes)
 
     t0 = time.perf_counter()
     cm = compact_index(spark, idx)

@@ -265,9 +265,10 @@ def cmd_update_index(args) -> int:
     spark = _spark(args)
     docs, doc_col, text_col = _read_corpus(spark, args.corpus, args)
     update = update_index_delta if args.delta else update_index_incremental
+    kw = {"max_segments": args.max_segments} if args.delta else {}
     man = update(
         spark, args.index_dir, docs,
-        doc_col=doc_col, text_col=text_col, skip_stale=args.skip_stale,
+        doc_col=doc_col, text_col=text_col, skip_stale=args.skip_stale, **kw,
     )
     print(json.dumps({
         "num_docs": man["num_docs"],
@@ -275,6 +276,7 @@ def cmd_update_index(args) -> int:
         "bits_per_posting": round(man["bits_per_posting"], 3),
         "parts_reencoded": man.get("parts_reencoded"),
         "delta_segments": man.get("delta_segments"),
+        "auto_minor_compacted": man.get("auto_minor_compacted"),
         "model_drift_full_reencode": man.get("model_drift_full_reencode"),
         "universe_drift_full_reencode": man.get("universe_drift_full_reencode"),
         "update_sec": man.get("update_sec"),
@@ -286,18 +288,27 @@ def cmd_update_index(args) -> int:
 def cmd_compact(args) -> int:
     """Retrain models + full re-encode under the current corpus stats
     (restores build-fresh compression and removes stale-bound
-    inflation after a chain of incremental updates)."""
-    from partitioned_ef_ans_spark.index.checkpoint import compact_index
+    inflation after a chain of incremental updates).  ``--deltas-only``
+    runs the MINOR compaction instead: fold the live delta segments
+    into one in O(live deltas), base parts untouched."""
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        compact_deltas,
+        compact_index,
+    )
 
     _require_resumable_layout(args.index_dir)
     spark = _spark(args)
-    man = compact_index(spark, args.index_dir)
+    fn = compact_deltas if args.deltas_only else compact_index
+    man = fn(spark, args.index_dir)
     print(json.dumps({
         "num_docs": man["num_docs"],
         "total_postings": man["total_postings"],
         "bits_per_posting": round(man["bits_per_posting"], 3),
         "compactions": man.get("compactions"),
         "compact_sec": man.get("compact_sec"),
+        "minor_compactions": man.get("minor_compactions"),
+        "minor_compact_sec": man.get("minor_compact_sec"),
+        "folded_segments": man.get("folded_segments"),
     }))
     spark.stop()
     return 0
@@ -497,11 +508,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="O(batch) LSM delta segment (own models) "
                         "instead of the in-place touched-vocabulary "
                         "re-encode; compact to fold segments back")
+    u.add_argument("--max-segments", type=int, default=None,
+                   help="tiered-merge policy for --delta: minor-compact "
+                        "(fold segments into one, O(live deltas)) when "
+                        "the stack exceeds this many segments")
     u.add_argument("--text-col", default="text")
     u.set_defaults(fn=cmd_update_index)
 
     cpt = sub.add_parser("compact")
     cpt.add_argument("index_dir")
+    cpt.add_argument("--deltas-only", action="store_true",
+                     help="minor compaction: fold delta segments into "
+                          "one (O(live deltas), base parts untouched)")
     cpt.set_defaults(fn=cmd_compact)
 
     mg = sub.add_parser("merge")

@@ -1585,9 +1585,18 @@ def update_index_delta(
     doc_col: str = "doc_id",
     text_col: str = "text",
     skip_stale: bool = False,
+    max_segments: int | None = None,
 ) -> dict:
     """Fold new documents in as an LSM-style DELTA SEGMENT — O(batch)
     instead of O(touched postings).
+
+    ``max_segments`` enables the tiered-merge policy (Lucene
+    TieredMergePolicy analogue): when the committed segment count
+    exceeds it, `compact_deltas` runs under the same writer lock —
+    read amplification stays bounded without anyone scheduling
+    compactions by hand, at O(live deltas) per fold (base parts are
+    never re-read; measured 5.1 s vs the 41 s major fold at 33.7M
+    postings, BENCH.md).  None (default) keeps the policy manual.
 
     Why this exists: `update_index_incremental` rebuilds every touched
     term's FULL list.  On any Zipfian corpus a batch of new docs
@@ -1817,7 +1826,220 @@ def update_index_delta(
         ),
     )
     shutil.rmtree(stats_scratch, ignore_errors=True)
+
+    # ---- tiered-merge policy: fold when the segment count exceeds
+    # the budget.  __wrapped__ because the writer lock is held and
+    # non-reentrant; the update above is fully committed first, so a
+    # crash inside the fold loses nothing (roll-forward on replay).
+    if max_segments is not None and int(man.get("delta_segments", 0)) > int(max_segments):
+        folded = compact_deltas.__wrapped__(spark, out_dir)
+        if folded.get("folded_segments"):
+            folded["auto_minor_compacted"] = True
+            man = folded
     return man
+
+
+@_locked
+def compact_deltas(spark: SparkSession, out_dir: str) -> dict:
+    """MINOR compaction: fold all live delta segments into ONE fresh
+    segment — O(live delta postings), never O(index).  The Lucene
+    tiered-merge middle ground between O(batch) delta updates and the
+    O(index) `compact_index`: the read-side segment count (and its
+    measured per-chunk amplification, BENCH.md) stays bounded while
+    base parts are never read, re-encoded, or re-chunked.
+
+    The folded segment re-chunks every delta term's postings into one
+    doc-ordered list (it becomes segment 1: every delta id is greater
+    than every base id, so (term, chunk_id) order stays doc order) and
+    ANS families train fresh models on the folded batch.  Per-segment
+    EF universes of folded segments collapse — the new segment encodes
+    under the manifest universe (segment 0's pinned universe, if any,
+    is kept).  Tombstones are untouched: masked postings ride along
+    and only the major compaction purges them.
+
+    Crash safety: whole-tree scratch + the same journaled rename
+    commit as compact_index — old state fully live until the commit,
+    roll-forward on replay."""
+    import pickle
+
+    from partitioned_ef_ans_spark.session import ship_package
+
+    ship_package(spark)
+    t0 = time.perf_counter()
+    staging = f"{out_dir}/staging_postings.parquet"
+    _recover_commit(out_dir)
+    _recover_swaps([staging, f"{out_dir}/index.parquet", out_dir])
+    with open(f"{out_dir}/manifest.json") as fh:
+        man = json.load(fh)
+    num_parts = int(man["num_parts"])
+    with open(f"{out_dir}/models.pkl", "rb") as fh:
+        side = pickle.load(fh)
+    codec = side["codec"]
+    delta_pids = _live_delta_pids(out_dir, num_parts)
+    if len(delta_pids) <= 1:
+        return {**man, "minor_compact_sec": 0.0, "folded_segments": 0}
+
+    stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
+    srow = stats_df.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"),
+        F.max("doc_id").alias("mx"),
+    ).collect()[0]
+    num_docs, avg_len = int(srow["n"]), float(srow["avg"] or 0.0)
+    universe = max(
+        int(man.get("universe", man["num_docs"])),
+        int(srow["mx"]) + 1 if srow["mx"] is not None else 0,
+    )
+    staged = spark.read.parquet(staging)
+    deltas = staged.where(F.col("part_id") >= num_parts)
+    dmx = deltas.agg(F.max(F.array_max("doc_ids"))).collect()[0][0]
+    if dmx is not None and int(dmx) >= universe:
+        raise RuntimeError(
+            f"delta staging contains doc_id {dmx} beyond the stats "
+            f"universe {universe} — an interrupted update left postings "
+            "without their doc stats; replay the interrupted batch "
+            "first (replays are exact) before compacting"
+        )
+
+    # ---- fold: all delta postings re-chunk into one segment-1 list
+    # per term ((term, doc_id) unique across staging by invariant)
+    tf_d = deltas.select(
+        "term", F.explode(F.arrays_zip("doc_ids", "freqs")).alias("z")
+    ).select(
+        "term",
+        F.col("z.doc_ids").alias("doc_id"),
+        F.col("z.freqs").cast("int").alias("tf"),
+    )
+    chunks = p_mod.build_postings(
+        tf_d, num_docs=universe,
+        chunk_postings=int(man["chunk_postings"]), doc_norms=stats_df,
+    ).withColumn("chunk_id", (F.lit(1 << 20) + F.col("chunk_id")).cast("int"))
+
+    tgt_pid = num_parts  # segment 1's part
+    sc_staging = f"{out_dir}/.minor_staging"
+    sc_index = f"{out_dir}/.minor_index"
+    sc_models = f"{out_dir}/.minor_models.pkl"
+    sc_ckpt = f"{out_dir}/.minor_ckpt.jsonl"
+    sc_tstats = f"{out_dir}/.minor_term_stats"
+    sc_man = f"{out_dir}/.minor_manifest.json"
+    for d in (sc_staging, sc_index, sc_tstats):
+        shutil.rmtree(d, ignore_errors=True)
+    for f in (sc_models, sc_ckpt, sc_man):
+        if os.path.exists(f):
+            os.remove(f)
+
+    # scratch staging: base parts hardlinked, folded part written
+    os.makedirs(sc_staging)
+    for pid in range(num_parts):
+        src = f"{staging}/part_id={pid}"
+        if os.path.isdir(src):
+            _link_tree(src, f"{sc_staging}/part_id={pid}")
+    for name in os.listdir(staging):
+        src = os.path.join(staging, name)
+        if os.path.isfile(src) and not name.startswith("."):
+            try:
+                os.link(src, os.path.join(sc_staging, name))
+            except OSError:
+                shutil.copy2(src, os.path.join(sc_staging, name))
+    chunks.write.mode("overwrite").parquet(f"{sc_staging}/part_id={tgt_pid}")
+    chunks = spark.read.parquet(f"{sc_staging}/part_id={tgt_pid}")
+
+    # fresh models for the folded segment (short-list block stats)
+    seg_models = None
+    if codec in b_mod.ANS_CODEC_VARIANTS:
+        seg_models = b_mod.train_ans_models(
+            chunks, variant=b_mod.ANS_CODEC_VARIANTS[codec]
+        )
+    elif codec == "ans_packed":
+        seg_models = b_mod.train_ans_packed_models(chunks)
+    enc_models = seg_models if seg_models is not None else side["models"]
+
+    # scratch index: base part dirs hardlinked, folded segment encoded
+    os.makedirs(sc_index)
+    for pid in range(num_parts):
+        src = f"{out_dir}/index.parquet/part={pid}"
+        if os.path.isdir(src):
+            _link_tree(src, f"{sc_index}/part={pid}")
+    codec_bc = spark.sparkContext.broadcast(
+        b_mod.IndexCodec(codec, enc_models, num_docs=universe)
+    )
+    chunks.mapInPandas(
+        b_mod._encode_factory(codec_bc, avg_len), schema=b_mod.INDEX_SCHEMA
+    ).write.mode("overwrite").parquet(f"{sc_index}/part={tgt_pid}")
+    prow = spark.read.parquet(f"{sc_index}/part={tgt_pid}").agg(
+        F.sum("n").alias("postings"), F.sum(F.length("payload")).alias("bytes")
+    ).collect()[0]
+
+    # checkpoints: base records kept verbatim, folded record replaces
+    # every delta record (their avg_len_at_encode scaling with them)
+    done: dict[int, dict] = {}
+    with open(f"{out_dir}/checkpoints.jsonl") as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if int(rec["part_id"]) < num_parts:
+                done[int(rec["part_id"])] = rec
+    done[tgt_pid] = {
+        "part_id": tgt_pid,
+        "postings": int(prow["postings"] or 0),
+        "payload_bytes": int(prow["bytes"] or 0),
+        "codec": codec,
+        "avg_len_at_encode": avg_len,
+        "delta_segment": 1,
+        "folded_segments": len(delta_pids),
+    }
+    with open(sc_ckpt, "w") as fh:
+        for pid in sorted(done):
+            fh.write(json.dumps(done[pid]) + "\n")
+    side_out = {"codec": codec, "models": side["models"]}
+    if seg_models is not None:
+        side_out["delta_models"] = {1: seg_models}
+    old_unis = side.get("delta_universes") or {}
+    if 0 in {int(k) for k in old_unis}:
+        side_out["delta_universes"] = {
+            0: int(old_unis.get(0, old_unis.get("0")))
+        }
+    with open(sc_models, "wb") as fh:
+        pickle.dump(side_out, fh)
+
+    # term_stats from the scratch view with bound scales from the NEW
+    # checkpoint records (stale base parts must stay upper bounds)
+    total_new = spark.read.parquet(sc_index)
+    scales = {
+        int(p): (avg_len / r["avg_len_at_encode"]) * (1.0 + 1e-6)
+        for p, r in done.items()
+        if r.get("avg_len_at_encode") and avg_len > r["avg_len_at_encode"]
+    }
+    if scales:
+        total_new = b_mod.apply_bound_scales(total_new, scales)
+    b_mod.term_stats_agg(total_new).write.mode("overwrite").parquet(sc_tstats)
+    agg = spark.read.parquet(sc_tstats).agg(
+        F.sum("postings").alias("postings"),
+        F.sum("payload_bytes").alias("bytes"),
+    ).collect()[0]
+    man_new = dict(man)
+    man_new.update(
+        num_docs=num_docs,
+        avg_doc_len=avg_len,
+        total_postings=int(agg["postings"] or 0),
+        payload_bytes=int(agg["bytes"] or 0),
+        bits_per_posting=int(agg["bytes"] or 0) * 8 / int(agg["postings"] or 1),
+        universe=universe,
+        delta_segments=1,
+        minor_compactions=int(man.get("minor_compactions", 0)) + 1,
+        minor_compact_sec=round(time.perf_counter() - t0, 3),
+        folded_segments=len(delta_pids),
+    )
+    with open(sc_man, "w") as fh:
+        json.dump(man_new, fh, indent=2)
+
+    _commit_renames(out_dir, [
+        (sc_staging, staging),
+        (sc_index, f"{out_dir}/index.parquet"),
+        (sc_models, f"{out_dir}/models.pkl"),
+        (sc_ckpt, f"{out_dir}/checkpoints.jsonl"),
+        (sc_tstats, f"{out_dir}/term_stats.parquet"),
+        (sc_man, f"{out_dir}/manifest.json"),
+    ])
+    return man_new
 
 
 @_locked

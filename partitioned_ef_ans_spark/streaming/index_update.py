@@ -25,6 +25,7 @@ def start_index_update_stream(
     checkpoint_dir: str,
     trigger_once: bool = True,
     mode: str = "incremental",
+    max_segments: int | None = None,
 ):
     """File-source stream of (doc_id, content) documents; each
     micro-batch is folded into the index at ``index_dir`` (which must
@@ -35,7 +36,9 @@ def start_index_update_stream(
     (O(touched postings) — near a rebuild per batch on Zipf text).
     ``mode="delta"``: each micro-batch becomes an LSM delta segment
     with its own models (O(batch) — the right shape for streams);
-    run ``compact_index`` periodically to fold segments back."""
+    ``max_segments`` bounds the stack via the in-line tiered-merge
+    policy (minor compaction, O(live deltas)), otherwise run
+    ``compact_index``/``compact_deltas`` periodically yourself."""
     from partitioned_ef_ans_spark.index.checkpoint import (
         update_index_delta,
         update_index_incremental,
@@ -44,12 +47,13 @@ def start_index_update_stream(
     if mode not in ("incremental", "delta"):
         raise ValueError(f"unknown index update mode {mode!r}")
     update = update_index_incremental if mode == "incremental" else update_index_delta
+    kw = {"max_segments": max_segments} if mode == "delta" else {}
     src = spark.readStream.schema(CORPUS_STREAM_SCHEMA).parquet(input_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         update(
             spark, index_dir, batch_df,
-            doc_col="doc_id", text_col="content", skip_stale=True,
+            doc_col="doc_id", text_col="content", skip_stale=True, **kw,
         )
 
     writer = src.writeStream.foreachBatch(sink).option(

@@ -304,6 +304,17 @@ def test_deletes_inside_delta_segments(spark, tmp_path):
     assert _ranked(spark, live, "blockmax", tombstones=tombs) == expect
     assert _ranked(spark, live, "ranked_or", tombstones=tombs) == expect
 
+    # MINOR compaction folds the two delta segments but must NOT purge
+    # tombstones (only the major fold does) — masked postings ride
+    # along and masking still applies afterwards
+    from partitioned_ef_ans_spark.index.checkpoint import compact_deltas
+
+    man_m = compact_deltas(spark, live)
+    assert man_m["folded_segments"] == 2
+    tombs = load_tombstones(live)
+    assert list(tombs) == sorted(dels)
+    assert _ranked(spark, live, "blockmax", tombstones=tombs) == expect
+
     man = compact_index(spark, live)
     survivors = [
         d for d in list(range(N_DOCS)) + seg1 + seg2 if d not in dels

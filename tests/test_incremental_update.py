@@ -559,6 +559,83 @@ def test_delta_update_rank_identical_and_o_batch(spark, tmp_path):
         update_index_incremental(spark, d, _mk_docs(spark, [(300, "t000")]))
 
 
+def test_minor_compaction_folds_segments_only(spark, tmp_path):
+    """compact_deltas (MINOR compaction): all live delta segments fold
+    into one in O(live deltas) — base part payload files are the same
+    inodes afterwards (never re-encoded), queries stay rank-identical,
+    a single-segment index is a no-op, further delta updates continue
+    at segment 2, and the major compaction still normalizes fully."""
+    import os
+
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        compact_deltas,
+        compact_index,
+        update_index_delta,
+    )
+
+    by_part = _vocab_by_part()
+    d = str(tmp_path / "idx")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part)), d, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    rows_all = []
+    for i in range(3):
+        rows = _corpus_delta(by_part, base=40 + 24 * i)
+        rows_all += rows
+        update_index_delta(spark, d, _mk_docs(spark, rows))
+
+    def base_inodes():
+        out = {}
+        for p in range(NUM_PARTS):
+            root = f"{d}/index.parquet/part={p}"
+            out[p] = {
+                (f, os.stat(os.path.join(root, f)).st_ino)
+                for f in os.listdir(root) if f.endswith(".parquet")
+            }
+        return out
+
+    before_inodes = base_inodes()
+    qs = [
+        (0, [by_part[0][0], by_part[1][1]]),
+        (1, [by_part[2][0]]),
+        (2, [by_part[0][0], by_part[2][2], by_part[3][1]]),
+    ]
+    before = {
+        m: _ranked(spark, d, qs, m) for m in ("blockmax", "ranked_or", "taat")
+    }
+    before_dp = _docpart(spark, d, qs)
+
+    man = compact_deltas(spark, d)
+    assert man["delta_segments"] == 1
+    assert man["folded_segments"] == 3
+    assert base_inodes() == before_inodes  # O(deltas): base untouched
+    pids = sorted(
+        int(x.split("=")[1])
+        for x in os.listdir(f"{d}/index.parquet") if x.startswith("part=")
+    )
+    assert pids == list(range(NUM_PARTS + 1))  # exactly one delta part
+    for m, exp in before.items():
+        assert _ranked(spark, d, qs, m) == exp, m
+    assert _docpart(spark, d, qs) == before_dp
+
+    man2 = compact_deltas(spark, d)  # single segment -> no-op
+    assert man2["folded_segments"] == 0
+
+    rows_c = _corpus_delta(by_part, base=40 + 72)
+    m3 = update_index_delta(spark, d, _mk_docs(spark, rows_c))
+    assert m3["delta_segments"] == 2
+
+    compact_index(spark, d)
+    full_dir = str(tmp_path / "full")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part) + rows_all + rows_c),
+        full_dir, codec="ans", num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    assert _decode_flat_rows(spark, d) == _decode_flat_rows(spark, full_dir)
+
+
 def test_delta_update_per_segment_models_absorb_drift(spark, tmp_path):
     """A delta batch whose symbol distribution the base models never
     saw (much longer docs, unseen tf/gap buckets) still lands as a
@@ -704,6 +781,21 @@ def test_streaming_delta_mode_folds_segments(spark, tmp_path):
         assert _ranked(spark, inc_dir, qs, mode) == _ranked(
             spark, full_dir, qs, mode
         )
+
+    # the tiered-merge policy plumbs through the stream sink: two more
+    # waves with max_segments=1 leave ONE folded segment, not two
+    rows_d = [(301, " ".join(by_part[1][:3] * 5))]
+    rows_e = [(302, " ".join(by_part[3][:3] * 4))]
+    for wave in (rows_d, rows_e):
+        spark.createDataFrame(
+            wave, "doc_id long, content string"
+        ).write.mode("append").parquet(inp)
+        start_index_update_stream(
+            spark, inp, inc_dir, ckpt, mode="delta", max_segments=1
+        )
+    man = json.load(open(f"{inc_dir}/manifest.json"))
+    assert man["delta_segments"] == 1
+    assert man.get("minor_compactions", 0) >= 1
 
 
 def test_update_lock_loss_detection_and_foreign_preservation(tmp_path):
@@ -897,5 +989,107 @@ def test_compact_crash_safety(spark, tmp_path, monkeypatch):
         man = json.load(fh)
     assert man["delta_segments"] == 0  # rolled FORWARD to compacted
     assert not os.path.isdir(f"{d}/index.parquet/part={NUM_PARTS}")
+    assert not os.path.exists(f"{d}/.commit_journal.json")
+    assert _ranked(spark, d, qs, "blockmax") == pre
+
+
+def test_delta_tiered_merge_policy(spark, tmp_path):
+    """max_segments (tiered-merge policy): update_index_delta folds
+    the stack via the minor compaction as soon as the committed
+    segment count exceeds the budget — bounded read amplification
+    across an arbitrarily long update chain with no manual
+    compaction scheduling — and stays rank- and decode-identical to
+    a fresh build over the union corpus.  Below the budget nothing
+    fires."""
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        update_index_delta,
+    )
+
+    by_part = _vocab_by_part()
+    d = str(tmp_path / "idx")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part)), d, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    rows_all = []
+    segs_after, auto_flags = [], []
+    for i in range(4):
+        rows = _corpus_delta(by_part, base=40 + 24 * i)
+        rows_all += rows
+        man = update_index_delta(
+            spark, d, _mk_docs(spark, rows), max_segments=2
+        )
+        segs_after.append(int(man["delta_segments"]))
+        auto_flags.append(bool(man.get("auto_minor_compacted")))
+    # 1, 2 = under budget; 3rd update trips the policy (3 > 2 -> fold
+    # to 1); 4th stacks on the folded segment
+    assert segs_after == [1, 2, 1, 2]
+    assert auto_flags == [False, False, True, False]
+
+    qs = [
+        (0, [by_part[0][0], by_part[1][1]]),
+        (1, [by_part[2][0]]),
+        (2, [by_part[0][0], by_part[2][2], by_part[3][1]]),
+    ]
+    full_dir = str(tmp_path / "full")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part) + rows_all), full_dir,
+        codec="ans", num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    for m in ("blockmax", "ranked_or", "taat"):
+        assert _ranked(spark, d, qs, m) == _ranked(spark, full_dir, qs, m), m
+
+
+def test_minor_compact_crash_safety(spark, tmp_path, monkeypatch):
+    """compact_deltas shares the journaled-commit protocol: a crash
+    BEFORE the journal leaves the multi-segment state fully live
+    (stale scratch is swept on the next run); a crash AFTER the
+    journal write rolls forward to the folded state at the next
+    locked op — and the fold is invisible to ranking either way."""
+    import os
+
+    import partitioned_ef_ans_spark.index.checkpoint as cp
+
+    by_part = _vocab_by_part()
+    d = str(tmp_path / "idx")
+    cp.build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part)), d, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    for i in range(2):
+        cp.update_index_delta(
+            spark, d, _mk_docs(spark, _corpus_delta(by_part, base=40 + 24 * i))
+        )
+    qs = [(0, [by_part[0][0], by_part[1][1]]), (1, [by_part[2][0]])]
+    pre = _ranked(spark, d, qs, "blockmax")
+
+    def boom(out_dir, pairs):
+        raise RuntimeError("injected pre-commit crash")
+
+    monkeypatch.setattr(cp, "_commit_renames", boom)
+    with pytest.raises(RuntimeError, match="injected pre-commit"):
+        cp.compact_deltas(spark, d)
+    with open(f"{d}/manifest.json") as fh:
+        assert json.load(fh)["delta_segments"] == 2  # still stacked
+    assert os.path.isdir(f"{d}/index.parquet/part={NUM_PARTS + 1}")
+    assert _ranked(spark, d, qs, "blockmax") == pre
+
+    def crash_after_journal(out_dir, pairs):
+        journal = f"{out_dir}/.commit_journal.json"
+        with open(journal, "w") as fh:
+            json.dump({"renames": [[s, t] for s, t in pairs]}, fh)
+        raise RuntimeError("injected mid-commit crash")
+
+    monkeypatch.setattr(cp, "_commit_renames", crash_after_journal)
+    with pytest.raises(RuntimeError, match="injected mid-commit"):
+        cp.compact_deltas(spark, d)
+    monkeypatch.undo()
+    cp._recover_commit(d)  # what every locked op runs first
+    with open(f"{d}/manifest.json") as fh:
+        man = json.load(fh)
+    assert man["delta_segments"] == 1  # rolled FORWARD to folded
+    assert os.path.isdir(f"{d}/index.parquet/part={NUM_PARTS}")
+    assert not os.path.isdir(f"{d}/index.parquet/part={NUM_PARTS + 1}")
     assert not os.path.exists(f"{d}/.commit_journal.json")
     assert _ranked(spark, d, qs, "blockmax") == pre

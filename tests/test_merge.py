@@ -320,3 +320,105 @@ def test_merge_resumes_after_crash(spark, tmp_path, monkeypatch):
         a1, a2 = json.load(fh1), json.load(fh2)
     assert a1["bits_per_posting"] == a2["bits_per_posting"]
     assert a2["parts_skipped_resume"] >= 2
+
+def test_minor_compaction_on_concat_merged_index(spark, tmp_path):
+    """compact_deltas after a concat merge — the hardest fold input:
+    the sources' appended segments carry per-segment ANS models and
+    (EF families) per-segment UNIVERSES.  The fold collapses them
+    into one segment re-encoded under the union universe while src0's
+    base segment keeps its pinned layout; decode and ranking stay
+    identical to a fresh union build, and the base part payloads are
+    untouched inodes."""
+    import os
+    import pickle
+
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        compact_deltas,
+        merge_indexes,
+        update_index_delta,
+    )
+
+    # --- ANS codec: per-segment models fold into one retrained model
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    merged = str(tmp_path / "m")
+    fresh = str(tmp_path / "f")
+    ids_a, ids_a2, ids_b = list(range(0, 20)), [20, 21], list(range(100, 116))
+    _build(spark, a, ids_a, num_parts=2)
+    update_index_delta(  # source with its own delta segment
+        spark, a,
+        spark.createDataFrame(_corpus(ids_a2), "doc_id long, text string"),
+    )
+    _build(spark, b, ids_b, num_parts=8)
+    man0 = merge_indexes(spark, merged, [a, b], mode="concat")
+    assert man0["delta_segments"] >= 2
+    _build(spark, fresh, ids_a + ids_a2 + ids_b, num_parts=2)
+
+    root = f"{merged}/index.parquet/part=0"
+    before_inodes = {
+        (f, os.stat(os.path.join(root, f)).st_ino)
+        for f in os.listdir(root) if f.endswith(".parquet")
+    }
+    man = compact_deltas(spark, merged)
+    assert man["delta_segments"] == 1
+    assert man["folded_segments"] == man0["delta_segments"]
+    after_inodes = {
+        (f, os.stat(os.path.join(root, f)).st_ino)
+        for f in os.listdir(root) if f.endswith(".parquet")
+    }
+    assert after_inodes == before_inodes
+    assert _decode_flat_rows(spark, merged) == _decode_flat_rows(spark, fresh)
+    for mode in ("blockmax", "ranked_or", "taat"):
+        assert _ranked(spark, merged, mode) == _ranked(spark, fresh, mode), mode
+    with open(f"{merged}/models.pkl", "rb") as fh:
+        side = pickle.load(fh)
+    assert set(side.get("delta_models", {})) == {1}
+
+    # --- EF family (pef): per-segment universes collapse to ONE pinned
+    # base universe; the folded segment lays out under the union
+    # universe.  Three shards so the concat leaves TWO delta segments
+    # (a two-shard concat has one — already folded form, where
+    # compact_deltas must no-op).  The 200-id gaps make any universe
+    # mix-up decode garbage, not near-misses.
+    ap = str(tmp_path / "ap")
+    bp = str(tmp_path / "bp")
+    cp = str(tmp_path / "cp")
+    mp = str(tmp_path / "mp")
+    fp = str(tmp_path / "fp")
+    ids_ap = list(range(0, 18))
+    ids_bp = list(range(200, 214))
+    ids_cp = list(range(400, 412))
+    for d, ids in ((ap, ids_ap), (bp, ids_bp), (cp, ids_cp)):
+        build_index_resumable(
+            spark,
+            spark.createDataFrame(_corpus(ids), "doc_id long, text string"),
+            d, codec="pef", num_parts=4, chunk_postings=16,
+        )
+    merge_indexes(spark, mp, [ap, bp, cp], mode="concat")
+    build_index_resumable(
+        spark,
+        spark.createDataFrame(
+            _corpus(ids_ap + ids_bp + ids_cp), "doc_id long, text string"
+        ),
+        fp, codec="pef", num_parts=4, chunk_postings=16,
+    )
+    manp = compact_deltas(spark, mp)
+    assert manp["delta_segments"] == 1
+    assert manp["folded_segments"] == 2
+    assert _decode_flat_rows(spark, mp) == _decode_flat_rows(spark, fp)
+    for mode in ("ranked_or", "taat", "wand"):
+        assert _ranked(spark, mp, mode) == _ranked(spark, fp, mode), mode
+    with open(f"{mp}/models.pkl", "rb") as fh:
+        sidep = pickle.load(fh)
+    assert {int(k) for k in sidep.get("delta_universes", {})} == {0}
+
+    # single-delta-segment index (e.g. a two-shard concat) is already
+    # in folded form: compact_deltas declines rather than churning
+    m2 = str(tmp_path / "m2")
+    merge_indexes(spark, m2, [ap, bp], mode="concat")
+    man2 = compact_deltas(spark, m2)
+    assert man2["folded_segments"] == 0
+    with open(f"{m2}/models.pkl", "rb") as fh:
+        side2 = pickle.load(fh)
+    assert {int(k) for k in side2.get("delta_universes", {})} == {0, 1}

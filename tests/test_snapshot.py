@@ -70,10 +70,17 @@ def test_snapshot_pins_state_across_maintenance(spark, tmp_path):
     assert _ranked(spark, snap) == before
 
     # churn the live tree through every maintenance commit type
+    from partitioned_ef_ans_spark.index.checkpoint import compact_deltas
+
     update_index_delta(
         spark, live,
         spark.createDataFrame(_corpus(range(100, 104)), "doc_id long, text string"),
     )
+    update_index_delta(
+        spark, live,
+        spark.createDataFrame(_corpus(range(110, 113)), "doc_id long, text string"),
+    )
+    compact_deltas(spark, live)  # minor fold is a commit type too
     delete_docs(spark, live, [0, 3, 7])
     compact_index(spark, live)
 
