@@ -1124,10 +1124,16 @@ def _merge_concat_locked(spark, out_dir, src_dirs) -> dict:
                 if models_t is not None:
                     delta_models[t_seg] = models_t
                 if ef_family:
-                    # the appended payloads keep their source layout
-                    src_uni = (m["side"].get("delta_universes") or {}).get(
-                        s_src
-                    ) if s_src else None
+                    # the appended payloads keep their source layout —
+                    # including a source BASE segment whose own pinned
+                    # universe (concat-merged or EF-delta-updated
+                    # source) is smaller than its manifest universe
+                    src_uni = {
+                        int(k): int(v)
+                        for k, v in (
+                            m["side"].get("delta_universes") or {}
+                        ).items()
+                    }.get(int(s_src))
                     delta_universes[t_seg] = int(
                         src_uni
                         if src_uni is not None
@@ -1625,10 +1631,13 @@ def update_index_delta(
       never saw, so frozen-model coverage would fail for almost any
       small batch); models.pkl carries ``delta_models[seg]`` and every
       decode path routes by the segment embedded in chunk_id
-      (build.decode_lists_segmented).  EF families delegate to
-      `update_index_incremental` outright (their payloads are laid
-      out against the global universe, so no delta can be
-      self-contained).
+      (build.decode_lists_segmented).  EF families pin a PER-SEGMENT
+      docID universe instead (``delta_universes[seg]`` — the same
+      mechanism concat merges use): each segment's payloads stay laid
+      out against the universe at its own encode time, segment 0
+      keeps the base build's, and decode routes by segment exactly
+      like models — so every one of the 16 codec families takes the
+      O(batch) path.
     - Crash safety: all writes are deterministic directory swaps keyed
       by the segment number (which only advances in the manifest at
       the very end), doc stats append LAST, so a replay of the same
@@ -1655,12 +1664,6 @@ def update_index_delta(
     with open(f"{out_dir}/models.pkl", "rb") as fh:
         side = pickle.load(fh)
     codec = side["codec"]
-    if codec in ("pef", "ef", "single", "uniform"):
-        # EF layouts depend on the global universe: growth re-encodes
-        # everything anyway, a delta segment buys nothing
-        return update_index_incremental.__wrapped__(
-            spark, out_dir, new_docs, doc_col, text_col, skip_stale
-        )
     num_parts = int(man["num_parts"])
     chunk_postings = int(man["chunk_postings"])
 
@@ -1775,8 +1778,24 @@ def update_index_delta(
     elif codec == "ans_packed":
         seg_models = b_mod.train_ans_packed_models(chunks)
     enc_models = seg_models if seg_models is not None else side["models"]
+    side_dirty = False
     if seg_models is not None:
         side.setdefault("delta_models", {})[seg] = seg_models
+        side_dirty = True
+    if codec in ("pef", "ef", "single", "uniform"):
+        # EF payloads are laid out against a docID universe: pin this
+        # segment's at its encode universe, and the base's at the
+        # pre-update one (first delta only — later updates find it
+        # pinned), so decode routes each segment to its own layout
+        # exactly like per-segment models (IndexCodec.seg).
+        unis = side.setdefault("delta_universes", {})
+        unis = {int(k): int(v) for k, v in unis.items()}
+        if 0 not in unis:
+            unis[0] = int(man.get("universe", man["num_docs"]))
+        unis[seg] = int(universe)
+        side["delta_universes"] = unis
+        side_dirty = True
+    if side_dirty:
         with open(f"{out_dir}/models.pkl", "wb") as fh:
             pickle.dump(side, fh)
 
@@ -1992,11 +2011,19 @@ def compact_deltas(spark: SparkSession, out_dir: str) -> dict:
     side_out = {"codec": codec, "models": side["models"]}
     if seg_models is not None:
         side_out["delta_models"] = {1: seg_models}
-    old_unis = side.get("delta_universes") or {}
-    if 0 in {int(k) for k in old_unis}:
-        side_out["delta_universes"] = {
-            0: int(old_unis.get(0, old_unis.get("0")))
-        }
+    old_unis = {
+        int(k): int(v)
+        for k, v in (side.get("delta_universes") or {}).items()
+    }
+    new_unis = {}
+    if 0 in old_unis:
+        new_unis[0] = old_unis[0]  # base layout's pinned universe
+    if codec in ("pef", "ef", "single", "uniform"):
+        # the folded segment encodes under TODAY's universe; later
+        # delta updates may grow the manifest universe, so pin it
+        new_unis[1] = int(universe)
+    if new_unis:
+        side_out["delta_universes"] = new_unis
     with open(sc_models, "wb") as fh:
         pickle.dump(side_out, fh)
 

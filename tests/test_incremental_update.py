@@ -993,6 +993,81 @@ def test_compact_crash_safety(spark, tmp_path, monkeypatch):
     assert _ranked(spark, d, qs, "blockmax") == pre
 
 
+def test_ef_delta_segments_per_segment_universes(spark, tmp_path):
+    """EF-family delta updates are O(batch) too: each segment's
+    payloads stay laid out against the docID universe at ITS encode
+    time (``delta_universes`` pins — the same per-segment routing the
+    concat merge uses), so a later update that GROWS the universe must
+    not disturb earlier segments.  Sparse id jumps between batches
+    make a universe mix-up decode garbage, not near-misses.  Minor
+    compaction re-pins the folded segment at today's universe; major
+    compaction re-encodes under one universe and drops every pin."""
+    import os
+    import pickle
+
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        compact_deltas,
+        compact_index,
+        update_index_delta,
+    )
+
+    def unis(d):
+        with open(f"{d}/models.pkl", "rb") as fh:
+            return {
+                int(k): int(v)
+                for k, v in (pickle.load(fh).get("delta_universes") or {}).items()
+            }
+
+    by_part = _vocab_by_part()
+    d = str(tmp_path / "idx")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part)), d, codec="pef",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    u0 = json.load(open(f"{d}/manifest.json")).get("universe", 40)
+
+    rows_b = _corpus_delta(by_part, base=100, n=12)   # universe -> 112
+    rows_c = _corpus_delta(by_part, base=500, n=8)    # universe -> 508
+    base_mtimes = {
+        p: os.path.getmtime(f"{d}/index.parquet/{p}")
+        for p in os.listdir(f"{d}/index.parquet")
+    }
+    m1 = update_index_delta(spark, d, _mk_docs(spark, rows_b))
+    assert m1["delta_segments"] == 1  # really took the delta path
+    m2 = update_index_delta(spark, d, _mk_docs(spark, rows_c))
+    assert m2["delta_segments"] == 2
+    assert m2["universe"] == 508
+    for p, t in base_mtimes.items():  # O(batch): base parts untouched
+        assert os.path.getmtime(f"{d}/index.parquet/{p}") == t
+    assert unis(d) == {0: u0, 1: 112, 2: 508}
+
+    full_dir = str(tmp_path / "full")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part) + rows_b + rows_c),
+        full_dir, codec="pef", num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    qs = [
+        (0, [by_part[0][0], by_part[1][1]]),
+        (1, [by_part[2][0]]),
+        (2, [by_part[0][0], by_part[2][2], by_part[3][1]]),
+    ]
+    assert _decode_flat_rows(spark, d) == _decode_flat_rows(spark, full_dir)
+    for mode in ("taat", "ranked_or"):
+        assert _ranked(spark, d, qs, mode) == _ranked(spark, full_dir, qs, mode)
+
+    mm = compact_deltas(spark, d)  # fold keeps base pin, re-pins fold
+    assert mm["folded_segments"] == 2
+    assert unis(d) == {0: u0, 1: 508}
+    assert _decode_flat_rows(spark, d) == _decode_flat_rows(spark, full_dir)
+    for mode in ("taat", "ranked_or"):
+        assert _ranked(spark, d, qs, mode) == _ranked(spark, full_dir, qs, mode)
+
+    compact_index(spark, d)  # one universe again, pins dropped
+    assert unis(d) == {}
+    assert _decode_flat_rows(spark, d) == _decode_flat_rows(spark, full_dir)
+
+
 def test_delta_tiered_merge_policy(spark, tmp_path):
     """max_segments (tiered-merge policy): update_index_delta folds
     the stack via the minor compaction as soon as the committed

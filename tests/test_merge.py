@@ -411,7 +411,14 @@ def test_minor_compaction_on_concat_merged_index(spark, tmp_path):
         assert _ranked(spark, mp, mode) == _ranked(spark, fp, mode), mode
     with open(f"{mp}/models.pkl", "rb") as fh:
         sidep = pickle.load(fh)
-    assert {int(k) for k in sidep.get("delta_universes", {})} == {0}
+    # EF family: folded segment is re-pinned at today's universe so a
+    # later delta update that grows the manifest universe can't
+    # disturb its layout (base keeps src0's pin)
+    unisp = {
+        int(k): int(v) for k, v in sidep.get("delta_universes", {}).items()
+    }
+    assert set(unisp) == {0, 1}
+    assert unisp[1] == manp["universe"]
 
     # single-delta-segment index (e.g. a two-shard concat) is already
     # in folded form: compact_deltas declines rather than churning
