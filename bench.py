@@ -239,7 +239,19 @@ def qchild(cpus: int) -> None:
         t = {}
         for mode in QSCALING_MODES:
             t0 = time.perf_counter()
-            if mode == "blockmax_docpart":
+            if mode.endswith("_direct"):
+                # storage-direct serving (index/serve.py): queries are
+                # partitioned, each task reads its terms' chunks from
+                # the index store — no payload gather shuffle at all
+                from partitioned_ef_ans_spark.index.serve import (
+                    run_ranked_direct,
+                )
+
+                run_ranked_direct(
+                    spark, idx_dir, qdf, mode=mode[: -len("_direct")],
+                    k=K, dtype="float32",
+                ).count()
+            elif mode == "blockmax_docpart":
                 bmx.run_blockmax_docpartitioned(
                     spark, index_df, qdf, codec, man["num_docs"],
                     man["avg_doc_len"], term_stats, k=K,
@@ -281,7 +293,13 @@ def qscaling_mode():
                 [sys.executable, __file__, "--qchild", str(cpus)],
                 capture_output=True, text=True,
             )
-            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            json_lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            if not json_lines:  # surface the child's own failure
+                raise RuntimeError(
+                    f"qchild {cpus} produced no JSON; stderr tail:\n"
+                    + "\n".join(r.stderr.splitlines()[-15:])
+                )
+            line = json_lines[-1]
             rec = json.loads(line)
             times[cpus].append(rec["value"])
             per_mode[cpus].append(rec["queries"])
@@ -370,12 +388,17 @@ def maintenance_mode():
     import shutil
 
     q: dict = {}
+    # PEFA_MAINT_CODEC: any of the 16 families — e.g. "pef" measures
+    # the EF-family delta path (per-segment docID universes) vs the
+    # default ANS one (per-segment models)
+    maint_codec = os.environ.get("PEFA_MAINT_CODEC", "ans")
+    q["codec"] = maint_codec
     idx = f"/dev/shm/pefa_maint_{os.getpid()}"
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.perf_counter()
     base_m = build_index_resumable(
         spark, corpus.where(F.col("doc_id") < cut), idx,
-        codec="ans", num_parts=16, chunk_postings=1 << 16,
+        codec=maint_codec, num_parts=16, chunk_postings=1 << 16,
     )
     q["base_build_sec"] = round(time.perf_counter() - t0, 2)
     q["base_postings"] = base_m["total_postings"]
@@ -407,7 +430,11 @@ def maintenance_mode():
     lat_qs = c_mod.synthesize_queries(
         int(os.environ.get("PEFA_MAINT_LAT_QUERIES", "60")), vocab_size=20000
     )
-    lat_modes = ("blockmax", "ranked_or")
+    lat_modes = (
+        ("blockmax", "ranked_or")
+        if maint_codec not in ("pef", "ef", "single", "uniform")
+        else ("taat", "ranked_or")  # EF families have no intra-list blocks
+    )
     q["delta_latency_us"] = kernel_latency_stats(idx, lat_qs, modes=lat_modes)
 
     # MINOR compaction first: fold the 3 segments into one (O(live
@@ -481,7 +508,7 @@ def maintenance_mode():
     shutil.rmtree(idx_rb, ignore_errors=True)
     t0 = time.perf_counter()
     rb_m = build_index_resumable(
-        spark, corpus, idx_rb, codec="ans", num_parts=16,
+        spark, corpus, idx_rb, codec=maint_codec, num_parts=16,
         chunk_postings=1 << 16,
     )
     q["full_rebuild_sec"] = round(time.perf_counter() - t0, 2)

@@ -386,25 +386,38 @@ def cmd_queries(args) -> int:
             print(json.dumps({"mode": mode, "unit": "us", **s}))
         return 0
     spark = _spark(args)
-    index_df, _stats, term_stats, codec, man = b_mod.load_index(
-        spark, args.index_dir
-    )
+    direct = getattr(args, "fetch", "gather") == "direct"
+    if direct:
+        # storage-direct serving (index/serve.py): queries partition
+        # across tasks, each task reads its terms' chunks straight
+        # from the index store — no payload gather shuffle
+        from partitioned_ef_ans_spark.index.serve import run_ranked_direct
+    else:
+        index_df, _stats, term_stats, codec, man = b_mod.load_index(
+            spark, args.index_dir
+        )
+        index_df = index_df.cache()
+        index_df.count()  # warmup, like the reference's mmap warmup
     # tombstoned docs are masked by default; --include-deleted ignores
     # the sidecar (e.g. to diff pre/post-delete rankings)
     tombs = None if args.include_deleted else load_tombstones(args.index_dir)
-    index_df = index_df.cache()
-    index_df.count()  # warmup, like the reference's mmap warmup
     qdf = queries_to_df(spark, qs).cache()
     qdf.count()
     for mode in args.mode.split(","):
         for run in range(args.runs):
             t0 = time.perf_counter()
-            res = q_mod.run_ranked(
-                spark, index_df, qdf, codec, man["num_docs"],
-                man["avg_doc_len"], mode=mode, k=args.k,
-                dtype="float32", term_stats_df=term_stats,
-                tombstones=tombs,
-            )
+            if direct:
+                res = run_ranked_direct(
+                    spark, args.index_dir, qdf, mode=mode, k=args.k,
+                    dtype="float32", tombstones=tombs,
+                )
+            else:
+                res = q_mod.run_ranked(
+                    spark, index_df, qdf, codec, man["num_docs"],
+                    man["avg_doc_len"], mode=mode, k=args.k,
+                    dtype="float32", term_stats_df=term_stats,
+                    tombstones=tombs,
+                )
             nrows = res.count()
             dt = time.perf_counter() - t0
             print(json.dumps({
@@ -552,6 +565,12 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--runs", type=lambda v: max(1, int(v)), default=1)
     q.add_argument("--print-topk", action="store_true")
+    q.add_argument("--fetch", default="gather",
+                   choices=("gather", "direct"),
+                   help="gather = shuffle referenced lists per query "
+                        "(run_ranked); direct = partition queries and "
+                        "read term chunks from the index store per "
+                        "task, no payload shuffle (index/serve.py)")
     q.add_argument("--include-deleted", action="store_true",
                    help="ignore the tombstone sidecar (pre-delete view)")
     q.add_argument("--latency", action="store_true",

@@ -190,6 +190,7 @@ def _decode_group(pdf: pd.DataFrame, codec, avg_len: float):
     pdf = pdf.sort_values(["term", "chunk_id"])
     out: dict[str, list] = {}
     norms_acc: dict[str, list] = {}
+    group_vals: dict = {}
     misses = []
     keys = []
     for term, cid, n, fd, ld, p, dl in zip(
@@ -201,8 +202,16 @@ def _decode_group(pdf: pd.DataFrame, codec, avg_len: float):
         norms_acc.setdefault(term, []).append(
             np.asarray(dl, dtype=np.float64) / avg_len
         )
-        if key not in _LIST_CACHE:
-            misses.append((key, bytes(p)))
+        # pin this group's hits locally: the overflow .clear() below
+        # must not evict a chunk another row of THIS group already
+        # resolved (KeyError otherwise once a workload's working set
+        # exceeds _CACHE_LIMIT within one worker)
+        if key not in group_vals:
+            hit = _LIST_CACHE.get(key)
+            if hit is not None:
+                group_vals[key] = hit
+            else:
+                misses.append((key, bytes(p)))
     if misses:
         from partitioned_ef_ans_spark.index.build import decode_lists_segmented
 
@@ -216,8 +225,9 @@ def _decode_group(pdf: pd.DataFrame, codec, avg_len: float):
             _WEIGHT_CACHE.clear()
         for (key, _), df_pair in zip(misses, decoded):
             _LIST_CACHE[key] = df_pair
+            group_vals[key] = df_pair
     for term, key in keys:
-        out.setdefault(term, []).append(_LIST_CACHE[key])
+        out.setdefault(term, []).append(group_vals[key])
     lists = {
         t: (
             np.concatenate([d for d, _ in parts]) if len(parts) > 1 else parts[0][0],

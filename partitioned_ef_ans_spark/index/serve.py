@@ -1,0 +1,222 @@
+"""Storage-direct query serving: distribute QUERIES, not postings.
+
+``run_ranked`` gathers each query's referenced chunk rows through a
+shuffle (query_lists_df replicates a chunk's compressed payload once
+per referencing query); measured at 144.5M postings that gather —
+not the scoring kernels — limits batch read-path scaling (BENCH_
+QSCALING.json: 2→8-core efficiency 0.684, per-mode kernel speedups
+2.5-3.1x).  This module is the serving shape a real cluster uses
+instead (a PISA/Lucene searcher tier, matching the reference's
+process model where each query thread reads the index in place,
+tools/queries.cpp:23-52): the tiny query batch is partitioned across
+tasks and EACH TASK READS the term chunks it needs straight from the
+shared index store via parquet row-group predicate pushdown
+(``term IN (...)``) — zero shuffle, zero payload replication between
+queries in different tasks, and the per-task read is bounded by the
+queries it serves, not by the index size.
+
+At cluster scale ``index_dir`` is S3/HDFS and every executor does
+key-range reads of the hot vocabulary slice; on local[N] it is a
+tmpfs mmap.  Scoring reuses ``make_ranked_kernel`` VERBATIM, so every
+mode is rank-identical to the gather path (same rounding, tie-break,
+tombstone mask, per-segment model/universe routing).
+
+Giant queries (referenced bytes over the docpart budget) still route
+to the doc-partitioned runners through ``run_ranked`` — a stopword
+query's list must be SPLIT across tasks, which no per-query fetch
+shape can do.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from partitioned_ef_ans_spark.index import query as q_mod
+
+#: queries per serving task (a task fetches the union of its queries'
+#: lists once; more queries per task amortize hot-term reads through
+#: the worker decode cache, fewer bound the per-task fetch)
+DEFAULT_QUERIES_PER_TASK = 16
+
+
+def _serve_factory(idx_dir: str, codec_bc, scales_bc, num_docs: int,
+                   avg_len: float, k: int, mode: str, dtype: str, tomb_bc):
+    """mapInPandas worker: (query_id, terms[]) batches -> top-k rows.
+
+    Reads only the referenced terms' chunk rows from the index store
+    (parquet predicate pushdown prunes row groups by term min/max
+    stats), applies the stale-bound inflation for its parts, then runs
+    the SAME per-query kernel as the gather path."""
+
+    def serve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pyarrow.dataset as pads
+
+        from partitioned_ef_ans_spark.index.query import make_ranked_kernel
+
+        kernel = make_ranked_kernel(
+            codec_bc, num_docs, avg_len, k, mode, dtype, tomb_bc=tomb_bc
+        )
+        scales = scales_bc.value
+        dataset = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            queries = [
+                (int(qid), [str(t) for t in terms])
+                for qid, terms in zip(pdf["query_id"], pdf["terms"])
+            ]
+            all_terms = sorted({t for _, ts in queries for t in ts})
+            if not all_terms:
+                continue
+            if dataset is None:
+                dataset = pads.dataset(
+                    f"{idx_dir}/index.parquet", partitioning="hive"
+                )
+            cols = [
+                "term", "chunk_id", "n", "first_doc", "last_doc",
+                "payload", "block_maxs", "block_max_weights",
+                "chunk_max_weight", "doc_lens",
+            ] + (["part"] if "part" in dataset.schema.names else [])
+            tbl = dataset.to_table(
+                columns=cols,
+                filter=pads.field("term").isin(all_terms),
+            ).to_pandas()
+            if scales and "part" in tbl.columns:
+                # mirror build.apply_bound_scales: frozen bounds of
+                # stale parts inflate admissibly after avg_len growth
+                s = tbl["part"].astype(int).map(scales).fillna(1.0).to_numpy()
+                tbl["chunk_max_weight"] = (
+                    tbl["chunk_max_weight"].to_numpy(dtype=np.float64) * s
+                ).astype(np.float32)
+                tbl["block_max_weights"] = [
+                    None if bw is None
+                    else (np.asarray(bw, dtype=np.float64) * sc).astype(
+                        np.float32
+                    )
+                    for bw, sc in zip(tbl["block_max_weights"], s)
+                ]
+            by_term = {t: g for t, g in tbl.groupby("term")}
+            # authoritative term-level df (chunk-row df is stale on
+            # delta-segmented indexes) + per-TERM max bound — the same
+            # columns query_lists_df ships
+            dfs = {t: int(g["n"].sum()) for t, g in by_term.items()}
+            maxw = {
+                t: float(g["chunk_max_weight"].max())
+                for t, g in by_term.items()
+            }
+            out = []
+            for qid, terms in queries:
+                from collections import Counter
+
+                c = Counter(terms)
+                rows = [by_term[t] for t in sorted(c) if t in by_term]
+                if not rows:
+                    continue
+                qpdf = pd.concat(rows, ignore_index=True)
+                qpdf["query_id"] = qid
+                qpdf["n_terms"] = len(c)
+                qpdf["qtf"] = [int(c[t]) for t in qpdf["term"]]
+                qpdf["df"] = [dfs[t] for t in qpdf["term"]]
+                qpdf["max_weight"] = [maxw[t] for t in qpdf["term"]]
+                res = kernel(qpdf)
+                if len(res):
+                    out.append(res)
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return serve
+
+
+def run_ranked_direct(
+    spark: SparkSession,
+    idx_dir: str,
+    queries_df: DataFrame,
+    mode: str = "blockmax",
+    k: int = 10,
+    dtype: str = "float64",
+    queries_per_task: int = DEFAULT_QUERIES_PER_TASK,
+    tombstones="auto",
+    docpart_budget_bytes: int | None = q_mod.DOCPART_DISPATCH_BUDGET_BYTES,
+) -> DataFrame:
+    """Serve ``queries_df`` (query_id, terms[]) against the frozen
+    index at ``idx_dir`` with storage-direct per-task reads — no
+    posting bytes ever cross a shuffle.  Rank-identical to
+    ``run_ranked`` on the same index for every mode.
+
+    ``tombstones="auto"`` masks the index's tombstone sidecar exactly
+    like ``cli.py queries`` does; pass an id collection or ``None`` to
+    override.  Giant queries (frozen term_stats says their referenced
+    payload exceeds ``docpart_budget_bytes``) fall back to
+    ``run_ranked``'s doc-partitioned dispatch — their lists must be
+    split ACROSS tasks, the one thing a fetch-per-query shape cannot
+    do."""
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        load_tombstones,
+        part_bound_scales,
+    )
+    from partitioned_ef_ans_spark.session import ship_package
+
+    ship_package(spark)
+    with open(f"{idx_dir}/manifest.json") as fh:
+        man = json.load(fh)
+    with open(f"{idx_dir}/models.pkl", "rb") as fh:
+        side = pickle.load(fh)
+    codec = b_mod.IndexCodec(
+        side["codec"], side["models"],
+        num_docs=man.get("universe", man["num_docs"]),
+        delta_models=side.get("delta_models"),
+        delta_universes=side.get("delta_universes"),
+    )
+    num_docs = int(man["num_docs"])
+    avg_len = float(man["avg_doc_len"])
+    if isinstance(tombstones, str) and tombstones == "auto":
+        tombstones = load_tombstones(idx_dir)
+    tomb_bc = q_mod._as_tomb_bc(spark, tombstones)
+
+    if codec.docs is None and mode in ("blockmax", "maxscore_blockmax"):
+        mode = "taat"  # EF families carry no intra-list blocks
+    if codec.docs is None and mode == "wand_bmw":
+        mode = "wand"
+
+    rest_df = queries_df
+    routed = None
+    if docpart_budget_bytes is not None:
+        term_stats_df = spark.read.parquet(f"{idx_dir}/term_stats.parquet")
+        big = q_mod.giant_query_ids(
+            queries_df, term_stats_df, docpart_budget_bytes
+        )
+        if big:
+            index_df, _stats, ts, codec2, man2 = b_mod.load_index(
+                spark, idx_dir
+            )
+            routed = q_mod.run_ranked(
+                spark, index_df,
+                queries_df.where(F.col("query_id").isin(big)),
+                codec2, num_docs, avg_len, mode=mode, k=k, dtype=dtype,
+                term_stats_df=ts, tombstones=tomb_bc,
+                docpart_budget_bytes=docpart_budget_bytes,
+            )
+            rest_df = queries_df.where(~F.col("query_id").isin(big))
+
+    scales = part_bound_scales(idx_dir, avg_len)
+    sc = spark.sparkContext
+    codec_bc = sc.broadcast(codec)
+    scales_bc = sc.broadcast(scales)
+    n_q = rest_df.count()
+    n_tasks = max(1, -(-n_q // max(1, queries_per_task)))
+    out = rest_df.repartition(n_tasks).mapInPandas(
+        _serve_factory(
+            idx_dir, codec_bc, scales_bc, num_docs, avg_len, k, mode,
+            dtype, tomb_bc,
+        ),
+        schema=q_mod.RESULT_SCHEMA,
+    )
+    return out.unionByName(routed) if routed is not None else out

@@ -78,6 +78,14 @@ def test_cli_pipeline_end_to_end(tmp_path):
         # the TSV block is the last mode's result set
         assert {t[0] for t in topk} == {"1", "2"}
 
+        # storage-direct serving: same top-k, no gather shuffle
+        # (same mode list: --print-topk emits one TSV block per mode)
+        out = run_cli("queries", idx, "--mode", "blockmax,taat",
+                      "--fetch", "direct", "--print-topk", stdin=qtsv)
+        direct_topk = [l.split("\t") for l in out.splitlines()
+                       if l and not l.startswith("{")]
+        assert sorted(direct_topk) == sorted(topk)
+
         out = run_cli("queries", idx, "--mode", "blockmax,ranked_or",
                       "--latency", stdin=qtsv)
         recs = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
