@@ -46,15 +46,22 @@ DEFAULT_QUERIES_PER_TASK = 16
 
 
 def _serve_factory(idx_dir: str, codec_bc, scales_bc, num_docs: int,
-                   avg_len: float, k: int, mode: str, dtype: str, tomb_bc):
+                   avg_len: float, k: int, mode: str, dtype: str, tomb_bc,
+                   num_parts: int | None):
     """mapInPandas worker: (query_id, terms[]) batches -> top-k rows.
 
-    Reads only the referenced terms' chunk rows from the index store
-    (parquet predicate pushdown prunes row groups by term min/max
-    stats), applies the stale-bound inflation for its parts, then runs
-    the SAME per-query kernel as the gather path."""
+    Reads only the referenced terms' chunk rows from the index store:
+    on the resumable layout a term's base chunks live in EXACTLY
+    ``part = crc32(term) % num_parts`` (checkpoint.py staging rule),
+    so the read is scoped to those part directories plus the (small)
+    delta-segment parts — at production part counts that is the whole
+    read-scoping story, with parquet term-predicate pushdown pruning
+    row groups inside them.  Applies the stale-bound inflation for its
+    parts, then runs the SAME per-query kernel as the gather path."""
 
     def serve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
         import numpy as np
         import pyarrow.dataset as pads
 
@@ -79,15 +86,25 @@ def _serve_factory(idx_dir: str, codec_bc, scales_bc, num_docs: int,
                 dataset = pads.dataset(
                     f"{idx_dir}/index.parquet", partitioning="hive"
                 )
+            has_parts = "part" in dataset.schema.names
             cols = [
                 "term", "chunk_id", "n", "first_doc", "last_doc",
                 "payload", "block_maxs", "block_max_weights",
                 "chunk_max_weight", "doc_lens",
-            ] + (["part"] if "part" in dataset.schema.names else [])
-            tbl = dataset.to_table(
-                columns=cols,
-                filter=pads.field("term").isin(all_terms),
-            ).to_pandas()
+            ] + (["part"] if has_parts else [])
+            flt = pads.field("term").isin(all_terms)
+            if has_parts and num_parts:
+                # base parts by the staging hash; every part beyond
+                # num_parts is a delta segment (O(batch)-sized, any
+                # term may have chunks there)
+                cand = sorted(
+                    {zlib.crc32(t.encode()) % num_parts for t in all_terms}
+                )
+                flt = flt & (
+                    pads.field("part").isin(cand)
+                    | (pads.field("part") >= num_parts)
+                )
+            tbl = dataset.to_table(columns=cols, filter=flt).to_pandas()
             if scales and "part" in tbl.columns:
                 # mirror build.apply_bound_scales: frozen bounds of
                 # stale parts inflate admissibly after avg_len growth
@@ -215,7 +232,7 @@ def run_ranked_direct(
     out = rest_df.repartition(n_tasks).mapInPandas(
         _serve_factory(
             idx_dir, codec_bc, scales_bc, num_docs, avg_len, k, mode,
-            dtype, tomb_bc,
+            dtype, tomb_bc, num_parts=man.get("num_parts"),
         ),
         schema=q_mod.RESULT_SCHEMA,
     )

@@ -168,6 +168,27 @@ def test_direct_giant_queries_route_to_docpart(spark, fresh_idx):
     )
 
 
+def test_part_pruning_hash_rule(spark, maintained_idx):
+    """The serve read scopes base parts by ``crc32(term) % num_parts``
+    (checkpoint.py's staging rule) — pin that every term's BASE chunks
+    really live only in that part, and that delta-segment parts (>=
+    num_parts) are the only other place a term's chunks can be."""
+    import json
+    import zlib
+
+    import pyarrow.dataset as pads
+
+    man = json.load(open(f"{maintained_idx}/manifest.json"))
+    np_ = int(man["num_parts"])
+    tbl = pads.dataset(
+        f"{maintained_idx}/index.parquet", partitioning="hive"
+    ).to_table(columns=["term", "part"]).to_pandas()
+    assert (tbl["part"].astype(int) >= np_).any()  # has delta chunks
+    base = tbl[tbl["part"].astype(int) < np_]
+    for term, g in base.groupby("term"):
+        assert set(g["part"].astype(int)) == {zlib.crc32(term.encode()) % np_}
+
+
 def test_decode_group_survives_cache_overflow(spark, fresh_idx, monkeypatch):
     """Regression: when one group's working set exceeds _CACHE_LIMIT,
     the overflow .clear() used to evict chunks earlier rows of the
