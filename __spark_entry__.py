@@ -12,12 +12,14 @@ types, the 21 training/event-pipeline operators) sits inside that
 window; only the rows-only ANS stats twins (independently pinned by
 pytest — tests/test_decode_kinds.py, tests/test_stats_pinned.py) sit
 past it.  Per-codec decode twins are collapsed into three
-family-union entries, the four EF-family WAND twins into one, and the
-two IVF ANN twins into one (same oracle strength, fewer slots) — 53
-entries total: the first 50 are ALL oracle-hashed (transform_queries
-via the pinned Porter stem table, functions/stem_fixture.py;
-ranked_deleted_top10 gates the tombstone-deletion plane against a
-frozen-stats masked oracle), the 3 past-window ones rows-only.
+family-union entries, the four EF-family WAND twins into one, the two
+IVF ANN twins into one, and the two docpart ranked twins into one
+(same oracle strength, fewer slots) — 53 entries total: the first 50
+are ALL oracle-hashed (transform_queries via the pinned Porter stem
+table, functions/stem_fixture.py; ranked_deleted_top10 gates the
+tombstone-deletion plane; neardup_clusters gates the connected-
+components closure against a DuckDB recursive-CTE oracle), the 3
+past-window ones rows-only.
 """
 
 from __future__ import annotations
@@ -51,7 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_or": gate.q_bool_or,
         "ranked_or_top10": gate.q_ranked_or,
         "ranked_and_top10": gate.q_ranked_and,
-        # ---- compressed-index retrieval (16)
+        # ---- compressed-index retrieval (15)
         "index_decode_flat": gate.q_index_decode_flat,
         "wand_top10": gate.q_wand_top10,
         "wand_blockmax_top10": gate.q_wand_blockmax_top10,
@@ -60,8 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxscore_blockmax_top10": gate.q_maxscore_blockmax_top10,
         "wand_bmw_top10": gate.q_wand_bmw_top10,
         "taat_top10": gate.q_taat_top10,
-        "ranked_or_docpart": gate.q_ranked_or_docpart,
-        "ranked_and_docpart": gate.q_ranked_and_docpart,
+        "ranked_docpart_family": gate.q_ranked_docpart_family,
         "ranked_or_indexed": gate.q_ranked_or_indexed,
         "ranked_and_indexed": gate.q_ranked_and_indexed,
         "bool_indexed": gate.q_bool_indexed,
@@ -75,7 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_decode_flat_ef_family": gate.q_index_decode_flat_ef_family,
         "index_decode_flat_ans_family": gate.q_index_decode_flat_ans_family,
         "index_decode_flat_block_family": gate.q_index_decode_flat_block_family,
-        # ---- training-data pipeline (20)
+        # ---- training-data pipeline (21)
         **gate_training.TRAINING_QUERIES,
         # ---- rows-only ANS stats twins (pytest-pinned; past-window OK)
         "index_stats": gate.q_index_stats,
@@ -108,8 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "maxscore_blockmax_top10": gate.sql_ranked_or(),
         "wand_bmw_top10": gate.sql_ranked_or(),
         "taat_top10": gate.sql_ranked_or(),
-        "ranked_or_docpart": gate.sql_ranked_or(),
-        "ranked_and_docpart": gate.sql_ranked_and(),
+        "ranked_docpart_family": gate.sql_ranked_docpart_family(),
         "ranked_or_indexed": gate.sql_ranked_or(),
         "ranked_and_indexed": gate.sql_ranked_and(),
         "bool_indexed": gate.sql_bool_indexed(),

@@ -251,6 +251,25 @@ def q_ranked_and_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ranked_docpart_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two document-partitioned ranked twins (exhaustive OR /
+    conjunctive AND — the shapes the giant-query dispatch routes to)
+    collapsed into one window entry keyed by ``mode``: same oracle
+    strength as the twins, one fewer driver-window slot (the
+    family-union pattern applied to the docpart plane)."""
+    a = q_ranked_or_docpart(spark, sf_dir).withColumn("mode", F.lit("or"))
+    b = q_ranked_and_docpart(spark, sf_dir).withColumn("mode", F.lit("and"))
+    return a.unionByName(b)
+
+
+def sql_ranked_docpart_family() -> str:
+    return (
+        f"SELECT 'or' AS mode, v.* FROM ({sql_ranked_or()}) v "
+        "UNION ALL "
+        f"SELECT 'and' AS mode, v.* FROM ({sql_ranked_and()}) v"
+    )
+
+
 def q_wand_blockmax_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized block-max WAND (index/blockmax.py): block-granular
     pruning via the stored block_max_weights, selective decode, exact

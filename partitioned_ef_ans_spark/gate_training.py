@@ -226,6 +226,39 @@ j AS ({_JACCARD_SEL})
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {d_mod.JACCARD_THRESHOLD}"""
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the MinHash-LSH near-dup pairs: every doc
+    mapped to its component's minimum doc_id (operators/cc.py
+    alternating large-star/small-star; singletons map to themselves).
+    The step that turns pair emission into "keep one survivor per
+    boilerplate family"."""
+    from partitioned_ef_ans_spark.operators import cc as cc_mod
+
+    docs = _docs(spark, sf_dir)
+    return cc_mod.neardup_clusters(docs, d_mod.minhash_lsh_pairs(docs))
+
+
+def sql_neardup_clusters() -> str:
+    """Connected components in ANSI SQL: recursive CTE computing the
+    reachability set of every endpoint over the (symmetrized) verified
+    LSH pairs, component id = least(doc_id, min reachable).  UNION
+    (not ALL) bounds the fixpoint; fine at gate scale, while the Spark
+    side runs the O(log^2 n)-round star algorithm."""
+    return f"""
+WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ({sql_minhash_lsh()}) q),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION ALL SELECT doc_b AS a, doc_a AS b FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+lbl AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
+SELECT d.doc_id,
+       CAST(coalesce(least(l.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN lbl l USING (doc_id)"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d_mod.simhash(_docs(spark, sf_dir))
 
@@ -735,6 +768,7 @@ TRAINING_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "minhash_lsh_pairs": q_minhash_lsh,
+    "neardup_clusters": q_neardup_clusters,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
@@ -761,6 +795,7 @@ TRAINING_ORACLES = {
     "exact_dedup": sql_exact_dedup(),
     "ngram_jaccard_pairs": sql_ngram_jaccard(),
     "minhash_lsh_pairs": sql_minhash_lsh(),
+    "neardup_clusters": sql_neardup_clusters(),
     "simhash": sql_simhash(),
     "embedding_neardup": sql_embedding_neardup(),
     "embedding_neardup_bucketed": sql_embedding_neardup(),
