@@ -649,9 +649,18 @@ def make_ranked_kernel(
             return _kernel_taat_pruned(
                 lists, tws, weights, max_weights, dtype, qid, k
             )
+        # DAAT exhaustion sentinel: must exceed every REAL docID.  The
+        # corpus COUNT is only that on dense-id indexes — sparse ids
+        # (incremental updates, shard/merged docID ranges) have
+        # max_id+1 == the codec's encode universe, which can itself be
+        # outgrown by delta-segment universes.  Using the count here
+        # made the faithful walks terminate before any doc with
+        # id >= num_docs (caught by test_sharded skewed-shard serving).
+        sentinel = max(int(num_docs), int(codec.num_docs or 0),
+                       *(codec.delta_universes or {0: 0}).values())
         if mode == "wand":
             return _kernel_wand(
-                lists, tws, weights, max_weights, dtype, qid, k, num_docs
+                lists, tws, weights, max_weights, dtype, qid, k, sentinel
             )
         if mode == "wand_bmw":
             from partitioned_ef_ans_spark.index.blockmax import build_bmw_meta
@@ -659,11 +668,11 @@ def make_ranked_kernel(
             bmeta = build_bmw_meta(pdf, weights)
             return _kernel_wand_bmw(
                 lists, tws, weights, max_weights, bmeta, dtype, qid, k,
-                num_docs,
+                sentinel,
             )
         if mode == "maxscore":
             return _kernel_maxscore(
-                lists, tws, weights, max_weights, dtype, qid, k, num_docs
+                lists, tws, weights, max_weights, dtype, qid, k, sentinel
             )
         raise ValueError(mode)
 
