@@ -798,6 +798,143 @@ def merge_mode():
     print(json.dumps(out))
 
 
+def sharded_mode():
+    """`bench.py --sharded`: scatter-gather serving economics — N shard
+    indexes queried through run_ranked_sharded (global stats, per-shard
+    top-k gather) vs the concat-merged single index through run_ranked,
+    same 500-query suite, interleaved reps with min-per-leg (noisy VM).
+    The sharded path answers queries with ZERO merge cost; this
+    quantifies what that costs at query time.  One JSON line ->
+    BENCH_SHARDED.json."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark import corpus as c_mod
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.index import sharded as sh_mod
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        merge_indexes,
+    )
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.session import get_spark
+
+    shards = int(os.environ.get("PEFA_MERGE_SHARDS", "4"))
+    modes = ("blockmax", "maxscore_blockmax", "ranked_or")
+    reps = 2
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_path = f"/dev/shm/pefa_bench_corpus_{SYNTH_DOCS}"
+    if not os.path.exists(f"{corpus_path}/_SUCCESS"):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", F.col("text").alias("content")
+        )
+        n_real = docs.count()
+        synth = c_mod.synthesize_corpus_distributed(
+            spark, SYNTH_DOCS, vocab_size=20000, num_partitions=2 * CPUS
+        ).select(
+            (
+                F.regexp_extract("path", r"f(\d+)\.", 1).cast("long")
+                + F.lit(n_real)
+            ).alias("doc_id"),
+            "content",
+        )
+        docs.unionByName(synth).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path).withColumnRenamed(
+        "content", "text"
+    )
+    n_total = corpus.count()
+    cut = [round(i * n_total / shards) for i in range(shards + 1)]
+
+    q: dict = {}
+    roots = []
+    try:
+        shard_dirs = []
+        for i in range(shards):
+            d = f"/dev/shm/pefa_shq_s{i}_{os.getpid()}"
+            roots.append(d)
+            shard_dirs.append(d)
+            build_index_resumable(
+                spark,
+                corpus.where(
+                    (F.col("doc_id") >= cut[i]) & (F.col("doc_id") < cut[i + 1])
+                ),
+                d, codec="ans", num_parts=16, chunk_postings=1 << 16,
+            )
+        m = f"/dev/shm/pefa_shq_m_{os.getpid()}"
+        roots.append(m)
+        mman = merge_indexes(spark, m, shard_dirs, mode="concat")
+        q["postings"] = mman["total_postings"]
+
+        index_df, _s, ts, codec, man = b_mod.load_index(spark, m)
+        index_df = index_df.cache(); index_df.count()
+        ts = ts.cache(); ts.count()
+        t0 = time.perf_counter()
+        sh = sh_mod.load_shards(spark, shard_dirs)
+        for s in sh["shards"]:
+            s["index_df"] = s["index_df"].cache()
+            s["index_df"].count()
+        q["load_shards_sec"] = round(time.perf_counter() - t0, 3)
+        assert sh["num_docs"] == man["num_docs"]
+
+        qs = c_mod.synthesize_queries(N_QUERIES, vocab_size=20000)
+        qdf = queries_to_df(spark, qs).cache(); qdf.count()
+
+        def leg_merged(mode):
+            return q_mod.run_ranked(
+                spark, index_df, qdf, codec, man["num_docs"],
+                man["avg_doc_len"], mode=mode, k=K, dtype="float32",
+                term_stats_df=ts,
+            ).count()
+
+        def leg_sharded(mode):
+            return sh_mod.run_ranked_sharded(
+                spark, sh, qdf, mode=mode, k=K, dtype="float32"
+            ).count()
+
+        for mode in modes:  # warm both legs once (JIT + cache fill)
+            leg_merged(mode); leg_sharded(mode)
+        tm: dict = {}; tsd: dict = {}
+        for _rep in range(reps):  # interleaved, min per leg
+            for mode in modes:
+                t0 = time.perf_counter(); leg_merged(mode)
+                tm[mode] = min(tm.get(mode, 9e9), time.perf_counter() - t0)
+                t0 = time.perf_counter(); leg_sharded(mode)
+                tsd[mode] = min(tsd.get(mode, 9e9), time.perf_counter() - t0)
+        for mode in modes:
+            q[f"merged_{mode}_sec"] = round(tm[mode], 3)
+            q[f"sharded_{mode}_sec"] = round(tsd[mode], 3)
+            q[f"{mode}_overhead"] = round(tsd[mode] / tm[mode], 3)
+    finally:
+        for d in roots:
+            shutil.rmtree(d, ignore_errors=True)
+    spark.stop()
+
+    suite_m = sum(q[f"merged_{m}_sec"] for m in modes)
+    suite_s = sum(q[f"sharded_{m}_sec"] for m in modes)
+    out = {
+        "metric": "sharded_vs_merged_query_suite_ratio",
+        "value": round(suite_s / suite_m, 3),
+        "unit": "ratio",
+        "queries": q,
+        "n_queries": N_QUERIES,
+        "modes": list(modes),
+        "sf": SF_DIR,
+        "synth_docs": SYNTH_DOCS,
+        "shards": shards,
+        "cpus": CPUS,
+        "aggregation": "min of interleaved reps per leg, warm",
+    }
+    with open(Path(__file__).resolve().parent / "BENCH_SHARDED.json", "w") as fh:
+        json.dump(out, fh)
+    print(json.dumps(out))
+
+
 def codecs_mode():
     """`bench.py --codecs`: build every index family on the same corpus
     and report bits/posting + build seconds side by side (the
@@ -855,6 +992,9 @@ def main():
         return
     if "--deletes" in sys.argv:
         deletes_mode()
+        return
+    if "--sharded" in sys.argv:
+        sharded_mode()
         return
     if "--merge" in sys.argv:
         merge_mode()

@@ -372,6 +372,47 @@ def cmd_queries(args) -> int:
     if not qs:
         print("no queries on stdin", file=sys.stderr)
         return 1
+    shard_dirs = [d for d in args.index_dir.split(",") if d]
+    if len(shard_dirs) > 1:
+        # scatter-gather serving over shard indexes (index/sharded.py):
+        # global stats frozen once, per-shard top-k gathered — rank-
+        # identical to querying the concat-merged index
+        if args.latency or getattr(args, "fetch", "gather") == "direct":
+            print("--latency/--fetch direct serve one index directory; "
+                  "got a comma-separated shard list", file=sys.stderr)
+            return 1
+        from partitioned_ef_ans_spark.index.sharded import (
+            load_shards,
+            run_ranked_sharded,
+        )
+
+        spark = _spark(args)
+        sh = load_shards(spark, shard_dirs)
+        if args.include_deleted:
+            for s in sh["shards"]:
+                s["tombstones"] = None
+        qdf = queries_to_df(spark, qs).cache()
+        qdf.count()
+        for mode in args.mode.split(","):
+            for run in range(args.runs):
+                t0 = time.perf_counter()
+                res = run_ranked_sharded(
+                    spark, sh, qdf, mode=mode, k=args.k, dtype="float32"
+                )
+                nrows = res.count()
+                dt = time.perf_counter() - t0
+                print(json.dumps({
+                    "mode": mode, "run": run, "queries": len(qs),
+                    "results": nrows, "wall_sec": round(dt, 3),
+                    "qps": round(len(qs) / dt, 1),
+                    "shards": len(shard_dirs),
+                }))
+            if args.print_topk:
+                for r in res.orderBy("query_id", "rank").collect():
+                    print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t"
+                          f"{r['score']}")
+        spark.stop()
+        return 0
     if args.latency:
         # the reference's op_perftest: sequential in-process per-query
         # timing, quantiles per operator (queries.cpp:23-52)
@@ -559,7 +600,10 @@ def build_parser() -> argparse.ArgumentParser:
     w.set_defaults(fn=cmd_create_wand_data)
 
     q = sub.add_parser("queries")
-    q.add_argument("index_dir")
+    q.add_argument("index_dir",
+                   help="index directory, or a comma-separated list of "
+                        "shard index directories (scatter-gather serving "
+                        "with global statistics, index/sharded.py)")
     q.add_argument("--mode", default="blockmax",
                    help="comma-separated run_ranked modes")
     q.add_argument("-k", type=int, default=10)

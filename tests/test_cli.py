@@ -256,3 +256,44 @@ def test_cli_partition_knobs_round_trip(tmp_path):
         )
     finally:
         shutil.rmtree(idx_knob, ignore_errors=True)
+
+
+def test_cli_sharded_queries_match_merged(tmp_path):
+    """`queries shardA,shardB` (scatter-gather with global stats) must
+    print the exact top-k the concat-merged index prints."""
+    import duckdb
+
+    ca, cb = str(tmp_path / "ca.parquet"), str(tmp_path / "cb.parquet")
+    con = duckdb.connect()
+    mid = con.execute(
+        f"SELECT median(doc_id) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    con.execute(f"COPY (SELECT * FROM '{SF}/documents.parquet' WHERE "
+                f"doc_id < {mid}) TO '{ca}' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * FROM '{SF}/documents.parquet' WHERE "
+                f"doc_id >= {mid}) TO '{cb}' (FORMAT PARQUET)")
+
+    base = f"/dev/shm/pefa_cli_shard_{os.getpid()}"
+    a, b, merged = f"{base}/a", f"{base}/b", f"{base}/m"
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        run_cli("create_freq_index", "block_ansmsbmedmaxmerged", ca, a,
+                "--resumable", "--num-parts", "4")
+        run_cli("create_freq_index", "block_ansmsbmedmaxmerged", cb, b,
+                "--resumable", "--num-parts", "4")
+        run_cli("merge", merged, a, b, "--mode", "concat",
+                "--num-parts", "4")
+
+        qtsv = "1\tdup spark\n2\tthe dup data\n"
+
+        def topk(index_arg):
+            out = run_cli("queries", index_arg, "--mode",
+                          "blockmax,ranked_or", "--print-topk", stdin=qtsv)
+            return sorted(
+                tuple(l.split("\t")) for l in out.splitlines()
+                if l and not l.startswith("{")
+            )
+
+        assert topk(f"{a},{b}") == topk(merged)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
