@@ -8,18 +8,19 @@ Registry order matters: the driver's correctness artifact records the
 FIRST 50 entries, so every entry of unique value (core relational
 plane, indexed retrieval modes incl. the true-BMW extension,
 codec-family decode-equality unions covering all 16 reference index
-types, the 21 training/event-pipeline operators) sits inside that
+types, the 22 training/event-pipeline operators) sits inside that
 window; only the rows-only ANS stats twins (independently pinned by
 pytest — tests/test_decode_kinds.py, tests/test_stats_pinned.py) sit
 past it.  Per-codec decode twins are collapsed into three
 family-union entries, the four EF-family WAND twins into one, the two
-IVF ANN twins into one, and the two docpart ranked twins into one
-(same oracle strength, fewer slots) — 53 entries total: the first 50
-are ALL oracle-hashed (transform_queries via the pinned Porter stem
-table, functions/stem_fixture.py; ranked_deleted_top10 gates the
-tombstone-deletion plane; neardup_clusters gates the connected-
-components closure against a DuckDB recursive-CTE oracle), the 3
-past-window ones rows-only.
+IVF ANN twins into one, and the docpart / indexed ranked twin pairs
+into one union each (same oracle strength, fewer slots) — 53 entries
+total: the first 50 are ALL oracle-hashed (transform_queries via the
+pinned Porter stem table, functions/stem_fixture.py;
+ranked_deleted_top10 gates the tombstone-deletion plane;
+neardup_clusters gates the connected-components closure against a
+DuckDB recursive-CTE oracle; hybrid_rrf_topk gates sparse+dense
+reciprocal-rank fusion), the 3 past-window ones rows-only.
 """
 
 from __future__ import annotations
@@ -63,8 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_bmw_top10": gate.q_wand_bmw_top10,
         "taat_top10": gate.q_taat_top10,
         "ranked_docpart_family": gate.q_ranked_docpart_family,
-        "ranked_or_indexed": gate.q_ranked_or_indexed,
-        "ranked_and_indexed": gate.q_ranked_and_indexed,
+        "ranked_indexed_family": gate.q_ranked_indexed_family,
         "bool_indexed": gate.q_bool_indexed,
         "bool_docpart": gate.q_bool_docpart,
         "wand_top10_ef_family": gate.q_wand_top10_ef_family,
@@ -110,8 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "wand_bmw_top10": gate.sql_ranked_or(),
         "taat_top10": gate.sql_ranked_or(),
         "ranked_docpart_family": gate.sql_ranked_docpart_family(),
-        "ranked_or_indexed": gate.sql_ranked_or(),
-        "ranked_and_indexed": gate.sql_ranked_and(),
+        "ranked_indexed_family": gate.sql_ranked_indexed_family(),
         "bool_indexed": gate.sql_bool_indexed(),
         "bool_docpart": gate.sql_bool_docpart(),
         "wand_top10_ef_family": gate.sql_wand_union_ef_family(),

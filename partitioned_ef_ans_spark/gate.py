@@ -305,6 +305,24 @@ def q_ranked_and_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _indexed_ranked(spark, sf_dir, "ranked_and")
 
 
+def q_ranked_indexed_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two index-backed exhaustive ranked twins (disjunctive /
+    conjunctive over the compressed index) in one union entry keyed by
+    ``mode`` — the family-union pattern: same oracle strength, one
+    driver-window slot."""
+    a = q_ranked_or_indexed(spark, sf_dir).withColumn("mode", F.lit("or"))
+    b = q_ranked_and_indexed(spark, sf_dir).withColumn("mode", F.lit("and"))
+    return a.unionByName(b)
+
+
+def sql_ranked_indexed_family() -> str:
+    return (
+        f"SELECT 'or' AS mode, v.* FROM ({sql_ranked_or()}) v "
+        "UNION ALL "
+        f"SELECT 'and' AS mode, v.* FROM ({sql_ranked_and()}) v"
+    )
+
+
 def _indexed_boolean(spark: SparkSession, sf_dir: str, conjunctive: bool) -> DataFrame:
     from partitioned_ef_ans_spark.index import query as q_mod
 

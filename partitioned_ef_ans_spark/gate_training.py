@@ -259,6 +259,69 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN lbl l USING (doc_id)"""
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/hybrid.py): the gate's BM25 ranked
+    disjunction top-10 fused with dense cosine top-10 by reciprocal
+    rank — the sparse+dense RAG retrieval recipe.  Query pairing is
+    deterministic: text query ``query_id`` uses the embedding of
+    ``vec_id == query_id`` as its dense query vector.  Asymmetric
+    coverage is exercised by construction (the all-OOV gate query has
+    an empty sparse list; its dense list still ranks)."""
+    from partitioned_ef_ans_spark import gate as g_mod
+    from partitioned_ef_ans_spark.operators import hybrid as h_mod
+
+    qids = [qid for qid, _terms in g_mod.GATE_QUERIES]
+    sparse = g_mod.q_ranked_or(spark, sf_dir)
+    qvecs = (
+        _embs(spark, sf_dir)
+        .where(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    dense = h_mod.dense_topk_for_queries(qvecs, _embs(spark, sf_dir), k=10)
+    return h_mod.rrf_fuse([sparse, dense], k=10)
+
+
+def sql_hybrid_rrf() -> str:
+    from partitioned_ef_ans_spark import gate as g_mod
+
+    qids = ", ".join(str(qid) for qid, _terms in g_mod.GATE_QUERIES)
+    return f"""
+WITH {_EMB_NORM_CTE},
+sparse AS (SELECT query_id, "rank", doc_id FROM ({g_mod.sql_ranked_or()})),
+qv AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       WHERE vec_id IN ({qids})),
+dots AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         list_sum(list_transform(range(1, len(qv.embedding)+1),
+                  i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot
+  FROM qv CROSS JOIN embeddings e
+),
+cosv AS (
+  SELECT d.query_id, d.doc_id, round(d.dot / (nq.nn * nd.nn), 6) AS cos
+  FROM dots d JOIN nrm nq ON d.query_id = nq.vec_id
+  JOIN nrm nd ON d.doc_id = nd.vec_id
+),
+dense AS (
+  SELECT query_id, CAST(row_number() OVER w AS INT) AS "rank", doc_id
+  FROM cosv
+  WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, doc_id)
+  QUALIFY "rank" <= 10
+),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / (60.0 + "rank") AS c FROM sparse
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60.0 + "rank") AS c FROM dense
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 7) AS rrf
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(row_number() OVER w2 AS INT) AS "rank", doc_id, rrf
+FROM fused
+WINDOW w2 AS (PARTITION BY query_id ORDER BY rrf DESC, doc_id)
+QUALIFY "rank" <= 10"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d_mod.simhash(_docs(spark, sf_dir))
 
@@ -774,6 +837,7 @@ TRAINING_QUERIES = {
     "embedding_neardup_bucketed": q_embedding_neardup_bucketed,
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_family_topk": q_ann_ivf_family,
+    "hybrid_rrf_topk": q_hybrid_rrf,
 }
 
 TRAINING_ORACLES = {
@@ -801,4 +865,5 @@ TRAINING_ORACLES = {
     "embedding_neardup_bucketed": sql_embedding_neardup(),
     "ann_cosine_topk": sql_ann_topk(),
     "ann_ivf_family_topk": sql_ann_ivf_family(),
+    "hybrid_rrf_topk": sql_hybrid_rrf(),
 }
