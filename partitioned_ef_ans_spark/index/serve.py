@@ -47,7 +47,8 @@ DEFAULT_QUERIES_PER_TASK = 16
 
 def _serve_factory(idx_dir: str, codec_bc, scales_bc, num_docs: int,
                    avg_len: float, k: int, mode: str, dtype: str, tomb_bc,
-                   num_parts: int | None):
+                   num_parts: int | None, df_over_bc=None,
+                   default_scale: float = 1.0):
     """mapInPandas worker: (query_id, terms[]) batches -> top-k rows.
 
     Reads only the referenced terms' chunk rows from the index store:
@@ -71,6 +72,7 @@ def _serve_factory(idx_dir: str, codec_bc, scales_bc, num_docs: int,
             codec_bc, num_docs, avg_len, k, mode, dtype, tomb_bc=tomb_bc
         )
         scales = scales_bc.value
+        df_over = df_over_bc.value if df_over_bc is not None else {}
         dataset = None
         for pdf in batches:
             if not len(pdf):
@@ -105,10 +107,19 @@ def _serve_factory(idx_dir: str, codec_bc, scales_bc, num_docs: int,
                     | (pads.field("part") >= num_parts)
                 )
             tbl = dataset.to_table(columns=cols, filter=flt).to_pandas()
-            if scales and "part" in tbl.columns:
+            if (scales or default_scale != 1.0) and len(tbl):
                 # mirror build.apply_bound_scales: frozen bounds of
-                # stale parts inflate admissibly after avg_len growth
-                s = tbl["part"].astype(int).map(scales).fillna(1.0).to_numpy()
+                # stale parts inflate admissibly after avg_len growth;
+                # default_scale covers parts with no checkpoint record
+                # (and layouts without parts) under a stats_override
+                # average larger than the manifest's
+                if "part" in tbl.columns:
+                    s = (
+                        tbl["part"].astype(int).map(scales)
+                        .fillna(default_scale).to_numpy()
+                    )
+                else:
+                    s = np.full(len(tbl), default_scale)
                 tbl["chunk_max_weight"] = (
                     tbl["chunk_max_weight"].to_numpy(dtype=np.float64) * s
                 ).astype(np.float32)
@@ -123,7 +134,10 @@ def _serve_factory(idx_dir: str, codec_bc, scales_bc, num_docs: int,
             # authoritative term-level df (chunk-row df is stale on
             # delta-segmented indexes) + per-TERM max bound — the same
             # columns query_lists_df ships
-            dfs = {t: int(g["n"].sum()) for t, g in by_term.items()}
+            dfs = {
+                t: int(df_over.get(t, g["n"].sum()))
+                for t, g in by_term.items()
+            }
             maxw = {
                 t: float(g["chunk_max_weight"].max())
                 for t, g in by_term.items()
@@ -161,6 +175,8 @@ def run_ranked_direct(
     queries_per_task: int = DEFAULT_QUERIES_PER_TASK,
     tombstones="auto",
     docpart_budget_bytes: int | None = q_mod.DOCPART_DISPATCH_BUDGET_BYTES,
+    stats_override: tuple[int, float] | None = None,
+    term_df_override: dict[str, int] | None = None,
 ) -> DataFrame:
     """Serve ``queries_df`` (query_id, terms[]) against the frozen
     index at ``idx_dir`` with storage-direct per-task reads — no
@@ -173,7 +189,16 @@ def run_ranked_direct(
     payload exceeds ``docpart_budget_bytes``) fall back to
     ``run_ranked``'s doc-partitioned dispatch — their lists must be
     split ACROSS tasks, the one thing a fetch-per-query shape cannot
-    do."""
+    do.
+
+    ``stats_override=(num_docs, avg_len)`` scores with EXTERNAL corpus
+    statistics instead of the manifest's — the sharded scatter-gather
+    path (index/sharded.py) passes the global pair; the per-part bound
+    inflation then derives from the override average, so pruning stays
+    admissible when it exceeds the parts' encode-time averages.
+    ``term_df_override`` ({term: df}, bounded by the query batch
+    vocabulary) likewise substitutes authoritative df values for the
+    shard-local sums the worker derives from its fetched chunks."""
     from partitioned_ef_ans_spark.index import build as b_mod
     from partitioned_ef_ans_spark.index.checkpoint import (
         load_tombstones,
@@ -192,8 +217,11 @@ def run_ranked_direct(
         delta_models=side.get("delta_models"),
         delta_universes=side.get("delta_universes"),
     )
-    num_docs = int(man["num_docs"])
-    avg_len = float(man["avg_doc_len"])
+    if stats_override is not None:
+        num_docs, avg_len = int(stats_override[0]), float(stats_override[1])
+    else:
+        num_docs = int(man["num_docs"])
+        avg_len = float(man["avg_doc_len"])
     if isinstance(tombstones, str) and tombstones == "auto":
         tombstones = load_tombstones(idx_dir)
     tomb_bc = q_mod._as_tomb_bc(spark, tombstones)
@@ -214,6 +242,38 @@ def run_ranked_direct(
             index_df, _stats, ts, codec2, man2 = b_mod.load_index(
                 spark, idx_dir
             )
+            if stats_override is not None:
+                # the loaded bounds froze under the MANIFEST average;
+                # under a larger override average they inflate further
+                # (over-inflation on already-record-scaled parts only
+                # weakens pruning, never rank)
+                from partitioned_ef_ans_spark.index.sharded import (
+                    _scale_bounds,
+                )
+
+                man_avg = float(man["avg_doc_len"]) or avg_len
+                s = (
+                    (avg_len / man_avg) * (1.0 + 1e-6)
+                    if avg_len > man_avg else 1.0
+                )
+                index_df = _scale_bounds(index_df, s)
+                if s > 1.0:
+                    ts = ts.withColumn(
+                        "max_term_weight",
+                        (
+                            F.col("max_term_weight").cast("double")
+                            * F.lit(s)
+                        ).cast("float"),
+                    )
+            if term_df_override:
+                pairs = [
+                    x for kv in term_df_override.items()
+                    for x in (F.lit(kv[0]), F.lit(int(kv[1])))
+                ]
+                m = F.create_map(*pairs)[F.col("term")]
+                ts = ts.withColumn(
+                    "df", F.coalesce(m.cast("long"), F.col("df"))
+                )
             routed = q_mod.run_ranked(
                 spark, index_df,
                 queries_df.where(F.col("query_id").isin(big)),
@@ -224,15 +284,26 @@ def run_ranked_direct(
             rest_df = queries_df.where(~F.col("query_id").isin(big))
 
     scales = part_bound_scales(idx_dir, avg_len)
+    default_scale = 1.0
+    if stats_override is not None:
+        man_avg = float(man["avg_doc_len"])
+        if man_avg > 0 and avg_len > man_avg:
+            # parts without a checkpoint record (or layouts without
+            # parts) froze their bounds at the manifest average
+            default_scale = (avg_len / man_avg) * (1.0 + 1e-6)
     sc = spark.sparkContext
     codec_bc = sc.broadcast(codec)
     scales_bc = sc.broadcast(scales)
+    df_over_bc = (
+        sc.broadcast(dict(term_df_override)) if term_df_override else None
+    )
     n_q = rest_df.count()
     n_tasks = max(1, -(-n_q // max(1, queries_per_task)))
     out = rest_df.repartition(n_tasks).mapInPandas(
         _serve_factory(
             idx_dir, codec_bc, scales_bc, num_docs, avg_len, k, mode,
             dtype, tomb_bc, num_parts=man.get("num_parts"),
+            df_over_bc=df_over_bc, default_scale=default_scale,
         ),
         schema=q_mod.RESULT_SCHEMA,
     )

@@ -157,7 +157,10 @@ def load_shards(spark: SparkSession, idx_dirs: list[str]) -> dict:
                 tombstones=l["tomb"],
             )
         )
-    return dict(shards=shards, num_docs=num_docs, avg_len=avg_len)
+    return dict(
+        shards=shards, num_docs=num_docs, avg_len=avg_len,
+        global_df=gdf.withColumnRenamed("_gdf", "df"),
+    )
 
 
 def _as_loaded(spark: SparkSession, shards_or_dirs) -> dict:
@@ -174,23 +177,54 @@ def run_ranked_sharded(
     k: int = 10,
     dtype: str = "float64",
     docpart_budget_bytes: int | None = q_mod.DOCPART_DISPATCH_BUDGET_BYTES,
+    fetch: str = "gather",
 ) -> DataFrame:
     """Global top-k over shard indexes — rank-identical to
     ``run_ranked`` on the concat-merged index, every mode.  Accepts a
     list of index dirs or a pre-frozen :func:`load_shards` dict (use
     the latter to amortize the one-time stats aggregation across query
-    batches)."""
+    batches).
+
+    ``fetch="direct"`` runs each shard through the storage-direct
+    serving path (index/serve.py) with the global statistics injected
+    — per-task in-place reads of the shard's store, no payload gather
+    shuffle in any shard, giant queries still docpart-routed (with
+    override-scaled bounds).  This is the 100 TB serving composition:
+    shards × direct reads × global scoring."""
     sh = _as_loaded(spark, shards_or_dirs)
-    parts = [
-        q_mod.run_ranked(
-            spark, s["index_df"], queries_df, s["codec"],
-            sh["num_docs"], sh["avg_len"], mode=mode, k=k, dtype=dtype,
-            term_stats_df=s["term_stats"],
-            docpart_budget_bytes=docpart_budget_bytes,
-            tombstones=s["tombstones"],
-        )
-        for s in sh["shards"]
-    ]
+    if fetch == "direct":
+        from partitioned_ef_ans_spark.index import serve as sv_mod
+
+        # authoritative global df for the batch's terms only (bounded
+        # by the query vocabulary — broadcast-sized by construction)
+        qterms = q_mod.query_freqs(queries_df).select("term").distinct()
+        gmap = {
+            r["term"]: int(r["df"])
+            for r in sh["global_df"]
+            .join(F.broadcast(qterms), "term", "left_semi")
+            .collect()
+        }
+        parts = [
+            sv_mod.run_ranked_direct(
+                spark, s["dir"], queries_df, mode=mode, k=k, dtype=dtype,
+                tombstones=s["tombstones"],
+                docpart_budget_bytes=docpart_budget_bytes,
+                stats_override=(sh["num_docs"], sh["avg_len"]),
+                term_df_override=gmap,
+            )
+            for s in sh["shards"]
+        ]
+    else:
+        parts = [
+            q_mod.run_ranked(
+                spark, s["index_df"], queries_df, s["codec"],
+                sh["num_docs"], sh["avg_len"], mode=mode, k=k, dtype=dtype,
+                term_stats_df=s["term_stats"],
+                docpart_budget_bytes=docpart_budget_bytes,
+                tombstones=s["tombstones"],
+            )
+            for s in sh["shards"]
+        ]
     u = reduce(lambda a, b: a.unionByName(b), parts)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()

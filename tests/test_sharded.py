@@ -97,6 +97,10 @@ def test_sharded_rank_identical_to_concat_merge_and_fresh(spark, tmp_path):
         want = _ranked_one(spark, merged, mode)
         assert want == _ranked_one(spark, fresh, mode), mode
         assert _sharded(spark, [a, b], mode) == want, mode
+    # storage-direct per shard (global stats injected): same gather
+    for mode in ("blockmax", "ranked_and"):
+        got = _sharded(spark, [a, b], mode, fetch="direct")
+        assert got == _ranked_one(spark, merged, mode), f"direct {mode}"
 
 
 def test_sharded_skewed_averages_keep_pruning_admissible(spark, tmp_path):
@@ -122,6 +126,16 @@ def test_sharded_skewed_averages_keep_pruning_admissible(spark, tmp_path):
     assert exhaustive == _ranked_one(spark, fresh, "ranked_or")
     for mode in ("blockmax", "maxscore_blockmax", "wand", "maxscore"):
         assert _sharded(spark, [a, b], mode) == exhaustive, mode
+    # direct serving under skewed averages: the default bound scale
+    # (override avg > shard manifest avg) must keep pruning admissible
+    for mode in ("blockmax", "maxscore_blockmax"):
+        got = _sharded(spark, [a, b], mode, fetch="direct")
+        assert got == exhaustive, f"direct {mode}"
+    # forced giant routing under the override (budget=1 routes every
+    # query through the docpart dispatch with override-scaled bounds)
+    got = _sharded(spark, [a, b], "blockmax", fetch="direct",
+                   docpart_budget_bytes=1)
+    assert got == exhaustive, "direct giant-routed"
     # top-k must actually mix both shards or the test proves nothing
     got_ids = {doc for _q, _r, doc, _s in exhaustive}
     assert got_ids & set(range(0, 18)) and got_ids & set(range(200, 214))
@@ -165,6 +179,9 @@ def test_sharded_tombstones_and_boolean_counts(spark, tmp_path):
         got = _sharded(spark, [a, b], mode)
         assert got == _ranked_one(spark, merged, mode), mode
         assert not {1, 5, 11, 103} & {doc for _q, _r, doc, _s in got}
+    got = _sharded(spark, [a, b], "blockmax", fetch="direct")
+    assert got == _ranked_one(spark, merged, "blockmax")
+    assert not {1, 5, 11, 103} & {doc for _q, _r, doc, _s in got}
 
     index_df, _s, ts, codec, _m = b_mod.load_index(spark, merged)
     qdf = _qdf(spark)
