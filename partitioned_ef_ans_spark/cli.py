@@ -376,10 +376,12 @@ def cmd_queries(args) -> int:
     if len(shard_dirs) > 1:
         # scatter-gather serving over shard indexes (index/sharded.py):
         # global stats frozen once, per-shard top-k gathered — rank-
-        # identical to querying the concat-merged index
-        if args.latency or getattr(args, "fetch", "gather") == "direct":
-            print("--latency/--fetch direct serve one index directory; "
-                  "got a comma-separated shard list", file=sys.stderr)
+        # identical to querying the concat-merged index.  --fetch
+        # direct composes: per-shard storage-direct reads under the
+        # injected global statistics.
+        if args.latency:
+            print("--latency serves one index directory; got a "
+                  "comma-separated shard list", file=sys.stderr)
             return 1
         from partitioned_ef_ans_spark.index.sharded import (
             load_shards,
@@ -397,7 +399,8 @@ def cmd_queries(args) -> int:
             for run in range(args.runs):
                 t0 = time.perf_counter()
                 res = run_ranked_sharded(
-                    spark, sh, qdf, mode=mode, k=args.k, dtype="float32"
+                    spark, sh, qdf, mode=mode, k=args.k, dtype="float32",
+                    fetch=getattr(args, "fetch", "gather"),
                 )
                 nrows = res.count()
                 dt = time.perf_counter() - t0

@@ -286,14 +286,19 @@ def test_cli_sharded_queries_match_merged(tmp_path):
 
         qtsv = "1\tdup spark\n2\tthe dup data\n"
 
-        def topk(index_arg):
+        def topk(index_arg, *extra):
             out = run_cli("queries", index_arg, "--mode",
-                          "blockmax,ranked_or", "--print-topk", stdin=qtsv)
+                          "blockmax,ranked_or", "--print-topk", *extra,
+                          stdin=qtsv)
             return sorted(
                 tuple(l.split("\t")) for l in out.splitlines()
                 if l and not l.startswith("{")
             )
 
-        assert topk(f"{a},{b}") == topk(merged)
+        want = topk(merged)
+        assert topk(f"{a},{b}") == want
+        # composed 100TB shape: per-shard storage-direct reads under
+        # the injected global statistics
+        assert topk(f"{a},{b}", "--fetch", "direct") == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
