@@ -17,7 +17,9 @@ IVF ANN twins into one, and the docpart / indexed ranked twin pairs
 into one union each (same oracle strength, fewer slots) — 53 entries
 total: the first 50 are ALL oracle-hashed (transform_queries via the
 pinned Porter stem table, functions/stem_fixture.py;
-ranked_deleted_top10 gates the tombstone-deletion plane;
+ranked_deleted_top10 / ranked_filtered_top10 gate the two masking
+polarities (tombstone deletion / allowlist-filtered retrieval);
+the pruned TAAT twin rides in ranked_indexed_family;
 neardup_clusters gates the connected-components closure against a
 DuckDB recursive-CTE oracle; hybrid_rrf_topk gates sparse+dense
 reciprocal-rank fusion), the 3 past-window ones rows-only.
@@ -62,13 +64,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxscore_top10": gate.q_maxscore_top10,
         "maxscore_blockmax_top10": gate.q_maxscore_blockmax_top10,
         "wand_bmw_top10": gate.q_wand_bmw_top10,
-        "taat_top10": gate.q_taat_top10,
         "ranked_docpart_family": gate.q_ranked_docpart_family,
         "ranked_indexed_family": gate.q_ranked_indexed_family,
         "bool_indexed": gate.q_bool_indexed,
         "bool_docpart": gate.q_bool_docpart,
         "wand_top10_ef_family": gate.q_wand_top10_ef_family,
         "ranked_deleted_top10": gate.q_ranked_deleted_top10,
+        "ranked_filtered_top10": gate.q_ranked_filtered_top10,
         # ---- stats with closed-form oracles (2)
         "index_stats_u32": gate.q_index_stats_u32,
         "index_block_stats_u32": gate.q_index_block_stats_u32,
@@ -108,13 +110,13 @@ def oracle_sql() -> dict[str, str]:
         "maxscore_top10": gate.sql_ranked_or(),
         "maxscore_blockmax_top10": gate.sql_ranked_or(),
         "wand_bmw_top10": gate.sql_ranked_or(),
-        "taat_top10": gate.sql_ranked_or(),
         "ranked_docpart_family": gate.sql_ranked_docpart_family(),
         "ranked_indexed_family": gate.sql_ranked_indexed_family(),
         "bool_indexed": gate.sql_bool_indexed(),
         "bool_docpart": gate.sql_bool_docpart(),
         "wand_top10_ef_family": gate.sql_wand_union_ef_family(),
         "ranked_deleted_top10": gate.sql_ranked_deleted(),
+        "ranked_filtered_top10": gate.sql_ranked_filtered(),
         "index_stats_u32": gate.sql_index_stats_u32(),
         "index_block_stats_u32": gate.sql_index_block_stats_u32(),
         "index_decode_flat_ef_family": gate.sql_decode_flat_union(

@@ -372,6 +372,10 @@ def cmd_queries(args) -> int:
     if not qs:
         print("no queries on stdin", file=sys.stderr)
         return 1
+    allow = None
+    if getattr(args, "filter_ids_file", None):
+        with open(args.filter_ids_file) as fh:
+            allow = [int(l) for l in fh if l.strip()]
     shard_dirs = [d for d in args.index_dir.split(",") if d]
     if len(shard_dirs) > 1:
         # scatter-gather serving over shard indexes (index/sharded.py):
@@ -401,6 +405,7 @@ def cmd_queries(args) -> int:
                 res = run_ranked_sharded(
                     spark, sh, qdf, mode=mode, k=args.k, dtype="float32",
                     fetch=getattr(args, "fetch", "gather"),
+                    allowlist=allow,
                 )
                 nrows = res.count()
                 dt = time.perf_counter() - t0
@@ -421,10 +426,14 @@ def cmd_queries(args) -> int:
         # timing, quantiles per operator (queries.cpp:23-52)
         from partitioned_ef_ans_spark.latency import kernel_latency_stats
 
+        tombs = None if args.include_deleted else load_tombstones(
+            args.index_dir
+        )
+        if allow is not None:
+            tombs = q_mod.make_allowlist(allow, tombs)
         stats = kernel_latency_stats(
             args.index_dir, qs, modes=tuple(args.mode.split(",")),
-            runs=max(2, args.runs), k=args.k,
-            tombstones=None if args.include_deleted else "auto",
+            runs=max(2, args.runs), k=args.k, tombstones=tombs,
         )
         for mode, s in stats.items():
             print(json.dumps({"mode": mode, "unit": "us", **s}))
@@ -453,14 +462,14 @@ def cmd_queries(args) -> int:
             if direct:
                 res = run_ranked_direct(
                     spark, args.index_dir, qdf, mode=mode, k=args.k,
-                    dtype="float32", tombstones=tombs,
+                    dtype="float32", tombstones=tombs, allowlist=allow,
                 )
             else:
                 res = q_mod.run_ranked(
                     spark, index_df, qdf, codec, man["num_docs"],
                     man["avg_doc_len"], mode=mode, k=args.k,
                     dtype="float32", term_stats_df=term_stats,
-                    tombstones=tombs,
+                    tombstones=tombs, allowlist=allow,
                 )
             nrows = res.count()
             dt = time.perf_counter() - t0
@@ -620,6 +629,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "task, no payload shuffle (index/serve.py)")
     q.add_argument("--include-deleted", action="store_true",
                    help="ignore the tombstone sidecar (pre-delete view)")
+    q.add_argument("--filter-ids-file", default=None,
+                   help="filtered retrieval: path to a file of doc ids "
+                        "(one per line) — only these docs may serve "
+                        "(keep-mode mask, composed with the tombstone "
+                        "sidecar; every serving shape incl. sharded + "
+                        "--fetch direct + --latency)")
     q.add_argument("--latency", action="store_true",
                    help="per-query in-process latency quantiles "
                         "(op_perftest shape) instead of the Spark suite")

@@ -306,20 +306,23 @@ def q_ranked_and_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ranked_indexed_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two index-backed exhaustive ranked twins (disjunctive /
-    conjunctive over the compressed index) in one union entry keyed by
-    ``mode`` — the family-union pattern: same oracle strength, one
-    driver-window slot."""
+    """The three index-backed exhaustive ranked twins (disjunctive /
+    conjunctive full scoring + the vectorized pruned TAAT kernel) in
+    one union entry keyed by ``mode`` — the family-union pattern: same
+    oracle strength, one driver-window slot."""
     a = q_ranked_or_indexed(spark, sf_dir).withColumn("mode", F.lit("or"))
     b = q_ranked_and_indexed(spark, sf_dir).withColumn("mode", F.lit("and"))
-    return a.unionByName(b)
+    c = q_taat_top10(spark, sf_dir).withColumn("mode", F.lit("taat"))
+    return a.unionByName(b).unionByName(c)
 
 
 def sql_ranked_indexed_family() -> str:
     return (
         f"SELECT 'or' AS mode, v.* FROM ({sql_ranked_or()}) v "
         "UNION ALL "
-        f"SELECT 'and' AS mode, v.* FROM ({sql_ranked_and()}) v"
+        f"SELECT 'and' AS mode, v.* FROM ({sql_ranked_and()}) v "
+        "UNION ALL "
+        f"SELECT 'taat' AS mode, v.* FROM ({sql_ranked_or()}) v"
     )
 
 
@@ -879,6 +882,50 @@ def q_ranked_deleted_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_ranked_deleted() -> str:
     return _sql_ranked(False, doc_filter=f"NOT (tf.{GATE_DELETE_PRED})")
+
+
+# filtered retrieval: a metadata predicate restricts which docs may
+# serve (~2/3 selectivity; residue class disjoint from the deletion
+# predicate so both masking polarities stay independently load-bearing)
+GATE_FILTER_PRED = "doc_id % 3 != 1"
+
+
+def q_ranked_filtered_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allowlist-FILTERED retrieval (keep-mode masking,
+    query.make_allowlist / KeepList — the polar twin of the tombstone
+    plane): only docs matching GATE_FILTER_PRED may serve.  Corpus
+    statistics stay frozen (Lucene filter semantics: a filter never
+    changes collection stats), tau derivation sees only allowed docs,
+    and the pre-filter maxima remain admissible — the pruned
+    maxscore_blockmax kernel must stay rank-identical to the oracle
+    that restricts scoring to the allowed set."""
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix = _get_index(spark, sf_dir)
+    allow = [
+        r["doc_id"]
+        for r in load_documents(spark, sf_dir)
+        .where(F.expr(GATE_FILTER_PRED))
+        .select("doc_id")
+        .collect()
+    ]
+    return q_mod.run_ranked(
+        spark,
+        ix["index_df"],
+        gate_queries_df(spark),
+        ix["codec"],
+        ix["num_docs"],
+        ix["avg_len"],
+        mode="maxscore_blockmax",
+        k=TOP_K,
+        dtype="float64",
+        term_stats_df=ix["term_stats"],
+        allowlist=allow,
+    )
+
+
+def sql_ranked_filtered() -> str:
+    return _sql_ranked(False, doc_filter=f"tf.{GATE_FILTER_PRED}")
 
 
 def sql_ranked_and() -> str:

@@ -45,19 +45,60 @@ RESULT_SCHEMA = "query_id long, rank int, doc_id long, score double"
 COUNT_SCHEMA = "query_id long, matches long"
 
 
+class KeepList(np.ndarray):
+    """Marker ndarray subclass: the doc filter is an ALLOWLIST ("score
+    only these ids" — metadata-filtered retrieval) instead of a
+    tombstone set ("score everything but these").  It rides unchanged
+    through normalize/broadcast and flips the polarity of
+    :func:`tomb_keep`, the single masking funnel every kernel (gather,
+    docpart, direct, sharded, latency) already uses — so filtered
+    search inherits the deletion plane's guarantees: frozen corpus
+    statistics keep surviving scores bit-stable, tau derivation sees
+    only allowed docs, and pre-filter maxima stay admissible upper
+    bounds over the allowed subset."""
+
+
+def make_allowlist(ids, tombstones=None) -> "KeepList":
+    """Build the allowlist filter for ``ids``, composed with an
+    optional tombstone set (a deleted doc never serves even when the
+    caller's filter selects it).  An EMPTY allowlist means "keep
+    nothing" — encoded as the impossible id -1 so the no-filter
+    normalization (None) stays unambiguous."""
+    from pyspark.broadcast import Broadcast
+
+    a = np.unique(np.asarray(list(ids) if not hasattr(ids, "dtype") else ids,
+                             dtype=np.int64).view(np.ndarray))
+    if isinstance(tombstones, Broadcast):
+        tombstones = tombstones.value[0]
+    if tombstones is not None and not isinstance(tombstones, KeepList):
+        t = np.unique(np.asarray(tombstones, dtype=np.int64).view(np.ndarray))
+        if len(t):
+            a = np.setdiff1d(a, t, assume_unique=True)
+    if not len(a):
+        a = np.asarray([-1], dtype=np.int64)
+    return a.view(KeepList)
+
+
 def normalize_tombstones(tombstones):
-    """Sorted unique int64 tombstone array + cache-tag suffix, or
+    """Sorted unique int64 filter array + cache-tag suffix, or
     (None, "") when empty.  The tag suffix keys the worker-side weight
-    caches so two tombstone sets over the same index never alias a
-    cached slice."""
+    caches so two filter sets over the same index never alias a cached
+    slice; allowlists (:class:`KeepList`) keep their polarity and get
+    a distinct ``|keep`` tag namespace."""
     import zlib
 
     if tombstones is None:
         return None, ""
-    t = np.unique(np.asarray(tombstones, dtype=np.int64))
+    keep = isinstance(tombstones, KeepList)
+    t = np.unique(np.asarray(tombstones, dtype=np.int64).view(np.ndarray))
     if not len(t):
-        return None, ""
-    return t, f"|del{len(t)}x{zlib.crc32(t.tobytes()):08x}"
+        if not keep:
+            return None, ""
+        t = np.asarray([-1], dtype=np.int64)  # empty allowlist: keep nothing
+    pre = "keep" if keep else "del"
+    if keep:
+        t = t.view(KeepList)
+    return t, f"|{pre}{len(t)}x{zlib.crc32(t.tobytes()):08x}"
 
 
 def broadcast_tombstones(spark, tombstones):
@@ -80,14 +121,18 @@ def _as_tomb_bc(spark, tombstones):
 
 
 def tomb_keep(docs: np.ndarray, tomb: np.ndarray | None):
-    """Bool keep-mask over ``docs`` against the SORTED tombstone array,
-    or None when no element is masked (zero-copy fast path)."""
+    """Bool keep-mask over ``docs`` against the SORTED filter array, or
+    None when no element is masked (zero-copy fast path).  Tombstone
+    arrays drop members; :class:`KeepList` allowlists drop
+    NON-members."""
     if tomb is None or not len(docs):
         return None
     idx = np.searchsorted(tomb, docs)
     hit = np.zeros(len(docs), dtype=bool)
     inb = idx < len(tomb)
-    hit[inb] = tomb[idx[inb]] == docs[inb]
+    hit[inb] = np.asarray(tomb)[idx[inb]] == docs[inb]
+    if isinstance(tomb, KeepList):
+        return None if hit.all() else hit
     if not hit.any():
         return None
     return ~hit
@@ -855,6 +900,7 @@ def run_ranked(
     term_stats_df: DataFrame | None = None,
     docpart_budget_bytes: int | None = DOCPART_DISPATCH_BUDGET_BYTES,
     tombstones=None,
+    allowlist=None,
 ) -> DataFrame:
     """All modes are rank-identical; ``blockmax`` (vectorized block-max
     WAND, index/blockmax.py) is the default/production path — 3-4x the
@@ -877,6 +923,10 @@ def run_ranked(
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
+    if allowlist is not None:
+        # filtered retrieval: keep-mode mask, composed with tombstones
+        # (a deleted doc never serves even when the filter selects it)
+        tombstones = make_allowlist(allowlist, tombstones)
     tomb_bc = _as_tomb_bc(spark, tombstones)
     if codec.docs is None and mode in ("blockmax", "maxscore_blockmax"):
         mode = "taat"
@@ -1210,16 +1260,20 @@ def run_boolean(
     term_stats_df: DataFrame | None = None,
     docpart_budget_bytes: int | None = DOCPART_DISPATCH_BUDGET_BYTES,
     tombstones=None,
+    allowlist=None,
 ) -> DataFrame:
     """Boolean match counts; giant queries auto-route to the
     doc-partitioned twin exactly like run_ranked (the match count is a
     commutative aggregate, so the split is seamless).  ``tombstones``
-    masks deleted docs out of the match sets (see run_ranked)."""
+    masks deleted docs out of the match sets; ``allowlist`` restricts
+    them to the given ids (see run_ranked)."""
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
     sc = spark.sparkContext
     codec_bc = sc.broadcast(codec)
+    if allowlist is not None:
+        tombstones = make_allowlist(allowlist, tombstones)
     tomb_bc = _as_tomb_bc(spark, tombstones)
     # boolean ops dedup query terms first (queries.hpp:30-34)
     qdf = queries_df.select("query_id", F.array_distinct("terms").alias("terms"))

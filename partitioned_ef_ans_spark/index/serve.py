@@ -177,6 +177,7 @@ def run_ranked_direct(
     docpart_budget_bytes: int | None = q_mod.DOCPART_DISPATCH_BUDGET_BYTES,
     stats_override: tuple[int, float] | None = None,
     term_df_override: dict[str, int] | None = None,
+    allowlist=None,
 ) -> DataFrame:
     """Serve ``queries_df`` (query_id, terms[]) against the frozen
     index at ``idx_dir`` with storage-direct per-task reads — no
@@ -224,6 +225,9 @@ def run_ranked_direct(
         avg_len = float(man["avg_doc_len"])
     if isinstance(tombstones, str) and tombstones == "auto":
         tombstones = load_tombstones(idx_dir)
+    if allowlist is not None:
+        # filtered retrieval (keep-mode mask), composed with tombstones
+        tombstones = q_mod.make_allowlist(allowlist, tombstones)
     tomb_bc = q_mod._as_tomb_bc(spark, tombstones)
 
     if codec.docs is None and mode in ("blockmax", "maxscore_blockmax"):

@@ -178,12 +178,15 @@ def run_ranked_sharded(
     dtype: str = "float64",
     docpart_budget_bytes: int | None = q_mod.DOCPART_DISPATCH_BUDGET_BYTES,
     fetch: str = "gather",
+    allowlist=None,
 ) -> DataFrame:
     """Global top-k over shard indexes — rank-identical to
     ``run_ranked`` on the concat-merged index, every mode.  Accepts a
     list of index dirs or a pre-frozen :func:`load_shards` dict (use
     the latter to amortize the one-time stats aggregation across query
-    batches).
+    batches).  ``allowlist`` restricts scoring to the given GLOBAL doc
+    ids (filtered retrieval), composed per shard with that shard's
+    tombstones.
 
     ``fetch="direct"`` runs each shard through the storage-direct
     serving path (index/serve.py) with the global statistics injected
@@ -192,6 +195,12 @@ def run_ranked_sharded(
     override-scaled bounds).  This is the 100 TB serving composition:
     shards × direct reads × global scoring."""
     sh = _as_loaded(spark, shards_or_dirs)
+
+    def _filt(s):
+        if allowlist is None:
+            return s["tombstones"]
+        return q_mod.make_allowlist(allowlist, s["tombstones"])
+
     if fetch == "direct":
         from partitioned_ef_ans_spark.index import serve as sv_mod
 
@@ -207,7 +216,7 @@ def run_ranked_sharded(
         parts = [
             sv_mod.run_ranked_direct(
                 spark, s["dir"], queries_df, mode=mode, k=k, dtype=dtype,
-                tombstones=s["tombstones"],
+                tombstones=_filt(s),
                 docpart_budget_bytes=docpart_budget_bytes,
                 stats_override=(sh["num_docs"], sh["avg_len"]),
                 term_df_override=gmap,
@@ -221,7 +230,7 @@ def run_ranked_sharded(
                 sh["num_docs"], sh["avg_len"], mode=mode, k=k, dtype=dtype,
                 term_stats_df=s["term_stats"],
                 docpart_budget_bytes=docpart_budget_bytes,
-                tombstones=s["tombstones"],
+                tombstones=_filt(s),
             )
             for s in sh["shards"]
         ]
@@ -242,17 +251,23 @@ def run_boolean_sharded(
     queries_df: DataFrame,
     conjunctive: bool,
     docpart_budget_bytes: int | None = q_mod.DOCPART_DISPATCH_BUDGET_BYTES,
+    allowlist=None,
 ) -> DataFrame:
     """Boolean match counts over shard indexes: docID spaces are
     disjoint, so the global count is the sum of per-shard counts —
-    identical to ``run_boolean`` on the merged index."""
+    identical to ``run_boolean`` on the merged index.  ``allowlist``
+    restricts matching to the given global ids (composed per shard
+    with that shard's tombstones)."""
     sh = _as_loaded(spark, shards_or_dirs)
     parts = [
         q_mod.run_boolean(
             spark, s["index_df"], queries_df, s["codec"], conjunctive,
             term_stats_df=s["term_stats"],
             docpart_budget_bytes=docpart_budget_bytes,
-            tombstones=s["tombstones"],
+            tombstones=(
+                s["tombstones"] if allowlist is None
+                else q_mod.make_allowlist(allowlist, s["tombstones"])
+            ),
         )
         for s in sh["shards"]
     ]

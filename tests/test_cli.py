@@ -300,5 +300,15 @@ def test_cli_sharded_queries_match_merged(tmp_path):
         # composed 100TB shape: per-shard storage-direct reads under
         # the injected global statistics
         assert topk(f"{a},{b}", "--fetch", "direct") == want
+
+        # filtered retrieval (--filter-ids-file, keep-mode mask): the
+        # sharded path must serve the same filtered top-k as the
+        # merged index
+        ids = str(tmp_path / "keep.txt")
+        with open(ids, "w") as fh:
+            fh.write("".join(f"{i}\n" for i in range(0, 100000, 2)))
+        fwant = topk(merged, "--filter-ids-file", ids)
+        assert fwant and fwant != want
+        assert topk(f"{a},{b}", "--filter-ids-file", ids) == fwant
     finally:
         shutil.rmtree(base, ignore_errors=True)
