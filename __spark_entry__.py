@@ -46,14 +46,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ---- core relational plane (9)
+        # ---- core relational plane (8)
         "tokenize_tf": gate.q_tokenize_tf,
         "term_dictionary": gate.q_term_dictionary,
         "term_stats": gate.q_term_stats,
         "doc_stats": gate.q_doc_stats,
         "postings_flat": gate.q_postings_flat,
-        "bool_and": gate.q_bool_and,
-        "bool_or": gate.q_bool_or,
+        "bool_family": gate.q_bool_family,
         "ranked_or_top10": gate.q_ranked_or,
         "ranked_and_top10": gate.q_ranked_and,
         # ---- compressed-index retrieval (15)
@@ -71,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_top10_ef_family": gate.q_wand_top10_ef_family,
         "ranked_deleted_top10": gate.q_ranked_deleted_top10,
         "ranked_filtered_top10": gate.q_ranked_filtered_top10,
+        "facet_counts": gate.q_facet_counts,
         # ---- stats with closed-form oracles (2)
         "index_stats_u32": gate.q_index_stats_u32,
         "index_block_stats_u32": gate.q_index_block_stats_u32,
@@ -94,8 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "term_stats": gate.sql_term_stats(),
         "doc_stats": gate.sql_doc_stats(),
         "postings_flat": gate.sql_postings_flat(),
-        "bool_and": gate.sql_bool_and(),
-        "bool_or": gate.sql_bool_or(),
+        "bool_family": gate.sql_bool_family(),
         "ranked_or_top10": gate.sql_ranked_or(),
         "ranked_and_top10": gate.sql_ranked_and(),
         # compressed-path operators share the relational oracles: the
@@ -117,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "wand_top10_ef_family": gate.sql_wand_union_ef_family(),
         "ranked_deleted_top10": gate.sql_ranked_deleted(),
         "ranked_filtered_top10": gate.sql_ranked_filtered(),
+        "facet_counts": gate.sql_facet_counts(),
         "index_stats_u32": gate.sql_index_stats_u32(),
         "index_block_stats_u32": gate.sql_index_block_stats_u32(),
         "index_decode_flat_ef_family": gate.sql_decode_flat_union(

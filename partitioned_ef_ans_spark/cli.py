@@ -485,6 +485,44 @@ def cmd_queries(args) -> int:
     return 0
 
 
+def cmd_facets(args) -> int:
+    """Faceted search: per-query match counts grouped by a metadata
+    column of the docs table (query.facet_counts — doc-partitioned
+    match set, gather-free at any query breadth)."""
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.index.checkpoint import load_tombstones
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    qs = _read_query_lines(sys.stdin)
+    if not qs:
+        print("no queries on stdin", file=sys.stderr)
+        return 1
+    allow = None
+    if getattr(args, "filter_ids_file", None):
+        with open(args.filter_ids_file) as fh:
+            allow = [int(l) for l in fh if l.strip()]
+    spark = _spark(args)
+    index_df, _stats, term_stats, codec, _man = b_mod.load_index(
+        spark, args.index_dir
+    )
+    meta = spark.read.parquet(args.meta)
+    res = q_mod.facet_counts(
+        spark, index_df, queries_to_df(spark, qs), codec, meta,
+        args.facet_col, conjunctive=args.conjunctive,
+        term_stats_df=term_stats,
+        tombstones=None if args.include_deleted
+        else load_tombstones(args.index_dir),
+        allowlist=allow, top_n=args.top_n,
+    )
+    from pyspark.sql import functions as F
+
+    for r in res.orderBy("query_id", F.desc("matches"), "facet").collect():
+        print(f"{r['query_id']}\t{r['facet']}\t{r['matches']}")
+    spark.stop()
+    return 0
+
+
 def cmd_transform_queries(args) -> int:
     from pyspark.sql import functions as F
 
@@ -639,6 +677,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-query in-process latency quantiles "
                         "(op_perftest shape) instead of the Spark suite")
     q.set_defaults(fn=cmd_queries)
+
+    fc = sub.add_parser("facets")
+    fc.add_argument("index_dir")
+    fc.add_argument("--meta", required=True,
+                    help="parquet with doc_id + the facet column")
+    fc.add_argument("--facet-col", default="lang")
+    fc.add_argument("--conjunctive", action="store_true",
+                    help="facet over AND match sets (default OR)")
+    fc.add_argument("--top-n", type=int, default=None)
+    fc.add_argument("--include-deleted", action="store_true")
+    fc.add_argument("--filter-ids-file", default=None)
+    fc.set_defaults(fn=cmd_facets)
 
     t = sub.add_parser("transform_queries")
     t.add_argument("corpus")

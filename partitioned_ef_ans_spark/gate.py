@@ -956,3 +956,85 @@ def sql_bool_and() -> str:
 
 def sql_bool_or() -> str:
     return _sql_boolean(False)
+
+
+def q_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The relational boolean twins (conjunctive / disjunctive match
+    counts over the tf truth) in one union entry keyed by ``mode`` —
+    the family-union pattern: same oracle strength, one driver-window
+    slot."""
+    a = q_bool_or(spark, sf_dir).withColumn("mode", F.lit("or"))
+    b = q_bool_and(spark, sf_dir).withColumn("mode", F.lit("and"))
+    return a.unionByName(b)
+
+
+def sql_bool_family() -> str:
+    return (
+        f"SELECT 'or' AS mode, v.* FROM ({sql_bool_or()}) v "
+        "UNION ALL "
+        f"SELECT 'and' AS mode, v.* FROM ({sql_bool_and()}) v"
+    )
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search over the compressed index
+    (query.facet_counts): the doc-partitioned boolean match set joins
+    the column-pruned document metadata and aggregates per
+    (query, facet) — Lucene/Solr terms faceting, gather-free at any
+    query breadth.  Two shapes in one union entry: disjunctive match
+    sets faceted by ``lang`` (full buckets) and conjunctive match sets
+    faceted by ``source`` with top-3 bucket selection (ties by facet
+    value — determinism under uniform bucket sizes)."""
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix = _get_index(spark, sf_dir)
+    docs = load_documents(spark, sf_dir)
+    a = q_mod.facet_counts(
+        spark, ix["index_df"], gate_queries_df(spark), ix["codec"], docs,
+        "lang", conjunctive=False, term_stats_df=ix["term_stats"],
+    ).withColumn("facet_of", F.lit("lang_or"))
+    b = q_mod.facet_counts(
+        spark, ix["index_df"], gate_queries_df(spark), ix["codec"], docs,
+        "source", conjunctive=True, term_stats_df=ix["term_stats"],
+        top_n=3,
+    ).withColumn("facet_of", F.lit("source_and_top3"))
+    return a.unionByName(b)
+
+
+def sql_facet_counts() -> str:
+    qrys, nq = _values_queries()
+    return f"""
+WITH {_TOK_CTE}, {_TF_CTE},
+qrys AS ({qrys}),
+nq AS ({nq}),
+hits_or AS (
+  SELECT q.query_id AS query_id, tf.doc_id AS doc_id
+  FROM tf JOIN (SELECT DISTINCT query_id, term FROM qrys) q ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id
+),
+hits_and AS (
+  SELECT q.query_id AS query_id, tf.doc_id AS doc_id
+  FROM tf JOIN (SELECT DISTINCT query_id, term FROM qrys) q ON tf.term = q.term
+          JOIN nq ON q.query_id = nq.query_id
+  GROUP BY q.query_id, tf.doc_id
+  HAVING count(*) = any_value(nq.n_terms)
+),
+f1 AS (
+  SELECT 'lang_or' AS facet_of, h.query_id AS query_id, d.lang AS facet,
+         CAST(count(*) AS BIGINT) AS matches
+  FROM hits_or h JOIN documents d ON h.doc_id = d.doc_id
+  GROUP BY h.query_id, d.lang
+),
+f2 AS (
+  SELECT 'source_and_top3' AS facet_of, h.query_id AS query_id,
+         d.source AS facet, CAST(count(*) AS BIGINT) AS matches
+  FROM hits_and h JOIN documents d ON h.doc_id = d.doc_id
+  GROUP BY h.query_id, d.source
+  QUALIFY row_number() OVER (
+    PARTITION BY h.query_id ORDER BY count(*) DESC, d.source
+  ) <= 3
+)
+SELECT facet_of, query_id, facet, matches FROM f1
+UNION ALL
+SELECT facet_of, query_id, facet, matches FROM f2
+"""

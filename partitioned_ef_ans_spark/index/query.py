@@ -1170,12 +1170,35 @@ def run_boolean_docpartitioned(
     tomb_bc=None,
 ) -> DataFrame:
     """Document-partitioned boolean match counting — the gather-free
-    twin of run_boolean for giant queries: every chunk emits its
-    (query, doc[, term]) matches locally, the count is a relational
+    twin of run_boolean for giant queries: the distributed match set
+    from :func:`boolean_matches_docpartitioned` collapses to per-query
+    counts.  Zero-match queries emit no row, exactly like the kernel
+    path."""
+    matches = boolean_matches_docpartitioned(
+        spark, index_df, queries_df, codec, conjunctive,
+        term_stats_df=term_stats_df, tomb_bc=tomb_bc,
+    )
+    return matches.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("matches")
+    )
+
+
+def boolean_matches_docpartitioned(
+    spark,
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    codec,
+    conjunctive: bool,
+    term_stats_df: DataFrame | None = None,
+    tomb_bc=None,
+) -> DataFrame:
+    """The DISTRIBUTED boolean match set ``(query_id, doc_id)`` — one
+    row per matching doc, never gathered: every chunk emits its
+    (query, doc[, term]) matches locally, membership is a relational
     aggregation (distinct docs for OR; docs hit by every distinct
-    query term for AND).  Zero-match queries emit no row, exactly like
-    the kernel path.  Chunks flow and decode once per batch
-    (batched_query_lists_df), not once per referencing query."""
+    query term for AND).  This is the substrate count/facet/export
+    consumers aggregate further — chunks flow and decode once per
+    batch (batched_query_lists_df), not once per referencing query."""
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
@@ -1232,23 +1255,16 @@ def run_boolean_docpartitioned(
         schema="query_id long, term string, n_terms long, doc_id long",
     )
     if conjunctive:
-        per_doc = (
+        return (
             rows.groupBy("query_id", "doc_id")
             .agg(
                 F.count_distinct("term").alias("nt_hit"),
                 F.first("n_terms").alias("n_terms"),
             )
             .where(F.col("nt_hit") == F.col("n_terms"))
+            .select("query_id", "doc_id")
         )
-        return per_doc.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("matches")
-        )
-    return (
-        rows.select("query_id", "doc_id")
-        .distinct()
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("matches"))
-    )
+    return rows.select("query_id", "doc_id").distinct()
 
 
 def run_boolean(
@@ -1296,3 +1312,62 @@ def run_boolean(
     joined = query_lists_df(index_df, qdf, term_stats_df)
     kernel = make_bool_kernel(codec_bc, conjunctive, tomb_bc=tomb_bc)
     return joined.groupBy("query_id").applyInPandas(kernel, schema=COUNT_SCHEMA)
+
+
+def facet_counts(
+    spark,
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    codec,
+    docs_meta_df: DataFrame,
+    facet_col: str,
+    conjunctive: bool = False,
+    term_stats_df: DataFrame | None = None,
+    tombstones=None,
+    allowlist=None,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Faceted search: per-query match counts grouped by a document
+    metadata attribute (``SELECT facet, count(*) ... GROUP BY facet``
+    over the boolean match set — Lucene/Solr terms faceting).
+
+    Returns ``(query_id, facet, matches)``; ``top_n`` keeps the N
+    largest facet buckets per query (ties by facet value).  The match
+    set is the doc-partitioned boolean relation
+    (:func:`boolean_matches_docpartitioned`) — gather-free at any
+    query size, which matters here more than anywhere: facet queries
+    are routinely stopword-broad, and the match relation joins the
+    column-pruned ``docs_meta_df`` (doc_id + the one facet column
+    reach the scan) with map-side partial aggregation on
+    (query_id, facet).  ``tombstones``/``allowlist`` mask exactly like
+    run_boolean."""
+    from pyspark.sql.window import Window
+
+    if allowlist is not None:
+        tombstones = make_allowlist(allowlist, tombstones)
+    tomb_bc = _as_tomb_bc(spark, tombstones)
+    qdf = queries_df.select(
+        "query_id", F.array_distinct("terms").alias("terms")
+    )
+    matches = boolean_matches_docpartitioned(
+        spark, index_df, qdf, codec, conjunctive,
+        term_stats_df=term_stats_df, tomb_bc=tomb_bc,
+    )
+    meta = docs_meta_df.select(
+        "doc_id", F.col(facet_col).cast("string").alias("facet")
+    )
+    out = (
+        matches.join(meta, "doc_id")
+        .groupBy("query_id", "facet")
+        .agg(F.count(F.lit(1)).cast("long").alias("matches"))
+    )
+    if top_n is not None:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("matches"), F.asc("facet")
+        )
+        out = (
+            out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_n)
+            .drop("rank")
+        )
+    return out.select("query_id", "facet", "matches")

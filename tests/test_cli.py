@@ -312,3 +312,44 @@ def test_cli_sharded_queries_match_merged(tmp_path):
         assert topk(f"{a},{b}", "--filter-ids-file", ids) == fwant
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cli_facets_match_duckdb(tmp_path):
+    """`facets` — per-query facet counts over the boolean match set —
+    against a DuckDB oracle that re-tokenizes the corpus."""
+    import duckdb
+
+    from partitioned_ef_ans_spark import tokenizer
+
+    idx = f"/dev/shm/pefa_cli_facet_{os.getpid()}"
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        run_cli("create_freq_index", "block_ansmsbmedmaxmerged",
+                f"{SF}/documents.parquet", idx)
+        out = run_cli("facets", idx, "--meta", f"{SF}/documents.parquet",
+                      "--facet-col", "lang", stdin="1\tdup spark\n2\tthe\n")
+        got = {
+            (int(q), f): int(m)
+            for q, f, m in (l.split("\t") for l in out.splitlines() if l)
+        }
+        want = {}
+        for qid, terms in ((1, ("dup", "spark")), (2, ("the",))):
+            vals = ", ".join(f"('{t}')" for t in terms)
+            for f, m in duckdb.sql(f"""
+                WITH tok AS (
+                  SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                         '{tokenizer.DUCKDB_TOKEN_SPLIT}')) AS term
+                  FROM '{SF}/documents.parquet'
+                ),
+                hits AS (
+                  SELECT DISTINCT doc_id FROM tok
+                  WHERE term IN (SELECT t FROM (VALUES {vals}) AS v(t))
+                )
+                SELECT d.lang, count(*) FROM hits h
+                JOIN '{SF}/documents.parquet' d ON h.doc_id = d.doc_id
+                GROUP BY d.lang
+            """).fetchall():
+                want[(qid, f)] = int(m)
+        assert got == want
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
