@@ -57,12 +57,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranked_and_top10": gate.q_ranked_and,
         # ---- compressed-index retrieval (15)
         "index_decode_flat": gate.q_index_decode_flat,
-        "wand_top10": gate.q_wand_top10,
-        "wand_blockmax_top10": gate.q_wand_blockmax_top10,
+        "wand_family": gate.q_wand_family,
         "blockmax_docpart_top10": gate.q_blockmax_docpart_top10,
         "maxscore_top10": gate.q_maxscore_top10,
         "maxscore_blockmax_top10": gate.q_maxscore_blockmax_top10,
-        "wand_bmw_top10": gate.q_wand_bmw_top10,
         "ranked_docpart_family": gate.q_ranked_docpart_family,
         "ranked_indexed_family": gate.q_ranked_indexed_family,
         "bool_indexed": gate.q_bool_indexed,
@@ -71,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranked_deleted_top10": gate.q_ranked_deleted_top10,
         "ranked_filtered_top10": gate.q_ranked_filtered_top10,
         "facet_counts": gate.q_facet_counts,
+        "phrase_match_counts": gate.q_phrase_match_counts,
+        "phrase_ranked_top10": gate.q_phrase_ranked_top10,
         # ---- stats with closed-form oracles (2)
         "index_stats_u32": gate.q_index_stats_u32,
         "index_block_stats_u32": gate.q_index_block_stats_u32,
@@ -103,12 +103,10 @@ def oracle_sql() -> dict[str, str]:
         # index_decode_kinds are rows-only (ANS codec byte counts have
         # no SQL equivalent; exact values pinned in pytest).
         "index_decode_flat": gate.sql_postings_flat(),
-        "wand_top10": gate.sql_ranked_or(),
-        "wand_blockmax_top10": gate.sql_ranked_or(),
+        "wand_family": gate.sql_wand_family(),
         "blockmax_docpart_top10": gate.sql_ranked_or(),
         "maxscore_top10": gate.sql_ranked_or(),
         "maxscore_blockmax_top10": gate.sql_ranked_or(),
-        "wand_bmw_top10": gate.sql_ranked_or(),
         "ranked_docpart_family": gate.sql_ranked_docpart_family(),
         "ranked_indexed_family": gate.sql_ranked_indexed_family(),
         "bool_indexed": gate.sql_bool_indexed(),
@@ -117,6 +115,8 @@ def oracle_sql() -> dict[str, str]:
         "ranked_deleted_top10": gate.sql_ranked_deleted(),
         "ranked_filtered_top10": gate.sql_ranked_filtered(),
         "facet_counts": gate.sql_facet_counts(),
+        "phrase_match_counts": gate.sql_phrase_match_counts(),
+        "phrase_ranked_top10": gate.sql_phrase_ranked(),
         "index_stats_u32": gate.sql_index_stats_u32(),
         "index_block_stats_u32": gate.sql_index_block_stats_u32(),
         "index_decode_flat_ef_family": gate.sql_decode_flat_union(

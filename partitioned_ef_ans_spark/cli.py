@@ -150,12 +150,13 @@ def cmd_create_freq_index(args) -> int:
             spark, docs, args.out, codec=codec,
             doc_col=doc_col, text_col=text_col,
             chunk_postings=args.chunk_postings, num_parts=args.num_parts,
+            ngram=args.ngram,
         )
     else:
         m = b_mod.build_index(
             spark, docs, args.out, codec=codec,
             doc_col=doc_col, text_col=text_col,
-            chunk_postings=args.chunk_postings,
+            chunk_postings=args.chunk_postings, ngram=args.ngram,
         )
     # the reference's stats lines (create_freq_index.cpp:290-299)
     print(f"{args.type} collection built in {m['build_sec']:.3f} seconds")
@@ -180,8 +181,11 @@ def cmd_create_freq_index(args) -> int:
         # full verification pass (create_freq_index.cpp:15-62): decode
         # the frozen index and diff against the relational truth
         index_df, _stats, _ts, ixcodec, man = b_mod.load_index(spark, args.out)
+        from partitioned_ef_ans_spark.tokenizer import tokenize_ngram
+
         truth = (
-            term_frequencies(tokenize(docs, doc_col=doc_col, text_col=text_col))
+            term_frequencies(tokenize_ngram(
+                docs, doc_col=doc_col, text_col=text_col, ngram=args.ngram))
             .select("term", "doc_id", F.col("tf").cast("long").alias("tf"))
         )
         decoded = _decode_flat(spark, index_df, ixcodec)
@@ -485,6 +489,54 @@ def cmd_queries(args) -> int:
     return 0
 
 
+def cmd_phrase(args) -> int:
+    """Exact phrase search over a shingle index (index/phrase.py):
+    candidates from the conjunctive shingle match, verified against
+    the corpus token stream; --ranked scores the phrase as a unit
+    term (BM25 over shingle statistics, 2-word phrases)."""
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import phrase as ph_mod
+    from partitioned_ef_ans_spark.index.checkpoint import load_tombstones
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    qs = _read_query_lines(sys.stdin)
+    if not qs:
+        print("no queries on stdin", file=sys.stderr)
+        return 1
+    spark = _spark(args)
+    index_df, _stats, term_stats, codec, man = b_mod.load_index(
+        spark, args.index_dir
+    )
+    n = int(man.get("ngram", 1))
+    if n < 2:
+        print(f"{args.index_dir} is a unigram index (ngram={n}); build "
+              "with create_freq_index --ngram 2 first", file=sys.stderr)
+        spark.stop()
+        return 1
+    qdf = queries_to_df(spark, qs)
+    tombs = None if args.include_deleted else load_tombstones(args.index_dir)
+    if args.ranked:
+        res = ph_mod.run_phrase_ranked(
+            spark, index_df, qdf, codec, man["num_docs"],
+            man["avg_doc_len"], k=args.k, dtype="float32", n=n,
+            term_stats_df=term_stats, tombstones=tombs,
+        )
+        for r in res.orderBy("query_id", "rank").collect():
+            print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t"
+                  f"{r['score']}")
+    else:
+        docs = spark.read.parquet(args.corpus) if args.corpus else None
+        res = ph_mod.phrase_match_counts(
+            spark, index_df, qdf, codec, docs_df=docs,
+            text_col=args.text_col, n=n, term_stats_df=term_stats,
+            tombstones=tombs,
+        )
+        for r in res.orderBy("query_id").collect():
+            print(f"{r['query_id']}\t{r['matches']}")
+    spark.stop()
+    return 0
+
+
 def cmd_facets(args) -> int:
     """Faceted search: per-query match counts grouped by a metadata
     column of the docs table (query.facet_counts — doc-partitioned
@@ -589,6 +641,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpointed per-part layout (preemption-safe; "
                         "required for update_index)")
     b.add_argument("--num-parts", type=int, default=8)
+    b.add_argument("--ngram", type=int, default=1,
+                   help=">=2 builds a word-shingle (phrase) index; the "
+                        "token rule rides in the manifest so updates/"
+                        "merges keep it (query with the `phrase` "
+                        "command)")
     b.add_argument("--eps1", type=float, default=None,
                    help="PEF partition-DP approximation knob "
                         "(configuration.hpp QS_EPS1, default 0.03); "
@@ -677,6 +734,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-query in-process latency quantiles "
                         "(op_perftest shape) instead of the Spark suite")
     q.set_defaults(fn=cmd_queries)
+
+    ph = sub.add_parser("phrase")
+    ph.add_argument("index_dir", help="shingle index (built with --ngram 2)")
+    ph.add_argument("--corpus", default=None,
+                    help="corpus parquet for the exact-verification join "
+                         "(required for phrases longer than the shingle "
+                         "width)")
+    ph.add_argument("--text-col", default="text")
+    ph.add_argument("--ranked", action="store_true",
+                    help="BM25 top-k instead of match counts")
+    ph.add_argument("-k", type=int, default=10)
+    ph.add_argument("--include-deleted", action="store_true")
+    ph.set_defaults(fn=cmd_phrase)
 
     fc = sub.add_parser("facets")
     fc.add_argument("index_dir")

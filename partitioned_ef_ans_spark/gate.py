@@ -291,6 +291,31 @@ def q_blockmax_docpart_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wand_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three WAND twins over the compressed index (faithful
+    per-posting pivot walk, queries.hpp:203-322 / vectorized block-max
+    interval sweep, index/blockmax.py / true BMW with shallow
+    per-block re-bound, Ding & Suel 2011) in one union entry keyed by
+    ``mode`` — the family-union pattern: same oracle strength, one
+    driver-window slot."""
+    a = q_wand_top10(spark, sf_dir).withColumn("mode", F.lit("wand"))
+    b = q_wand_blockmax_top10(spark, sf_dir).withColumn(
+        "mode", F.lit("blockmax")
+    )
+    c = q_wand_bmw_top10(spark, sf_dir).withColumn("mode", F.lit("bmw"))
+    return a.unionByName(b).unionByName(c)
+
+
+def sql_wand_family() -> str:
+    return (
+        f"SELECT 'wand' AS mode, v.* FROM ({sql_ranked_or()}) v "
+        "UNION ALL "
+        f"SELECT 'blockmax' AS mode, v.* FROM ({sql_ranked_or()}) v "
+        "UNION ALL "
+        f"SELECT 'bmw' AS mode, v.* FROM ({sql_ranked_or()}) v"
+    )
+
+
 def q_taat_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized pruned TAAT (the NumPy scale path) — must be
     rank-identical to the ranked-OR oracle like WAND/MaxScore."""
@@ -930,6 +955,178 @@ def sql_ranked_filtered() -> str:
 
 def sql_ranked_and() -> str:
     return _sql_ranked(True)
+
+
+# --------------------------------------------------- phrase (shingle) plane
+
+#: exact-match phrase queries: two frequent bigrams, a trigram whose
+#: bigram-conjunction CANDIDATES exceed its exact matches at sf0.01
+#: (8 vs 3 — the verification join is load-bearing), a rare dup
+#: trigram, and an OOV phrase (no row on either side)
+PHRASE_QUERIES = [
+    (0, "table hash"),
+    (1, "merge group"),
+    (2, "fast hash slow"),
+    (3, "batch small dup"),
+    (4, "zz0 zz1"),
+]
+
+#: ranked phrases are all exactly shingle-width (2 words): the shingle
+#: conjunction is exact by construction and BM25 scores the phrase as
+#: a unit term over the shingle statistics
+PHRASE_RANKED_QUERIES = [
+    (0, "table hash"),
+    (1, "merge group"),
+    (2, "slow key"),
+    (3, "customer join"),
+]
+
+
+def _get_phrase_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) and load the 2-gram shingle index —
+    the ordinary build with tokenize_shingles swapped in."""
+    import hashlib
+    import os
+
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import phrase as ph_mod
+
+    key = (sf_dir, "shingle2")
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = hashlib.sha1(f"{sf_dir}|shingle2".encode()).hexdigest()[:12]
+    out_dir = f"/dev/shm/pefa_index_{os.getpid()}_{tag}"
+    ph_mod.build_phrase_index(
+        spark, load_documents(spark, sf_dir), out_dir, codec="ans", n=2,
+        chunk_postings=256, doc_col="doc_id", text_col="text",
+    )
+    index_df, _stats_df, term_stats_df, codec_obj, manifest = b_mod.load_index(
+        spark, out_dir
+    )
+    bundle = {
+        "index_df": index_df.cache(),
+        "term_stats": term_stats_df.cache(),
+        "codec": codec_obj,
+        "num_docs": manifest["num_docs"],
+        "avg_len": manifest["avg_doc_len"],
+        "manifest": manifest,
+    }
+    _INDEX_CACHE[key] = bundle
+    return bundle
+
+
+def _phrase_qdf(spark, queries):
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    return queries_to_df(spark, [(q, p.split()) for q, p in queries])
+
+
+def q_phrase_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phrase match counts over the 2-gram shingle index
+    (index/phrase.py): conjunctive shingle candidates from the
+    doc-partitioned match relation, then the verification join against
+    the candidate docs' token stream — exact at any phrase length.
+    The trigram gate query has more candidates than matches, so the
+    verify step is provably load-bearing."""
+    from partitioned_ef_ans_spark.index import phrase as ph_mod
+
+    ix = _get_phrase_index(spark, sf_dir)
+    return ph_mod.phrase_match_counts(
+        spark, ix["index_df"], _phrase_qdf(spark, PHRASE_QUERIES),
+        ix["codec"], docs_df=load_documents(spark, sf_dir),
+        text_col="text", n=2, term_stats_df=ix["term_stats"],
+    )
+
+
+def sql_phrase_match_counts() -> str:
+    vals = ", ".join(
+        f"({qid}, '{p}')" for qid, p in PHRASE_QUERIES
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{tokenizer.DUCKDB_TOKEN_SPLIT}'),
+                     x -> x <> '') AS a
+  FROM documents
+),
+phrases AS (SELECT * FROM (VALUES {vals}) AS p(query_id, phrase))
+SELECT p.query_id AS query_id, CAST(count(*) AS BIGINT) AS matches
+FROM arr CROSS JOIN phrases p
+WHERE position(' ' || p.phrase || ' ' IN
+               ' ' || array_to_string(arr.a, ' ') || ' ') > 0
+GROUP BY p.query_id
+"""
+
+
+def q_phrase_ranked_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked phrase retrieval: 2-word phrases scored as unit
+    terms over the shingle index (run_ranked mode=ranked_and on
+    shingle statistics) — rank-identical to the shingle-tf relational
+    oracle."""
+    from partitioned_ef_ans_spark.index import phrase as ph_mod
+
+    ix = _get_phrase_index(spark, sf_dir)
+    return ph_mod.run_phrase_ranked(
+        spark, ix["index_df"], _phrase_qdf(spark, PHRASE_RANKED_QUERIES),
+        ix["codec"], ix["num_docs"], ix["avg_len"], k=TOP_K,
+        dtype="float64", n=2, term_stats_df=ix["term_stats"],
+    )
+
+
+def sql_phrase_ranked() -> str:
+    docw = bm25.duckdb_doc_term_weight(tf="tf2.tf", norm_len="ds2.norm_len")
+    qw = bm25.duckdb_query_term_weight(
+        qtf="1", df="dfs2.df", num_docs="nd.num_docs"
+    )
+    vals = ", ".join(f"({qid}, '{p}')" for qid, p in PHRASE_RANKED_QUERIES)
+    return f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '{tokenizer.DUCKDB_TOKEN_SPLIT}'),
+                     x -> x <> '') AS a
+  FROM documents
+),
+ixn AS (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM arr),
+tf2 AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] AS term,
+         CAST(count(*) AS INT) AS tf
+  FROM ixn GROUP BY doc_id, a[i] || ' ' || a[i+1]
+),
+dfs2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS num_docs FROM documents),
+lens2 AS (
+  SELECT d.doc_id, CAST(coalesce(t.c, 0) AS BIGINT) AS doc_len
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, sum(tf) AS c FROM tf2 GROUP BY doc_id
+  ) t USING (doc_id)
+),
+ds2 AS (
+  SELECT doc_id,
+         CAST(doc_len AS DOUBLE) / (SELECT avg(doc_len) FROM lens2)
+           AS norm_len
+  FROM lens2
+),
+phrases AS (SELECT * FROM (VALUES {vals}) AS p(query_id, term)),
+qw AS (
+  SELECT p.query_id, p.term, {qw} AS q_weight
+  FROM phrases p JOIN dfs2 USING (term) CROSS JOIN nd
+),
+per_doc AS (
+  SELECT qw.query_id AS query_id, tf2.doc_id AS doc_id,
+         round(sum(qw.q_weight * {docw}), {bm25.ROUND_DECIMALS}) AS score
+  FROM tf2
+  JOIN qw ON tf2.term = qw.term
+  JOIN ds2 ON tf2.doc_id = ds2.doc_id
+  GROUP BY qw.query_id, tf2.doc_id
+)
+SELECT query_id, CAST(row_number() OVER w AS INT) AS "rank", doc_id, score
+FROM per_doc
+WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
+QUALIFY "rank" <= {TOP_K}
+ORDER BY query_id, "rank"
+"""
 
 
 def _sql_boolean(conjunctive: bool) -> str:

@@ -446,15 +446,21 @@ def build_index(
     chunk_postings: int = p_mod.DEFAULT_CHUNK_POSTINGS,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    ngram: int = 1,
 ) -> dict:
     """End-to-end: corpus -> tokenize -> postings -> models -> encoded
-    index at ``out_dir`` (parquet + sidecar).  Returns build metrics."""
+    index at ``out_dir`` (parquet + sidecar).  Returns build metrics.
+    ``ngram>=2`` builds a word-shingle (phrase) index — the token rule
+    is recorded in the manifest so maintenance paths keep it."""
     from partitioned_ef_ans_spark.session import ship_package
+    from partitioned_ef_ans_spark.tokenizer import tokenize_ngram
 
     ship_package(spark)
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.perf_counter()
-    tokens = tokenize(corpus_docs, doc_col=doc_col, text_col=text_col)
+    tokens = tokenize_ngram(
+        corpus_docs, doc_col=doc_col, text_col=text_col, ngram=ngram
+    )
     tf = term_frequencies(tokens).cache()  # reused by stats + postings
     stats = ds_mod.build_doc_stats(
         corpus_docs.select(F.col(doc_col).alias("doc_id")),
@@ -562,6 +568,7 @@ def build_index(
         }
     metrics = {
         "codec": codec,
+        "ngram": int(ngram),
         "num_docs": num_docs,
         "universe": universe,
         "avg_doc_len": avg_len,

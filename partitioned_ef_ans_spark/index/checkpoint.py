@@ -68,6 +68,7 @@ def build_index_resumable(
     doc_col: str = "doc_id",
     text_col: str = "text",
     fail_after_parts: int | None = None,
+    ngram: int = 1,
 ) -> dict:
     from partitioned_ef_ans_spark.session import ship_package
 
@@ -90,7 +91,11 @@ def build_index_resumable(
 
     # ---- stage 1: postings + stats + models (idempotent)
     if not os.path.exists(f"{staging}/_SUCCESS"):
-        tokens = tokenize(corpus_docs, doc_col=doc_col, text_col=text_col)
+        from partitioned_ef_ans_spark.tokenizer import tokenize_ngram
+
+        tokens = tokenize_ngram(
+            corpus_docs, doc_col=doc_col, text_col=text_col, ngram=ngram
+        )
         tf = term_frequencies(tokens).cache()
         stats = ds_mod.build_doc_stats(
             corpus_docs.select(F.col(doc_col).alias("doc_id")),
@@ -196,6 +201,7 @@ def build_index_resumable(
     ).collect()[0]
     metrics = {
         "codec": codec,
+        "ngram": int(ngram),
         "num_docs": num_docs,
         "universe": universe,
         "avg_doc_len": avg_len,
@@ -852,14 +858,20 @@ def _merge_indexes_locked(
 
     # codec + chunk size derive from the sources the same way on a
     # fresh run and on a crash-resume (manifest reads are atomic)
-    codecs, chunk_sizes = set(), set()
+    codecs, chunk_sizes, ngrams = set(), set(), set()
     for s in src_dirs:
         with open(f"{s}/models.pkl", "rb") as fh:
             codecs.add(pickle.load(fh)["codec"])
         with open(f"{s}/manifest.json") as fh:
-            chunk_sizes.add(int(json.load(fh)["chunk_postings"]))
+            _m = json.load(fh)
+        chunk_sizes.add(int(_m["chunk_postings"]))
+        ngrams.add(int(_m.get("ngram", 1)))
     if len(codecs) != 1:
         raise ValueError(f"sources use different codecs: {codecs}")
+    if len(ngrams) != 1:
+        raise ValueError(
+            f"sources use different token rules (ngram): {sorted(ngrams)}"
+        )
     codec = codecs.pop()
     if chunk_postings is None:
         chunk_postings = max(chunk_sizes)
@@ -949,7 +961,7 @@ def _merge_indexes_locked(
     # manifest resume from checkpoints
     man = build_index_resumable(
         spark, None, out_dir, codec=codec, num_parts=num_parts,
-        chunk_postings=chunk_postings,
+        chunk_postings=chunk_postings, ngram=ngrams.pop(),
     )
     man["merged_from"] = list(src_dirs)
     _write_manifest_atomic(out_dir, man)
@@ -1016,6 +1028,11 @@ def _merge_concat_locked(spark, out_dir, src_dirs) -> dict:
         codecs = {m["side"]["codec"] for m in metas}
         if len(codecs) != 1:
             raise ValueError(f"sources use different codecs: {codecs}")
+        ngrams = {int(m["man"].get("ngram", 1)) for m in metas}
+        if len(ngrams) != 1:
+            raise ValueError(
+                f"sources use different token rules (ngram): {sorted(ngrams)}"
+            )
         codec = codecs.pop()
         # EF families lay payloads out against the build-time universe:
         # appended segments carry their SOURCE's universe in
@@ -1400,8 +1417,11 @@ def update_index_incremental(
         raise ValueError(
             f"incremental update needs fresh doc_ids (> {old_max}), got min {new_min}"
         )
+    from partitioned_ef_ans_spark.tokenizer import tokenize_ngram
+
     tf_new = term_frequencies(
-        tokenize(new_docs, doc_col=doc_col, text_col=text_col)
+        tokenize_ngram(new_docs, doc_col=doc_col, text_col=text_col,
+                       ngram=int(man.get("ngram", 1)))
     ).select("doc_id", "term", "tf")
     # CRASH SAFETY: doc_stats.parquet is appended LAST (step 8) — it
     # feeds old_max, so a doc enters the replay filter only after its
@@ -1736,8 +1756,13 @@ def update_index_delta(
         )
 
     # ---- delta postings: the batch alone, chunked and encoded
+    # (same token rule the index was built with — shingle indexes
+    # delta-update like any other)
+    from partitioned_ef_ans_spark.tokenizer import tokenize_ngram
+
     tf_new = term_frequencies(
-        tokenize(new_docs, doc_col=doc_col, text_col=text_col)
+        tokenize_ngram(new_docs, doc_col=doc_col, text_col=text_col,
+                       ngram=int(man.get("ngram", 1)))
     ).select("doc_id", "term", "tf")
     stats_new = ds_mod.build_doc_stats(
         new_docs.select(F.col(doc_col).alias("doc_id")), tf_new

@@ -82,6 +82,50 @@ def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield out
 
 
+def shingles_array(text: Column, n: int = 2) -> Column:
+    """Column expression: text -> array<string> of word n-gram
+    "shingle" terms (Lucene ShingleFilter shape): consecutive token
+    windows joined by a single space — a safe separator, since tokens
+    match ``[a-z0-9_]+``, so shingle terms can never collide with
+    unigram terms or with each other.  Docs shorter than ``n`` tokens
+    yield an empty array.  Entirely JVM-side (whole-stage codegen)."""
+    if n < 2:
+        raise ValueError("shingles_array: n must be >= 2")
+    t = tokens_array(text)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def tokenize_shingles(corpus: DataFrame, doc_col: str = "doc_id",
+                      text_col: str = "content", n: int = 2) -> DataFrame:
+    """Explode a corpus table into one row per n-gram shingle
+    occurrence — ``(doc_id, term)`` with terms like ``"a b"``.  The
+    drop-in tokenizer for building a phrase (shingle) index with the
+    ordinary index build."""
+    return corpus.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(shingles_array(F.col(text_col), n)).alias("term"),
+    )
+
+
+def tokenize_ngram(corpus: DataFrame, doc_col: str = "doc_id",
+                   text_col: str = "content", ngram: int = 1) -> DataFrame:
+    """Dispatch on the index's token rule: ``ngram=1`` is ordinary
+    tokenization, ``ngram>=2`` the shingle stream.  The value is
+    recorded in the index manifest so every maintenance path
+    (incremental update, LSM delta, streamed folds) keeps tokenizing
+    the way the index was built."""
+    if ngram <= 1:
+        return tokenize(corpus, doc_col=doc_col, text_col=text_col)
+    return tokenize_shingles(corpus, doc_col=doc_col, text_col=text_col,
+                             n=ngram)
+
+
 def tokenize_arrow(corpus: DataFrame, doc_col: str = "doc_id", text_col: str = "content") -> DataFrame:
     """Arrow-batched (mapInPandas) tokenizer, result-identical to
     :func:`tokenize`.  Hook point for code-aware token rules that

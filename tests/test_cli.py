@@ -353,3 +353,53 @@ def test_cli_facets_match_duckdb(tmp_path):
         assert got == want
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_cli_phrase_index_and_search(tmp_path):
+    """create_freq_index --ngram 2 -> phrase (counts + --ranked): the
+    CLI phrase flow, counts pinned against a DuckDB token-stream
+    containment oracle."""
+    import duckdb
+
+    from partitioned_ef_ans_spark import tokenizer
+
+    idx = f"/dev/shm/pefa_cli_phrase_{os.getpid()}"
+    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        out = run_cli("create_freq_index", "block_ansmsbmedmaxmerged",
+                      f"{SF}/documents.parquet", idx, "--ngram", "2",
+                      "--check")
+        assert "check ok:" in out
+
+        phrases = [(1, "order fast"), (2, "agg dup"), (3, "zz qq")]
+        stdin = "".join(f"{q}\t{p}\n" for q, p in phrases)
+        out = run_cli("phrase", idx, "--corpus", f"{SF}/documents.parquet",
+                      stdin=stdin)
+        got = {
+            int(q): int(m)
+            for q, m in (l.split("\t") for l in out.splitlines() if l)
+        }
+        want = {}
+        for qid, p in phrases:
+            n = duckdb.sql(f"""
+                WITH arr AS (
+                  SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text),
+                                     '{tokenizer.DUCKDB_TOKEN_SPLIT}'),
+                                     x -> x <> '') AS a
+                  FROM '{SF}/documents.parquet'
+                )
+                SELECT count(*) FROM arr
+                WHERE position(' {p} ' IN
+                               ' ' || array_to_string(a, ' ') || ' ') > 0
+            """).fetchone()[0]
+            if n:
+                want[qid] = int(n)
+        assert got == want and got
+
+        out = run_cli("phrase", idx, "--ranked", stdin="1\tagg dup\n")
+        rows = [l.split("\t") for l in out.splitlines() if l]
+        assert rows and all(len(r) == 4 for r in rows)
+        assert [int(r[1]) for r in rows] == list(range(1, len(rows) + 1))
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
