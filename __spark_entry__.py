@@ -12,17 +12,21 @@ types, the 22 training/event-pipeline operators) sits inside that
 window; only the rows-only ANS stats twins (independently pinned by
 pytest — tests/test_decode_kinds.py, tests/test_stats_pinned.py) sit
 past it.  Per-codec decode twins are collapsed into three
-family-union entries, the four EF-family WAND twins into one, the two
-IVF ANN twins into one, and the docpart / indexed ranked twin pairs
-into one union each (same oracle strength, fewer slots) — 53 entries
+family-union entries, the WAND twins (incl. true BMW and the
+doc-partitioned shape) into ``wand_family``, the MaxScore twins into
+``maxscore_family``, the EF-family WAND twins into one, the two IVF
+ANN twins into one, and the docpart / indexed ranked twin pairs into
+one union each (same oracle strength, fewer slots) — 53 entries
 total: the first 50 are ALL oracle-hashed (transform_queries via the
 pinned Porter stem table, functions/stem_fixture.py;
 ranked_deleted_top10 / ranked_filtered_top10 gate the two masking
-polarities (tombstone deletion / allowlist-filtered retrieval);
-the pruned TAAT twin rides in ranked_indexed_family;
+polarities; the pruned TAAT twin rides in ranked_indexed_family;
 neardup_clusters gates the connected-components closure against a
 DuckDB recursive-CTE oracle; hybrid_rrf_topk gates sparse+dense
-reciprocal-rank fusion), the 3 past-window ones rows-only.
+reciprocal-rank fusion; phrase_match_counts / phrase_ranked_top10
+gate shingle-index phrase retrieval; decontaminate /
+stratified_sample gate the training-mix hygiene plane), the 3
+past-window ones rows-only.
 """
 
 from __future__ import annotations
@@ -55,12 +59,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_family": gate.q_bool_family,
         "ranked_or_top10": gate.q_ranked_or,
         "ranked_and_top10": gate.q_ranked_and,
-        # ---- compressed-index retrieval (15)
+        # ---- compressed-index retrieval (13)
         "index_decode_flat": gate.q_index_decode_flat,
         "wand_family": gate.q_wand_family,
-        "blockmax_docpart_top10": gate.q_blockmax_docpart_top10,
-        "maxscore_top10": gate.q_maxscore_top10,
-        "maxscore_blockmax_top10": gate.q_maxscore_blockmax_top10,
+        "maxscore_family": gate.q_maxscore_family,
         "ranked_docpart_family": gate.q_ranked_docpart_family,
         "ranked_indexed_family": gate.q_ranked_indexed_family,
         "bool_indexed": gate.q_bool_indexed,
@@ -78,7 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_decode_flat_ef_family": gate.q_index_decode_flat_ef_family,
         "index_decode_flat_ans_family": gate.q_index_decode_flat_ans_family,
         "index_decode_flat_block_family": gate.q_index_decode_flat_block_family,
-        # ---- training-data pipeline (21)
+        # ---- training-data pipeline (24)
         **gate_training.TRAINING_QUERIES,
         # ---- rows-only ANS stats twins (pytest-pinned; past-window OK)
         "index_stats": gate.q_index_stats,
@@ -104,9 +106,7 @@ def oracle_sql() -> dict[str, str]:
         # no SQL equivalent; exact values pinned in pytest).
         "index_decode_flat": gate.sql_postings_flat(),
         "wand_family": gate.sql_wand_family(),
-        "blockmax_docpart_top10": gate.sql_ranked_or(),
-        "maxscore_top10": gate.sql_ranked_or(),
-        "maxscore_blockmax_top10": gate.sql_ranked_or(),
+        "maxscore_family": gate.sql_maxscore_family(),
         "ranked_docpart_family": gate.sql_ranked_docpart_family(),
         "ranked_indexed_family": gate.sql_ranked_indexed_family(),
         "bool_indexed": gate.sql_bool_indexed(),

@@ -292,27 +292,47 @@ def q_blockmax_docpart_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_wand_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three WAND twins over the compressed index (faithful
+    """The four WAND twins over the compressed index (faithful
     per-posting pivot walk, queries.hpp:203-322 / vectorized block-max
     interval sweep, index/blockmax.py / true BMW with shallow
-    per-block re-bound, Ding & Suel 2011) in one union entry keyed by
-    ``mode`` — the family-union pattern: same oracle strength, one
-    driver-window slot."""
+    per-block re-bound, Ding & Suel 2011 / the doc-partitioned
+    block-max shape — a single query never gathers a full list into
+    one task) in one union entry keyed by ``mode`` — the family-union
+    pattern: same oracle strength, one driver-window slot."""
     a = q_wand_top10(spark, sf_dir).withColumn("mode", F.lit("wand"))
     b = q_wand_blockmax_top10(spark, sf_dir).withColumn(
         "mode", F.lit("blockmax")
     )
     c = q_wand_bmw_top10(spark, sf_dir).withColumn("mode", F.lit("bmw"))
-    return a.unionByName(b).unionByName(c)
+    d = q_blockmax_docpart_top10(spark, sf_dir).withColumn(
+        "mode", F.lit("blockmax_docpart")
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def sql_wand_family() -> str:
-    return (
-        f"SELECT 'wand' AS mode, v.* FROM ({sql_ranked_or()}) v "
-        "UNION ALL "
-        f"SELECT 'blockmax' AS mode, v.* FROM ({sql_ranked_or()}) v "
-        "UNION ALL "
-        f"SELECT 'bmw' AS mode, v.* FROM ({sql_ranked_or()}) v"
+    return " UNION ALL ".join(
+        f"SELECT '{m}' AS mode, v.* FROM ({sql_ranked_or()}) v"
+        for m in ("wand", "blockmax", "bmw", "blockmax_docpart")
+    )
+
+
+def q_maxscore_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two MaxScore twins (faithful per-posting essential-list
+    walk, queries.hpp:478-587 / vectorized essential split over block
+    metadata + selective decode) in one union entry keyed by
+    ``mode``."""
+    a = q_maxscore_top10(spark, sf_dir).withColumn("mode", F.lit("maxscore"))
+    b = q_maxscore_blockmax_top10(spark, sf_dir).withColumn(
+        "mode", F.lit("maxscore_blockmax")
+    )
+    return a.unionByName(b)
+
+
+def sql_maxscore_family() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{m}' AS mode, v.* FROM ({sql_ranked_or()}) v"
+        for m in ("maxscore", "maxscore_blockmax")
     )
 
 

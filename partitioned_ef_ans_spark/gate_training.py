@@ -815,6 +815,111 @@ def sql_ann_ivf_family() -> str:
     )
 
 
+# ------------------------------------------------- decontamination
+
+#: gate eval set: every 97th doc poses as a benchmark item — its dup
+#: twins and near-dup neighbours in the corpus are the "contaminated"
+#: docs a real pipeline must catch
+_EVAL_MOD = 97
+#: 3-gram at this corpus size (docs are short); production uses 13
+_DECONTAM_N = 3
+#: keeps 74 of 213 overlapping pairs at sf0.01 — the threshold filter
+#: is load-bearing, and partial (non-self) contamination survives it
+_DECONTAM_MIN_OVERLAP = 0.02
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): distinct
+    eval-item n-grams broadcast against the corpus shingle stream;
+    per-(doc, eval) overlap fraction thresholded on the ROUNDED value
+    so both engines cut identically."""
+    from partitioned_ef_ans_spark.operators import decontam as dc_mod
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return dc_mod.contamination(
+        docs, ev, n=_DECONTAM_N, min_overlap=_DECONTAM_MIN_OVERLAP
+    )
+
+
+def sql_decontaminate() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+dsh AS (SELECT DISTINCT doc_id, w[i+1]||' '||w[i+2]||' '||w[i+3] AS shingle
+        FROM t, UNNEST(range(len(w)-2)) u(i) WHERE len(w) >= 3),
+ev AS (SELECT doc_id AS eval_id, w FROM t WHERE doc_id % {_EVAL_MOD} = 0),
+esh AS (SELECT DISTINCT eval_id, shingle FROM (
+          SELECT eval_id, w[i+1]||' '||w[i+2]||' '||w[i+3] AS shingle
+          FROM ev, UNNEST(range(len(w)-2)) u(i) WHERE len(w) >= 3)),
+sizes AS (SELECT eval_id, count(*) AS eval_ngrams FROM esh GROUP BY eval_id),
+hits AS (SELECT doc_id, eval_id, count(*) AS n_hit
+         FROM dsh JOIN esh USING (shingle) GROUP BY 1, 2)
+SELECT doc_id, eval_id,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(eval_ngrams AS BIGINT) AS eval_ngrams,
+       round(n_hit * 1.0 / eval_ngrams, 6) AS overlap_frac
+FROM hits JOIN sizes USING (eval_id)
+WHERE round(n_hit * 1.0 / eval_ngrams, 6) >= {_DECONTAM_MIN_OVERLAP}"""
+
+
+# ------------------------------------------- deterministic sampling
+
+#: per-language keep rates for the training mix; zh is deliberately
+#: absent — it falls to default_rate 0 (dropped), the quota-less path
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.1, "fr": 1.0}
+#: exact per-language quotas; de's 100 > |de| exercises min(cap, n)
+SAMPLE_CAPS = {"en": 25, "zh": 10, "de": 100}
+_SAMPLE_SEED = "mix0"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py), both
+    modes in one union entry: hash-threshold rate sampling (map-side
+    only — the 100-TB shape) and exact per-stratum caps (two-stage
+    salted top-k by hash).  Membership derives from md5(seed:id), so
+    DuckDB replays the identical sample."""
+    from partitioned_ef_ans_spark.operators import sampling as s_mod
+
+    docs = _docs(spark, sf_dir)
+    a = s_mod.stratified_sample(
+        docs, SAMPLE_RATES, seed=_SAMPLE_SEED
+    ).select(F.lit("rate").alias("mode"), "doc_id", "lang")
+    b = s_mod.stratified_cap(
+        docs, SAMPLE_CAPS, seed=_SAMPLE_SEED
+    ).select(F.lit("cap").alias("mode"), "doc_id", "lang")
+    return a.unionByName(b)
+
+
+def sql_stratified_sample() -> str:
+    from partitioned_ef_ans_spark.operators.sampling import (
+        HASH_SPACE,
+        duckdb_sample_hash,
+    )
+
+    hv = duckdb_sample_hash("doc_id", _SAMPLE_SEED)
+    # identical integer thresholds to the Spark side: int(rate * 2^60)
+    rate_case = "CASE lang " + " ".join(
+        f"WHEN '{s}' THEN CAST({int(r * HASH_SPACE)} AS BIGINT)"
+        for s, r in sorted(SAMPLE_RATES.items())
+    ) + " ELSE CAST(0 AS BIGINT) END"
+    cap_langs = ", ".join(f"'{s}'" for s in sorted(SAMPLE_CAPS))
+    cap_case = "CASE lang " + " ".join(
+        f"WHEN '{s}' THEN {c}" for s, c in sorted(SAMPLE_CAPS.items())
+    ) + " END"
+    return f"""
+WITH h AS (SELECT doc_id, lang, {hv} AS hv FROM documents),
+rate AS (SELECT 'rate' AS mode, doc_id, lang FROM h WHERE hv < {rate_case}),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS r
+  FROM h WHERE lang IN ({cap_langs})
+),
+cap AS (SELECT 'cap' AS mode, doc_id, lang FROM ranked WHERE r <= {cap_case})
+SELECT * FROM rate UNION ALL SELECT * FROM cap"""
+
+
 TRAINING_QUERIES = {
     "events_windowed": q_events_windowed,
     "events_sessions": q_events_sessions,
@@ -838,6 +943,8 @@ TRAINING_QUERIES = {
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_family_topk": q_ann_ivf_family,
     "hybrid_rrf_topk": q_hybrid_rrf,
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
 }
 
 TRAINING_ORACLES = {
@@ -866,4 +973,6 @@ TRAINING_ORACLES = {
     "ann_cosine_topk": sql_ann_topk(),
     "ann_ivf_family_topk": sql_ann_ivf_family(),
     "hybrid_rrf_topk": sql_hybrid_rrf(),
+    "decontaminate": sql_decontaminate(),
+    "stratified_sample": sql_stratified_sample(),
 }
