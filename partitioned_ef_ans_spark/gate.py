@@ -1002,22 +1002,22 @@ PHRASE_RANKED_QUERIES = [
 ]
 
 
-def _get_phrase_index(spark: SparkSession, sf_dir: str):
-    """Build (once per sf_dir) and load the 2-gram shingle index —
-    the ordinary build with tokenize_shingles swapped in."""
+def _get_phrase_index(spark: SparkSession, sf_dir: str, n: int = 2):
+    """Build (once per (sf_dir, n)) and load the n-gram shingle index
+    — the ordinary build with tokenize_shingles swapped in."""
     import hashlib
     import os
 
     from partitioned_ef_ans_spark.index import build as b_mod
     from partitioned_ef_ans_spark.index import phrase as ph_mod
 
-    key = (sf_dir, "shingle2")
+    key = (sf_dir, f"shingle{n}")
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
-    tag = hashlib.sha1(f"{sf_dir}|shingle2".encode()).hexdigest()[:12]
+    tag = hashlib.sha1(f"{sf_dir}|shingle{n}".encode()).hexdigest()[:12]
     out_dir = f"/dev/shm/pefa_index_{os.getpid()}_{tag}"
     ph_mod.build_phrase_index(
-        spark, load_documents(spark, sf_dir), out_dir, codec="ans", n=2,
+        spark, load_documents(spark, sf_dir), out_dir, codec="ans", n=n,
         chunk_postings=256, doc_col="doc_id", text_col="text",
     )
     index_df, _stats_df, term_stats_df, codec_obj, manifest = b_mod.load_index(

@@ -829,22 +829,46 @@ _DECONTAM_MIN_OVERLAP = 0.02
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (operators/decontam.py): distinct
-    eval-item n-grams broadcast against the corpus shingle stream;
-    per-(doc, eval) overlap fraction thresholded on the ROUNDED value
-    so both engines cut identically."""
+    """Benchmark decontamination (operators/decontam.py), both serving
+    shapes in one family-union entry against one oracle:
+
+    * ``scan`` — distinct eval-item n-grams broadcast against the
+      corpus shingle stream (the one-shot shape);
+    * ``index`` — ``contamination_via_index`` over a width-3 shingle
+      index (the refresh shape: re-decontaminating against a new eval
+      set reads only the referenced posting lists, zero corpus scan).
+
+    Both threshold on the ROUNDED overlap so engines cut identically;
+    the via-index rows must equal the scan rows row-for-row."""
+    from partitioned_ef_ans_spark.gate import _get_phrase_index
     from partitioned_ef_ans_spark.operators import decontam as dc_mod
 
     docs = _docs(spark, sf_dir)
     ev = docs.where(F.col("doc_id") % _EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_id"), "text"
     )
-    return dc_mod.contamination(
+    a = dc_mod.contamination(
         docs, ev, n=_DECONTAM_N, min_overlap=_DECONTAM_MIN_OVERLAP
-    )
+    ).select(F.lit("scan").alias("variant"), "*")
+    ix = _get_phrase_index(spark, sf_dir, n=_DECONTAM_N)
+    b = dc_mod.contamination_via_index(
+        spark, ix["index_df"], ev, ix["codec"], n=_DECONTAM_N,
+        min_overlap=_DECONTAM_MIN_OVERLAP, term_stats_df=ix["term_stats"],
+        index_ngram=ix["manifest"]["ngram"],
+    ).select(F.lit("index").alias("variant"), "*")
+    return a.unionByName(b)
 
 
 def sql_decontaminate() -> str:
+    base = _sql_decontaminate_scan()
+    return (
+        f"SELECT 'scan' AS variant, v.* FROM ({base}) v "
+        "UNION ALL "
+        f"SELECT 'index' AS variant, v.* FROM ({base}) v"
+    )
+
+
+def _sql_decontaminate_scan() -> str:
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 dsh AS (SELECT DISTINCT doc_id, w[i+1]||' '||w[i+2]||' '||w[i+3] AS shingle

@@ -1183,22 +1183,24 @@ def run_boolean_docpartitioned(
     )
 
 
-def boolean_matches_docpartitioned(
+def boolean_match_rows_docpartitioned(
     spark,
     index_df: DataFrame,
     queries_df: DataFrame,
     codec,
-    conjunctive: bool,
     term_stats_df: DataFrame | None = None,
     tomb_bc=None,
 ) -> DataFrame:
-    """The DISTRIBUTED boolean match set ``(query_id, doc_id)`` — one
-    row per matching doc, never gathered: every chunk emits its
-    (query, doc[, term]) matches locally, membership is a relational
-    aggregation (distinct docs for OR; docs hit by every distinct
-    query term for AND).  This is the substrate count/facet/export
-    consumers aggregate further — chunks flow and decode once per
-    batch (batched_query_lists_df), not once per referencing query."""
+    """The raw per-term match relation ``(query_id, term, n_terms,
+    doc_id)`` — one row per (query, term, matching doc), never
+    gathered: every chunk emits its matches locally, and chunks decode
+    once per batch (batched_query_lists_df), not once per referencing
+    query.  ``n_terms`` is the query's FULL distinct-term count (terms
+    missing from the index still count — conjunctive consumers need
+    that to refuse partial matches, overlap consumers to divide by the
+    true denominator).  Consumers aggregate relationally: distinct
+    docs for OR, count_distinct(term)==n_terms for AND,
+    count_distinct(term)/n_terms for n-gram overlap."""
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
@@ -1248,11 +1250,31 @@ def boolean_matches_docpartitioned(
             )
 
     # doc_lens/scoring columns pruned: the exchange carries ids only
-    rows = joined.select(
+    return joined.select(
         "term", "qs", "chunk_id", "payload"
     ).mapInPandas(
         partials,
         schema="query_id long, term string, n_terms long, doc_id long",
+    )
+
+
+def boolean_matches_docpartitioned(
+    spark,
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    codec,
+    conjunctive: bool,
+    term_stats_df: DataFrame | None = None,
+    tomb_bc=None,
+) -> DataFrame:
+    """The DISTRIBUTED boolean match set ``(query_id, doc_id)`` — one
+    row per matching doc, never gathered: membership is a relational
+    aggregation over boolean_match_rows_docpartitioned (distinct docs
+    for OR; docs hit by every distinct query term for AND).  This is
+    the substrate count/facet/export consumers aggregate further."""
+    rows = boolean_match_rows_docpartitioned(
+        spark, index_df, queries_df, codec,
+        term_stats_df=term_stats_df, tomb_bc=tomb_bc,
     )
     if conjunctive:
         return (

@@ -102,6 +102,80 @@ def contamination(
     return out
 
 
+def contamination_via_index(
+    spark,
+    index_df: DataFrame,
+    eval_df: DataFrame,
+    codec,
+    n: int = DEFAULT_NGRAM,
+    min_overlap: float = 0.0,
+    term_stats_df: DataFrame | None = None,
+    tombstones=None,
+    allowlist=None,
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    index_ngram: int | None = None,
+) -> DataFrame:
+    """``contamination`` served from a width-``n`` shingle index
+    (index/phrase.py builds) with ZERO corpus re-scan: each eval item
+    becomes a disjunctive "query" whose terms are its distinct
+    shingles, the doc-partitioned match substrate decodes only the
+    posting lists those shingles reference, and the overlap is a
+    relational aggregate — ``n_hit = count_distinct(shingle)`` per
+    (doc, eval item), ``eval_ngrams`` the item's FULL distinct-shingle
+    count (OOV shingles still count in the denominator), same rounded
+    ``overlap_frac`` cut.  Row-identical to the corpus scan by
+    construction: a doc is in a shingle's posting list iff the doc
+    contains that shingle.
+
+    Scale shape: the eval side is tiny (it rides broadcast inside the
+    substrate's query join); index chunks flow to tasks and decode
+    once per batch — no corpus text is read at all, and re-running
+    decontamination against a refreshed eval set costs O(eval shingle
+    posting bytes), not O(corpus).  Composes with ``tombstones`` /
+    ``allowlist`` masking exactly like every serving path.
+
+    ``index_ngram`` (pass ``manifest['ngram']``) guards against
+    querying at a width the index wasn't shingled at — a silent
+    vocabulary mismatch would report zero contamination.
+    """
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    if index_ngram is not None and int(index_ngram) != int(n):
+        raise ValueError(
+            f"index is shingled at width {index_ngram}, "
+            f"contamination requested at width {n}"
+        )
+    if allowlist is not None:
+        tombstones = q_mod.make_allowlist(allowlist, tombstones)
+    tomb_bc = q_mod._as_tomb_bc(spark, tombstones)
+    grams = eval_ngram_table(eval_df, n, id_col=eval_id_col,
+                             text_col=eval_text_col)
+    queries = grams.groupBy("eval_id").agg(
+        F.collect_set("shingle").alias("terms")
+    ).select(F.col("eval_id").alias("query_id"), "terms")
+    rows = q_mod.boolean_match_rows_docpartitioned(
+        spark, index_df, queries, codec,
+        term_stats_df=term_stats_df, tomb_bc=tomb_bc,
+    )
+    out = (
+        rows.groupBy("query_id", "doc_id")
+        .agg(
+            F.count_distinct("term").cast("long").alias("n_hit"),
+            F.first("n_terms").cast("long").alias("eval_ngrams"),
+        )
+        .select(
+            "doc_id", F.col("query_id").alias("eval_id"),
+            "n_hit", "eval_ngrams",
+            F.round(F.col("n_hit") / F.col("eval_ngrams"), 6)
+            .alias("overlap_frac"),
+        )
+    )
+    if min_overlap > 0.0:
+        out = out.where(F.col("overlap_frac") >= float(min_overlap))
+    return out
+
+
 def contaminated_doc_ids(docs_df: DataFrame, eval_df: DataFrame,
                          n: int = DEFAULT_NGRAM,
                          min_overlap: float = 0.8, **kw) -> DataFrame:
