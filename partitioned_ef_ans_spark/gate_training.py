@@ -898,12 +898,21 @@ SAMPLE_CAPS = {"en": 25, "zh": 10, "de": 100}
 _SAMPLE_SEED = "mix0"
 
 
+#: training_mix gate thresholds (operators/mix.py defaults)
+_MIX_QUALITY_MIN = 0.6
+_MIX_MAX_OVERLAP = 0.5
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling (operators/sampling.py), both
-    modes in one union entry: hash-threshold rate sampling (map-side
-    only — the 100-TB shape) and exact per-stratum caps (two-stage
-    salted top-k by hash).  Membership derives from md5(seed:id), so
-    DuckDB replays the identical sample."""
+    """Deterministic stratified sampling (operators/sampling.py), all
+    three serving shapes in one union entry: hash-threshold rate
+    sampling (map-side only — the 100-TB shape), exact per-stratum
+    caps (two-stage salted top-k by hash), and the full
+    ``training_mix`` composition (quality → exact-dedup → decontam →
+    rate sample, operators/mix.py) whose final stage is the same rate
+    sampler over the cleaned pool.  Membership derives from
+    md5(seed:id), so DuckDB replays the identical sample."""
+    from partitioned_ef_ans_spark.operators import mix as m_mod
     from partitioned_ef_ans_spark.operators import sampling as s_mod
 
     docs = _docs(spark, sf_dir)
@@ -913,7 +922,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = s_mod.stratified_cap(
         docs, SAMPLE_CAPS, seed=_SAMPLE_SEED
     ).select(F.lit("cap").alias("mode"), "doc_id", "lang")
-    return a.unionByName(b)
+    ev = docs.where(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    c = m_mod.training_mix(
+        docs, ev, SAMPLE_RATES, quality_min=_MIX_QUALITY_MIN,
+        n=_DECONTAM_N, max_overlap=_MIX_MAX_OVERLAP, seed=_SAMPLE_SEED,
+    ).select(F.lit("mix").alias("mode"), "doc_id", "lang")
+    return a.unionByName(b).unionByName(c)
 
 
 def sql_stratified_sample() -> str:
@@ -932,6 +948,12 @@ def sql_stratified_sample() -> str:
     cap_case = "CASE lang " + " ".join(
         f"WHEN '{s}' THEN {c}" for s, c in sorted(SAMPLE_CAPS.items())
     ) + " END"
+    # the mix CTE joins ded(d) with h — qualify the stratum column
+    rate_case2 = "CASE d.lang " + " ".join(
+        f"WHEN '{s}' THEN CAST({int(r * HASH_SPACE)} AS BIGINT)"
+        for s, r in sorted(SAMPLE_RATES.items())
+    ) + " ELSE CAST(0 AS BIGINT) END"
+    stop = ", ".join(f"'{s}'" for s in t_mod.STOPWORDS)
     return f"""
 WITH h AS (SELECT doc_id, lang, {hv} AS hv FROM documents),
 rate AS (SELECT 'rate' AS mode, doc_id, lang FROM h WHERE hv < {rate_case}),
@@ -940,8 +962,44 @@ ranked AS (
          row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS r
   FROM h WHERE lang IN ({cap_langs})
 ),
-cap AS (SELECT 'cap' AS mode, doc_id, lang FROM ranked WHERE r <= {cap_case})
-SELECT * FROM rate UNION ALL SELECT * FROM cap"""
+cap AS (SELECT 'cap' AS mode, doc_id, lang FROM ranked WHERE r <= {cap_case}),
+t AS (SELECT doc_id, lang, text, {_TOKS} AS w FROM documents),
+qual AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, CAST(len(w) AS DOUBLE) AS n,
+           CAST(len(list_filter(w, x -> x IN ({stop}))) AS DOUBLE) AS st
+    FROM t)
+  WHERE round(1.0 / (1.0 + exp(-(0.01 * n -
+        2.0 * (CASE WHEN n > 0 THEN st / n ELSE 0.0 END)))), 6)
+        >= {_MIX_QUALITY_MIN}
+),
+ded AS (
+  SELECT doc_id, lang, w FROM (
+    SELECT t.doc_id, t.lang, t.w,
+           min(t.doc_id) OVER (PARTITION BY sha256(t.text)) AS can
+    FROM t JOIN qual USING (doc_id))
+  WHERE doc_id = can
+),
+dsh AS (SELECT DISTINCT doc_id, w[i+1]||' '||w[i+2]||' '||w[i+3] AS shingle
+        FROM ded, UNNEST(range(len(w)-2)) u(i) WHERE len(w) >= 3),
+ev AS (SELECT doc_id AS eval_id, w FROM t WHERE doc_id % {_EVAL_MOD} = 0),
+esh AS (SELECT DISTINCT eval_id, shingle FROM (
+          SELECT eval_id, w[i+1]||' '||w[i+2]||' '||w[i+3] AS shingle
+          FROM ev, UNNEST(range(len(w)-2)) u(i) WHERE len(w) >= 3)),
+sizes AS (SELECT eval_id, count(*) AS eval_ngrams FROM esh GROUP BY eval_id),
+dirty AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, eval_id, count(*) AS n_hit
+    FROM dsh JOIN esh USING (shingle) GROUP BY 1, 2) h
+  JOIN sizes USING (eval_id)
+  WHERE round(n_hit * 1.0 / eval_ngrams, 6) >= {_MIX_MAX_OVERLAP}
+),
+mix AS (
+  SELECT 'mix' AS mode, d.doc_id, d.lang
+  FROM ded d JOIN h USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty) AND h.hv < {rate_case2}
+)
+SELECT * FROM rate UNION ALL SELECT * FROM cap UNION ALL SELECT * FROM mix"""
 
 
 TRAINING_QUERIES = {
