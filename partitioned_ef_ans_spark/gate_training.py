@@ -895,6 +895,8 @@ WHERE round(n_hit * 1.0 / eval_ngrams, 6) >= {_DECONTAM_MIN_OVERLAP}"""
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.1, "fr": 1.0}
 #: exact per-language quotas; de's 100 > |de| exercises min(cap, n)
 SAMPLE_CAPS = {"en": 25, "zh": 10, "de": 100}
+#: token budgets (the unit a real mix is specified in); prefix-sum cut
+SAMPLE_BUDGETS = {"en": 2000, "de": 800}
 _SAMPLE_SEED = "mix0"
 
 
@@ -905,13 +907,14 @@ _MIX_MAX_OVERLAP = 0.5
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/sampling.py), all
-    three serving shapes in one union entry: hash-threshold rate
-    sampling (map-side only — the 100-TB shape), exact per-stratum
-    caps (two-stage salted top-k by hash), and the full
-    ``training_mix`` composition (quality → exact-dedup → decontam →
-    rate sample, operators/mix.py) whose final stage is the same rate
-    sampler over the cleaned pool.  Membership derives from
-    md5(seed:id), so DuckDB replays the identical sample."""
+    four serving shapes in one union entry: hash-threshold rate
+    sampling (map-side only — the 100-TB shape), exact per-stratum doc
+    caps (two-stage salted top-k by hash), the full ``training_mix``
+    composition (quality → exact-dedup → decontam → rate sample,
+    operators/mix.py), and per-stratum TOKEN budgets (distributed
+    hash-range-bucket prefix sum — the unit real mixes are specified
+    in).  Membership derives from md5(seed:id), so DuckDB replays the
+    identical sample."""
     from partitioned_ef_ans_spark.operators import mix as m_mod
     from partitioned_ef_ans_spark.operators import sampling as s_mod
 
@@ -929,7 +932,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ev, SAMPLE_RATES, quality_min=_MIX_QUALITY_MIN,
         n=_DECONTAM_N, max_overlap=_MIX_MAX_OVERLAP, seed=_SAMPLE_SEED,
     ).select(F.lit("mix").alias("mode"), "doc_id", "lang")
-    return a.unionByName(b).unionByName(c)
+    d = s_mod.stratified_token_budget(
+        docs, SAMPLE_BUDGETS, seed=_SAMPLE_SEED
+    ).select(F.lit("tokcap").alias("mode"), "doc_id", "lang")
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def sql_stratified_sample() -> str:
@@ -954,6 +960,10 @@ def sql_stratified_sample() -> str:
         for s, r in sorted(SAMPLE_RATES.items())
     ) + " ELSE CAST(0 AS BIGINT) END"
     stop = ", ".join(f"'{s}'" for s in t_mod.STOPWORDS)
+    budget_langs = ", ".join(f"'{s}'" for s in sorted(SAMPLE_BUDGETS))
+    budget_case = "CASE lang " + " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(SAMPLE_BUDGETS.items())
+    ) + " END"
     return f"""
 WITH h AS (SELECT doc_id, lang, {hv} AS hv FROM documents),
 rate AS (SELECT 'rate' AS mode, doc_id, lang FROM h WHERE hv < {rate_case}),
@@ -998,8 +1008,18 @@ mix AS (
   SELECT 'mix' AS mode, d.doc_id, d.lang
   FROM ded d JOIN h USING (doc_id)
   WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty) AND h.hv < {rate_case2}
-)
-SELECT * FROM rate UNION ALL SELECT * FROM cap UNION ALL SELECT * FROM mix"""
+),
+cum AS (
+  SELECT t.doc_id, t.lang,
+         sum(CAST(len(t.w) AS BIGINT)) OVER (
+           PARTITION BY t.lang ORDER BY h.hv, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM t JOIN h USING (doc_id) WHERE t.lang IN ({budget_langs})
+),
+tokcap AS (SELECT 'tokcap' AS mode, doc_id, lang FROM cum
+           WHERE c <= {budget_case})
+SELECT * FROM rate UNION ALL SELECT * FROM cap
+UNION ALL SELECT * FROM mix UNION ALL SELECT * FROM tokcap"""
 
 
 TRAINING_QUERIES = {

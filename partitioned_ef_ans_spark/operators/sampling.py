@@ -112,3 +112,95 @@ def stratified_cap(
         .where(F.col("_r2") <= F.col("_cap"))
         .drop("_h", "_cap", "_salt", "_r1", "_r2")
     )
+
+
+#: hash-range buckets of the token-budget prefix sum; the hash is
+#: uniform, so buckets are balanced slices of each stratum
+N_BUCKETS = 64
+
+
+def stratified_token_budget(
+    docs_df: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "mix0",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Token-budget mode: per stratum, walk the docs in seeded-hash
+    order and keep each doc while the RUNNING TOKEN TOTAL (including
+    the doc itself) stays ≤ the stratum's budget — the quota a real
+    training mix is specified in (tokens, not documents).  Strata not
+    in ``budgets`` are dropped.  The rule is the pure per-row
+    predicate ``prefix_sum(tokens) <= budget`` (the prefix sum counts
+    EVERY walked doc, so the walk effectively stops at the first
+    overshooting doc — the hash order makes which docs land inside the
+    budget a uniform draw) — identical in any SQL engine as a window
+    cumsum.
+
+    Scale shape — a distributed prefix sum, never a stratum-sized
+    sort: hash-RANGE buckets (``floor(h / (2^60/64))``) make bucket
+    order equal global hash order, so (1) per-(stratum, bucket) window
+    cumsums run on ~1/64 slices, (2) the per-bucket token totals are a
+    tiny aggregate (strata × 64 rows) whose running sum gives each
+    bucket's global offset, broadcast back, and (3) buckets whose
+    offset already exceeds the budget are pruned BEFORE the window —
+    with budget ≪ corpus only the boundary buckets do any sorting at
+    all.  Deterministic from (id, tokens) alone at any parallelism.
+
+    Tokens default to the shared whitespace tokenizer's count over
+    ``text_col``; pass ``token_col`` to budget on precomputed counts.
+    """
+    from partitioned_ef_ans_spark.functions.text import tokens_array
+
+    tok = (
+        F.col(token_col).cast("long")
+        if token_col is not None
+        else F.size(tokens_array(F.col(text_col))).cast("long")
+    )
+    budget_map = F.create_map(*[
+        x for s, b in sorted(budgets.items())
+        for x in (F.lit(s), F.lit(int(b)))
+    ])
+    base = (
+        docs_df.where(F.col(stratum_col).isin(list(budgets)))
+        .withColumn("_h", sample_hash(F.col(id_col), seed))
+        .withColumn("_tok", tok)
+        # exact integer bucketing (both constants are powers of two);
+        # double division could round a boundary hash into the wrong
+        # bucket
+        .withColumn(
+            "_b",
+            F.shiftright(
+                F.col("_h"), (HASH_SPACE // N_BUCKETS).bit_length() - 1
+            ).cast("int"),
+        )
+    )
+    totals = base.groupBy(stratum_col, "_b").agg(
+        F.sum("_tok").alias("_bt")
+    )
+    w_off = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        stratum_col, "_b",
+        F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_cum = (
+        Window.partitionBy(stratum_col, "_b")
+        .orderBy(F.col("_h"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(offs), [stratum_col, "_b"])
+        .withColumn("_budget", budget_map[F.col(stratum_col)])
+        # bucket-level prune: offset past the budget ⇒ nothing in this
+        # bucket can be kept — skip its sort entirely
+        .where(F.col("_off") < F.col("_budget"))
+        .withColumn("_c", F.sum("_tok").over(w_cum) + F.col("_off"))
+        .where(F.col("_c") <= F.col("_budget"))
+        .drop("_h", "_tok", "_b", "_off", "_budget", "_c")
+    )

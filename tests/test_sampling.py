@@ -109,3 +109,86 @@ def test_cap_mode_two_stage_equals_naive_window(spark):
         .where(F.col("_r") <= cap_col).select("doc_id", "lang").collect()
     }
     assert got == naive
+
+
+def test_token_budget_matches_python_cumsum(spark):
+    from partitioned_ef_ans_spark.operators.sampling import (
+        stratified_token_budget,
+    )
+
+    rows = [(i, ["en", "de", "es"][i % 3], (i * 7) % 13 + 1)
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, ntok long"
+    ).repartition(11)
+    budgets = {"en": 120, "de": 40}
+    got = {
+        r["doc_id"]
+        for r in stratified_token_budget(
+            df, budgets, token_col="ntok", seed=SEED
+        ).collect()
+    }
+    want = set()
+    for lang, b in budgets.items():
+        c = 0
+        for i, _l, t in sorted(
+            (r for r in rows if r[1] == lang),
+            key=lambda r: (_h(r[0]), r[0]),
+        ):
+            c += t
+            if c <= b:
+                want.add(i)
+    assert got == want and want
+    # the budget is a prefix cut, not a subset filter: strictly fewer
+    # docs than the stratum and nothing from the absent 'es' stratum
+    assert len(got) < sum(1 for r in rows if r[1] == "en") + sum(
+        1 for r in rows if r[1] == "de"
+    )
+
+
+def test_token_budget_partitioning_invariant_and_text_default(spark):
+    from partitioned_ef_ans_spark.operators.sampling import (
+        stratified_token_budget,
+    )
+
+    rows = [(i, "en", "tok " * (i % 7 + 1)) for i in range(120)]
+    budgets = {"en": 90}
+    a = {
+        r["doc_id"]
+        for r in stratified_token_budget(
+            spark.createDataFrame(
+                rows, "doc_id long, lang string, text string"
+            ).coalesce(1),
+            budgets, seed=SEED,
+        ).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in stratified_token_budget(
+            spark.createDataFrame(
+                rows, "doc_id long, lang string, text string"
+            ).repartition(13),
+            budgets, seed=SEED,
+        ).collect()
+    }
+    assert a == b and a
+    # python oracle on whitespace token counts
+    c, want = 0, set()
+    for i, _l, t in sorted(rows, key=lambda r: (_h(r[0]), r[0])):
+        c += t.count("tok")
+        if c <= 90:
+            want.add(i)
+    assert a == want
+
+
+def test_token_budget_smaller_than_first_doc_is_empty(spark):
+    from partitioned_ef_ans_spark.operators.sampling import (
+        stratified_token_budget,
+    )
+
+    rows = [(i, "en", 50) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ntok long")
+    out = stratified_token_budget(
+        df, {"en": 49}, token_col="ntok", seed=SEED
+    ).collect()
+    assert out == []
