@@ -798,6 +798,129 @@ def merge_mode():
     print(json.dumps(out))
 
 
+def decontam_mode():
+    """`bench.py --decontam`: scan-vs-index decontamination economics.
+
+    A pretraining pipeline re-decontaminates whenever the eval suite
+    changes; the corpus doesn't.  The corpus-scan operator pays
+    O(corpus tokenize + shingle) EVERY refresh; contamination_via_index
+    pays the shingle-index build ONCE and then each refresh reads only
+    the posting lists the eval set's shingles reference.  Legs:
+
+    * ``scan_s`` / ``scan_refresh_s`` — corpus scan, eval sets A / B;
+    * ``build_s`` — one-time width-3 shingle index build;
+    * ``index_s`` / ``index_refresh_s`` — via-index, eval sets A / B;
+    * equality spot-check: scan and index agree on (rows, Σn_hit) for
+      eval set A.
+
+    The claim being measured: refresh cost via index ≪ refresh cost
+    via scan, so the build amortizes after a few eval-suite updates.
+    One JSON line, persisted to BENCH_DECONTAM.json.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark import corpus as c_mod
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import phrase as ph_mod
+    from partitioned_ef_ans_spark.operators import decontam as dc_mod
+    from partitioned_ef_ans_spark.session import get_spark
+
+    n_synth = int(os.environ.get("PEFA_DECONTAM_DOCS", "100000"))
+    eval_mod = int(os.environ.get("PEFA_DECONTAM_EVAL_MOD", "997"))
+    cpus = int(os.environ.get("PEFA_DECONTAM_CPUS", "8"))
+    ngram, min_ov = 3, 0.5
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=4 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    real = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_real = real.count()
+    synth = c_mod.synthesize_corpus_distributed(
+        spark, n_synth, vocab_size=20000, num_partitions=2 * cpus
+    ).select(
+        (F.regexp_extract("path", r"f(\d+)\.", 1).cast("long")
+         + F.lit(n_real)).alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    docs = real.unionByName(synth).cache()
+    n_docs = docs.count()
+
+    def eval_set(offset: int):
+        return docs.where(F.col("doc_id") % eval_mod == offset).select(
+            F.col("doc_id").alias("eval_id"), "text"
+        )
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        r = fn()
+        return time.perf_counter() - t0, r
+
+    def scan_stats(ev):
+        df = dc_mod.contamination(docs, ev, n=ngram, min_overlap=min_ov)
+        row = df.agg(
+            F.count("*").alias("c"), F.sum("n_hit").alias("s")
+        ).collect()[0]
+        return int(row["c"]), int(row["s"] or 0)
+
+    ev_a, ev_b = eval_set(0), eval_set(1)
+    scan_s, (rows_a, sum_a) = timed(lambda: scan_stats(ev_a))
+    scan_refresh_s, _ = timed(lambda: scan_stats(ev_b))
+
+    idx_dir = f"/dev/shm/pefa_decontam_{os.getpid()}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_s, _ = timed(lambda: ph_mod.build_phrase_index(
+        spark, docs, idx_dir, codec="ans", n=ngram,
+        chunk_postings=1 << 14, doc_col="doc_id", text_col="text",
+    ))
+    index_df, _s, term_stats, codec_obj, man = b_mod.load_index(
+        spark, idx_dir
+    )
+    index_df = index_df.cache()
+    index_df.count()
+
+    def index_stats(ev):
+        df = dc_mod.contamination_via_index(
+            spark, index_df, ev, codec_obj, n=ngram, min_overlap=min_ov,
+            term_stats_df=term_stats, index_ngram=man["ngram"],
+        )
+        row = df.agg(
+            F.count("*").alias("c"), F.sum("n_hit").alias("s")
+        ).collect()[0]
+        return int(row["c"]), int(row["s"] or 0)
+
+    index_s, (irows_a, isum_a) = timed(lambda: index_stats(ev_a))
+    index_refresh_s, _ = timed(lambda: index_stats(ev_b))
+    assert (rows_a, sum_a) == (irows_a, isum_a), (
+        f"scan {(rows_a, sum_a)} != index {(irows_a, isum_a)}"
+    )
+    out = {
+        "metric": "decontam_scan_vs_index",
+        "unit": "sec",
+        "num_docs": n_docs,
+        "eval_items": ev_a.count(),
+        "postings": man["total_postings"],
+        "contaminated_pairs": rows_a,
+        "queries": {
+            "scan_s": round(scan_s, 3),
+            "scan_refresh_s": round(scan_refresh_s, 3),
+            "build_s": round(build_s, 3),
+            "index_s": round(index_s, 3),
+            "index_refresh_s": round(index_refresh_s, 3),
+            "refresh_speedup": round(scan_refresh_s / index_refresh_s, 2),
+        },
+        "sf": SF_DIR,
+        "cpus": cpus,
+    }
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    with open(Path(__file__).resolve().parent / "BENCH_DECONTAM.json",
+              "w") as fh:
+        json.dump(out, fh)
+    spark.stop()
+    print(json.dumps(out))
+
+
 def sharded_mode():
     """`bench.py --sharded`: scatter-gather serving economics — N shard
     indexes queried through run_ranked_sharded (global stats, per-shard
@@ -992,6 +1115,9 @@ def main():
         return
     if "--deletes" in sys.argv:
         deletes_mode()
+        return
+    if "--decontam" in sys.argv:
+        decontam_mode()
         return
     if "--sharded" in sys.argv:
         sharded_mode()

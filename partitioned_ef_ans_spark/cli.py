@@ -575,6 +575,147 @@ def cmd_facets(args) -> int:
     return 0
 
 
+def _parse_kv(spec: str, cast):
+    """'en=0.5,de=0.25' -> {'en': 0.5, 'de': 0.25} (values via cast)."""
+    out = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        if not k or not v:
+            print(f"bad stratum spec {part!r} (want key=value)",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        out[k] = cast(v)
+    return out
+
+
+def _read_eval(spark, args):
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(args.eval).select(
+        F.col(args.eval_id_col).alias("eval_id"),
+        F.col(args.eval_text_col).alias("text"),
+    )
+
+
+def cmd_decontam(args) -> int:
+    """Benchmark decontamination: per-(doc, eval-item) n-gram overlap
+    report (or the distinct drop-list) between a corpus and an eval
+    parquet.  ``--via-index`` serves it from a width-n shingle index
+    (zero corpus re-scan — the eval-suite-refresh shape)."""
+    from partitioned_ef_ans_spark.operators import decontam as dc_mod
+
+    if bool(args.corpus) == bool(args.via_index):
+        print("exactly one of --corpus / --via-index is required",
+              file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    ev = _read_eval(spark, args)
+    if args.via_index:
+        from partitioned_ef_ans_spark.index import build as b_mod
+        from partitioned_ef_ans_spark.index.checkpoint import load_tombstones
+
+        index_df, _stats, term_stats, codec, man = b_mod.load_index(
+            spark, args.via_index
+        )
+        res = dc_mod.contamination_via_index(
+            spark, index_df, ev, codec, n=args.n,
+            min_overlap=args.min_overlap, term_stats_df=term_stats,
+            tombstones=None if args.include_deleted
+            else load_tombstones(args.via_index),
+            # a plain word index has no ngram rule — treated as width 1
+            # so a width mismatch fails loudly instead of matching
+            # nothing
+            index_ngram=man.get("ngram", 1),
+        )
+    else:
+        docs, doc_col, text_col = _read_corpus(spark, args.corpus, args)
+        res = dc_mod.contamination(
+            docs, ev, n=args.n, min_overlap=args.min_overlap,
+            doc_col=doc_col, text_col=text_col,
+        )
+    if args.out:
+        res.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    elif args.drop_list:
+        for r in res.select("doc_id").distinct().orderBy("doc_id").collect():
+            print(r["doc_id"])
+    else:
+        for r in res.orderBy("doc_id", "eval_id").collect():
+            print(f"{r['doc_id']}\t{r['eval_id']}\t{r['n_hit']}\t"
+                  f"{r['eval_ngrams']}\t{r['overlap_frac']}")
+    spark.stop()
+    return 0
+
+
+def cmd_mix(args) -> int:
+    """Training-mix construction (operators/mix.py): quality filter →
+    exact dedup → decontaminate against --eval → stratified sample
+    (--rates per-stratum keep rates, or --budgets per-stratum token
+    budgets).  Writes the selected set with --out; always prints the
+    per-stratum doc/token report."""
+    from partitioned_ef_ans_spark.operators import mix as m_mod
+
+    if bool(args.rates) == bool(args.budgets):
+        print("exactly one of --rates / --budgets is required",
+              file=sys.stderr)
+        return 2
+    rates = _parse_kv(args.rates, float) if args.rates else {}
+    budgets = _parse_kv(args.budgets, int) if args.budgets else None
+    spark = _spark(args)
+    docs, doc_col, text_col = _read_corpus(spark, args.corpus, args)
+    sel = m_mod.training_mix(
+        docs, _read_eval(spark, args), rates,
+        quality_min=args.quality_min, n=args.n,
+        max_overlap=args.max_overlap, seed=args.seed,
+        stratum_col=args.stratum_col, id_col=doc_col, text_col=text_col,
+        budgets=budgets,
+    )
+    if args.out:
+        sel.write.mode("overwrite").parquet(args.out)
+        sel = spark.read.parquet(args.out)  # report reads what was written
+    for r in m_mod.mix_report(
+        sel, stratum_col=args.stratum_col, text_col=text_col
+    ).collect():
+        print(f"{r[args.stratum_col]}\t{r['n_docs']}\t{r['n_tokens']}")
+    spark.stop()
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Standalone deterministic stratified sampling: exactly one of
+    --rates (per-stratum Bernoulli keep rates), --caps (exact doc
+    quotas) or --budgets (token budgets, prefix-sum in hash order)."""
+    from partitioned_ef_ans_spark.operators import sampling as s_mod
+
+    chosen = [s for s in ("rates", "caps", "budgets")
+              if getattr(args, s)]
+    if len(chosen) != 1:
+        print("exactly one of --rates / --caps / --budgets is required",
+              file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    docs, doc_col, text_col = _read_corpus(spark, args.corpus, args)
+    kw = dict(stratum_col=args.stratum_col, id_col=doc_col, seed=args.seed)
+    if args.rates:
+        sel = s_mod.stratified_sample(
+            docs, _parse_kv(args.rates, float), **kw
+        )
+    elif args.caps:
+        sel = s_mod.stratified_cap(docs, _parse_kv(args.caps, int), **kw)
+    else:
+        sel = s_mod.stratified_token_budget(
+            docs, _parse_kv(args.budgets, int), text_col=text_col, **kw
+        )
+    if args.out:
+        sel.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        for r in sel.select(doc_col).orderBy(doc_col).collect():
+            print(r[doc_col])
+    spark.stop()
+    return 0
+
+
 def cmd_transform_queries(args) -> int:
     from pyspark.sql import functions as F
 
@@ -759,6 +900,52 @@ def build_parser() -> argparse.ArgumentParser:
     fc.add_argument("--include-deleted", action="store_true")
     fc.add_argument("--filter-ids-file", default=None)
     fc.set_defaults(fn=cmd_facets)
+
+    dc = sub.add_parser("decontam")
+    dc.add_argument("--corpus", default=None,
+                    help="docs parquet (scan mode)")
+    dc.add_argument("--via-index", default=None,
+                    help="width-n shingle index dir (index mode)")
+    dc.add_argument("--eval", required=True,
+                    help="eval-set parquet (eval_id, text)")
+    dc.add_argument("--n", type=int, default=13)
+    dc.add_argument("--min-overlap", type=float, default=0.8)
+    dc.add_argument("--eval-id-col", default="eval_id")
+    dc.add_argument("--eval-text-col", default="text")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--include-deleted", action="store_true")
+    dc.add_argument("--drop-list", action="store_true",
+                    help="print distinct contaminated doc ids only")
+    dc.add_argument("--out", default=None, help="write report parquet")
+    dc.set_defaults(fn=cmd_decontam)
+
+    mx = sub.add_parser("mix")
+    mx.add_argument("corpus")
+    mx.add_argument("--eval", required=True)
+    mx.add_argument("--rates", default=None, help="en=0.5,de=0.25")
+    mx.add_argument("--budgets", default=None,
+                    help="per-stratum token budgets: en=2000000000")
+    mx.add_argument("--quality-min", type=float, default=0.6)
+    mx.add_argument("--n", type=int, default=13)
+    mx.add_argument("--max-overlap", type=float, default=0.5)
+    mx.add_argument("--seed", default="mix0")
+    mx.add_argument("--stratum-col", default="lang")
+    mx.add_argument("--eval-id-col", default="eval_id")
+    mx.add_argument("--eval-text-col", default="text")
+    mx.add_argument("--text-col", default="text")
+    mx.add_argument("--out", default=None, help="write selected parquet")
+    mx.set_defaults(fn=cmd_mix)
+
+    sp = sub.add_parser("sample")
+    sp.add_argument("corpus")
+    sp.add_argument("--rates", default=None)
+    sp.add_argument("--caps", default=None)
+    sp.add_argument("--budgets", default=None)
+    sp.add_argument("--seed", default="mix0")
+    sp.add_argument("--stratum-col", default="lang")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_sample)
 
     t = sub.add_parser("transform_queries")
     t.add_argument("corpus")

@@ -57,6 +57,7 @@ def training_mix(
     id_col: str = "doc_id",
     text_col: str = "text",
     default_rate: float = 0.0,
+    budgets: dict[str, int] | None = None,
 ) -> DataFrame:
     """The selected training set: all of ``docs_df``'s columns, one row
     per kept document.
@@ -69,7 +70,10 @@ def training_mix(
     3. no eval item's rounded ``n``-gram overlap with it reaches
        ``max_overlap``;
     4. the seeded hash draw admits it at its stratum's rate
-       (strata absent from ``rates`` fall back to ``default_rate``).
+       (strata absent from ``rates`` fall back to ``default_rate``) —
+       or, when ``budgets`` is given, the stratum's running TOKEN
+       total in hash order stays within its budget
+       (sampling.stratified_token_budget; ``rates`` is ignored).
 
     Deterministic end-to-end: every stage derives from (text, id)
     alone — re-running on any partitioning, engine or cluster size
@@ -106,6 +110,11 @@ def training_mix(
     clean = ded.join(F.broadcast(dirty), id_col, "left_anti")
 
     # 4. stratified sample on the clean pool
+    if budgets is not None:
+        return s_mod.stratified_token_budget(
+            clean, budgets, stratum_col=stratum_col, id_col=id_col,
+            text_col=text_col, seed=seed,
+        )
     return s_mod.stratified_sample(
         clean, rates, stratum_col=stratum_col, id_col=id_col,
         seed=seed, default_rate=default_rate,

@@ -88,3 +88,44 @@ def test_wrong_width_refused(spark, shingle3_ix):
             spark, index_df, ev, codec, n=N + 1, term_stats_df=ts,
             index_ngram=man["ngram"],
         )
+
+
+def test_via_index_after_delta_update(spark, shingle3_ix, tmp_path):
+    """Maintenance composition: an eval-set check against a shingle
+    index that has taken an LSM delta segment must equal the corpus
+    scan over the UPDATED corpus (the manifest token rule re-shingles
+    the new docs; per-segment decode routing handles the rest)."""
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        update_index_delta,
+    )
+    from partitioned_ef_ans_spark.operators.decontam import (
+        contamination_via_index,
+    )
+
+    _d0, docs = shingle3_ix
+    d = str(tmp_path / "idx_delta")
+    # delta updates need the resumable layout (num_parts in manifest)
+    build_index_resumable(spark, docs, d, codec="ans", num_parts=2,
+                          chunk_postings=8, ngram=N)
+    # a fresh doc that strongly overlaps eval item and one clean doc
+    new = spark.createDataFrame(
+        [(100, EVAL[0][1] + " trailing tail"),
+         (101, "completely unrelated fresh content words here")],
+        "doc_id long, text string",
+    )
+    update_index_delta(spark, d, new)
+    ev = spark.createDataFrame(EVAL, "eval_id long, text string")
+    index_df, _s, ts, codec, man = b_mod.load_index(spark, d)
+    got = {
+        (r["doc_id"], r["eval_id"]):
+            (r["n_hit"], r["eval_ngrams"], r["overlap_frac"])
+        for r in contamination_via_index(
+            spark, index_df, ev, codec, n=N, term_stats_df=ts,
+            index_ngram=man["ngram"],
+        ).collect()
+    }
+    want = _corpus_scan(spark, docs.unionByName(new), ev)
+    assert got == want
+    assert any(doc == 100 for doc, _e in got)  # delta doc is visible

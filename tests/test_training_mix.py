@@ -93,3 +93,33 @@ def test_mix_report(spark, frames):
     assert set(rep) == {"en", "de"}
     assert rep["en"][0] == 2 and rep["de"][0] == 1
     assert rep["de"][1] == 105  # _GOOD is 104 tokens + ' zz'
+
+
+def test_budgets_final_stage(spark, frames):
+    """budgets= swaps the final stage for the token-budget sampler
+    over the identical cleaned pool."""
+    from partitioned_ef_ans_spark.operators.mix import training_mix
+    from partitioned_ef_ans_spark.operators.sampling import (
+        stratified_token_budget,
+    )
+
+    docs, ev = frames
+    clean = training_mix(  # rate 1.0 = the clean pool itself
+        docs, ev, {l: 1.0 for l in ("en", "de", "zh")},
+        quality_min=0.6, max_overlap=0.5, n=3,
+    )
+    want = {
+        r["doc_id"]
+        for r in stratified_token_budget(clean, {"en": 150}).collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in training_mix(
+            docs, ev, {}, budgets={"en": 150},
+            quality_min=0.6, max_overlap=0.5, n=3,
+        ).collect()
+    }
+    assert got == want
+    # budget 150 admits at most one ~104-token doc: a strict cut of
+    # the 2-doc clean en pool, and nothing from unbudgeted strata
+    assert len(got) == 1 and got < {1, 3}
