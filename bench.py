@@ -921,6 +921,104 @@ def decontam_mode():
     print(json.dumps(out))
 
 
+def mix_mode():
+    """`bench.py --mix`: training-mix pipeline wall at two parallelism
+    levels on the same input (the north rule's two-cluster-size
+    criterion evidenced as local[2] vs local[8]) plus a one-off
+    neardup-dedup leg.
+
+    Corpus = sf docs + PEFA_MIX_DOCS synth docs with a deterministic
+    stratum column; eval = every 997th doc.  Each leg runs the full
+    quality → dedup → decontam → rate-sample chain and aggregates
+    (count, Σtokens); per-leg timing is the min of 2 in-session reps
+    (first rep pays the JIT tax — see CLAUDE.md).  One JSON line,
+    persisted to BENCH_MIX.json.
+    """
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark import corpus as c_mod
+    from partitioned_ef_ans_spark.operators import mix as m_mod
+    from partitioned_ef_ans_spark.session import get_spark
+
+    n_synth = int(os.environ.get("PEFA_MIX_DOCS", "30000"))
+    eval_mod = 997
+    langs = ("en", "de", "es", "fr", "zh")
+    rates = {"en": 0.5, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+    reps = int(os.environ.get("PEFA_MIX_REPS", "2"))
+    n_docs = 0
+
+    def load(spark, cpus):
+        real = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        n_real = real.count()
+        synth = c_mod.synthesize_corpus_distributed(
+            spark, n_synth, vocab_size=20000, num_partitions=2 * cpus
+        ).select(
+            (F.regexp_extract("path", r"f(\d+)\.", 1).cast("long")
+             + F.lit(n_real)).alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+        docs = real.unionByName(synth).withColumn(
+            "lang",
+            F.element_at(
+                F.array(*[F.lit(l) for l in langs]),
+                (F.pmod(F.col("doc_id"), F.lit(len(langs))) + 1).cast("int"),
+            ),
+        ).cache()
+        nonlocal n_docs
+        n_docs = docs.count()
+        ev = docs.where(F.col("doc_id") % eval_mod == 0).select(
+            F.col("doc_id").alias("eval_id"), "text"
+        )
+        return docs, ev
+
+    def leg(cpus, dedup):
+        spark = get_spark(master=f"local[{cpus}]",
+                          shuffle_partitions=4 * cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        docs, ev = load(spark, cpus)
+        best, sel_stats = None, None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            row = m_mod.training_mix(
+                docs, ev, rates, quality_min=0.6, n=3, max_overlap=0.5,
+                dedup=dedup,
+            ).agg(
+                F.count("*").alias("c"),
+                F.sum(F.length("text")).alias("b"),
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            sel_stats = (int(row["c"]), int(row["b"] or 0))
+        spark.stop()
+        return best, sel_stats
+
+    t2, s2 = leg(2, "exact")
+    t8, s8 = leg(8, "exact")
+    assert s2 == s8, f"parallelism changed the mix: {s2} != {s8}"
+    tnd, _snd = leg(8, "neardup")
+    eff = (t2 / t8) / 4.0
+    out = {
+        "metric": "training_mix_wall",
+        "unit": "sec",
+        "num_docs": n_docs,
+        "selected_docs": s8[0],
+        "queries": {
+            "mix_2c_s": round(t2, 3),
+            "mix_8c_s": round(t8, 3),
+            "scaling_eff_2to8": round(eff, 3),
+            "mix_neardup_8c_s": round(tnd, 3),
+        },
+        "sf": SF_DIR,
+        "synth_docs": n_synth,
+    }
+    with open(Path(__file__).resolve().parent / "BENCH_MIX.json",
+              "w") as fh:
+        json.dump(out, fh)
+    print(json.dumps(out))
+
+
 def sharded_mode():
     """`bench.py --sharded`: scatter-gather serving economics — N shard
     indexes queried through run_ranked_sharded (global stats, per-shard
@@ -1118,6 +1216,9 @@ def main():
         return
     if "--decontam" in sys.argv:
         decontam_mode()
+        return
+    if "--mix" in sys.argv:
+        mix_mode()
         return
     if "--sharded" in sys.argv:
         sharded_mode()

@@ -668,7 +668,7 @@ def cmd_mix(args) -> int:
         quality_min=args.quality_min, n=args.n,
         max_overlap=args.max_overlap, seed=args.seed,
         stratum_col=args.stratum_col, id_col=doc_col, text_col=text_col,
-        budgets=budgets,
+        budgets=budgets, dedup=args.dedup,
     )
     if args.out:
         sel.write.mode("overwrite").parquet(args.out)
@@ -930,6 +930,8 @@ def build_parser() -> argparse.ArgumentParser:
     mx.add_argument("--max-overlap", type=float, default=0.5)
     mx.add_argument("--seed", default="mix0")
     mx.add_argument("--stratum-col", default="lang")
+    mx.add_argument("--dedup", choices=("exact", "neardup"),
+                    default="exact")
     mx.add_argument("--eval-id-col", default="eval_id")
     mx.add_argument("--eval-text-col", default="text")
     mx.add_argument("--text-col", default="text")

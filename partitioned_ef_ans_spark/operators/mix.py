@@ -58,6 +58,7 @@ def training_mix(
     text_col: str = "text",
     default_rate: float = 0.0,
     budgets: dict[str, int] | None = None,
+    dedup: str = "exact",
 ) -> DataFrame:
     """The selected training set: all of ``docs_df``'s columns, one row
     per kept document.
@@ -66,7 +67,12 @@ def training_mix(
 
     1. ``round(quality, 6) >= quality_min`` (quality_score's logistic
        of length + stopword pressure — rounded-before-threshold);
-    2. it is the canonical (min-``id_col``) copy of its exact text;
+    2. it is the canonical (min-``id_col``) copy of its exact text —
+       and, with ``dedup="neardup"``, also the canonical member of its
+       MinHash-LSH near-duplicate cluster (operators/cc.py connected
+       components over minhash_lsh_pairs; web corpora are deduped
+       fuzzily, not just exactly).  Exact dedup always runs first: it
+       is cheaper and catches short docs that carry no shingles;
     3. no eval item's rounded ``n``-gram overlap with it reaches
        ``max_overlap``;
     4. the seeded hash draw admits it at its stratum's rate
@@ -95,12 +101,28 @@ def training_mix(
     qual = docs_df.where(quality >= float(quality_min))
 
     # 2. exact dedup — keep the canonical copy (min id per sha256)
+    if dedup not in ("exact", "neardup"):
+        raise ValueError(f"dedup must be 'exact' or 'neardup': {dedup!r}")
     w = Window.partitionBy(F.sha2(F.col(text_col), 256))
     ded = (
         qual.withColumn("_canon", F.min(id_col).over(w))
         .where(F.col(id_col) == F.col("_canon"))
         .drop("_canon")
     )
+    if dedup == "neardup":
+        from partitioned_ef_ans_spark.operators import cc as cc_mod
+
+        base = (
+            ded if id_col == "doc_id"
+            else ded.withColumnRenamed(id_col, "doc_id")
+        )
+        base = cc_mod.dedup_survivors(
+            base, cc_mod.neardup_clusters(base, text_col=text_col)
+        )
+        ded = (
+            base if id_col == "doc_id"
+            else base.withColumnRenamed("doc_id", id_col)
+        )
 
     # 3. decontaminate — drop docs overlapping any eval item
     dirty = dc_mod.contaminated_doc_ids(

@@ -123,3 +123,40 @@ def test_budgets_final_stage(spark, frames):
     # budget 150 admits at most one ~104-token doc: a strict cut of
     # the 2-doc clean en pool, and nothing from unbudgeted strata
     assert len(got) == 1 and got < {1, 3}
+
+
+def test_neardup_dedup_stage(spark, frames):
+    """dedup='neardup' drops fuzzy duplicates the exact stage keeps:
+    doc 3 (_GOOD + ' unique tail') near-duplicates doc 1 (_GOOD) at
+    jaccard ~ |shared|/|union| >> threshold, so only the min-id
+    canonical survives; everything else matches the exact mode."""
+    from partitioned_ef_ans_spark.operators.mix import training_mix
+
+    docs, ev = frames
+    got = {
+        r["doc_id"]
+        for r in training_mix(
+            docs, ev, RATES, quality_min=0.6, max_overlap=0.5, n=3,
+            dedup="neardup",
+        ).collect()
+    }
+    exact = _mix_ids(docs, ev)
+    assert exact == {1, 3, 6}
+    # 3 collapses into 1's cluster; 6 ('... zz') differs enough only
+    # if below the LSH/jaccard threshold — assert from the pairs
+    from partitioned_ef_ans_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 3) in pairs
+    want = {i for i in exact
+            if i == 1 or ((1, i) not in pairs and (i, 1) not in pairs)}
+    assert got == want and 3 not in got and 1 in got
+
+
+def test_bad_dedup_mode_raises(spark, frames):
+    from partitioned_ef_ans_spark.operators.mix import training_mix
+
+    docs, ev = frames
+    with pytest.raises(ValueError):
+        training_mix(docs, ev, RATES, dedup="fuzzy")
