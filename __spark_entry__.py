@@ -16,7 +16,10 @@ family-union entries, the WAND twins (incl. true BMW and the
 doc-partitioned shape) into ``wand_family``, the MaxScore twins into
 ``maxscore_family``, the EF-family WAND twins into one, the two IVF
 ANN twins into one, and the docpart / indexed ranked twin pairs into
-one union each (same oracle strength, fewer slots) — 53 entries
+one union each (same oracle strength, fewer slots; the round-4
+retrieval extensions ride those unions too — PRF query expansion as
+``ranked_indexed_family`` mode ``rm3``, field-collapsed diversified
+top-k as ``ranked_docpart_family`` mode ``collapse``) — 53 entries
 total: the first 50 are ALL oracle-hashed (transform_queries via the
 pinned Porter stem table, functions/stem_fixture.py;
 ranked_deleted_top10 / ranked_filtered_top10 gate the two masking

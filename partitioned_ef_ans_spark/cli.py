@@ -380,7 +380,20 @@ def cmd_queries(args) -> int:
     if getattr(args, "filter_ids_file", None):
         with open(args.filter_ids_file) as fh:
             allow = [int(l) for l in fh if l.strip()]
+    prf = getattr(args, "prf", False)
+    collapse_by = getattr(args, "collapse_by", None)
+    if (prf or collapse_by) and not getattr(args, "corpus", None):
+        print("--prf / --collapse-by need --corpus", file=sys.stderr)
+        return 1
     shard_dirs = [d for d in args.index_dir.split(",") if d]
+    if (prf or collapse_by) and (
+        len(shard_dirs) > 1 or args.latency
+        or getattr(args, "fetch", "gather") == "direct"
+    ):
+        print("--prf / --collapse-by serve one index through the "
+              "gather path (no shards / --latency / --fetch direct)",
+              file=sys.stderr)
+        return 1
     if len(shard_dirs) > 1:
         # scatter-gather serving over shard indexes (index/sharded.py):
         # global stats frozen once, per-shard top-k gathered — rank-
@@ -460,6 +473,10 @@ def cmd_queries(args) -> int:
     tombs = None if args.include_deleted else load_tombstones(args.index_dir)
     qdf = queries_to_df(spark, qs).cache()
     qdf.count()
+    corpus_df = (
+        spark.read.parquet(args.corpus)
+        if (prf or collapse_by) else None
+    )
     for mode in args.mode.split(","):
         for run in range(args.runs):
             t0 = time.perf_counter()
@@ -467,6 +484,28 @@ def cmd_queries(args) -> int:
                 res = run_ranked_direct(
                     spark, args.index_dir, qdf, mode=mode, k=args.k,
                     dtype="float32", tombstones=tombs, allowlist=allow,
+                )
+            elif collapse_by:
+                from pyspark.sql import functions as F
+
+                res = q_mod.run_ranked_collapsed(
+                    spark, index_df, qdf, codec, man["num_docs"],
+                    man["avg_doc_len"],
+                    corpus_df.select(
+                        "doc_id", F.col(collapse_by).alias("grp")
+                    ),
+                    k=args.k, term_stats_df=term_stats,
+                    tombstones=tombs, allowlist=allow,
+                )
+            elif prf:
+                from partitioned_ef_ans_spark.operators import prf as prf_mod
+
+                res = prf_mod.run_ranked_prf(
+                    spark, index_df, qdf, codec, man["num_docs"],
+                    man["avg_doc_len"], corpus_df, k=args.k,
+                    k_fb=args.prf_depth, m=args.prf_terms, mode=mode,
+                    dtype="float32", term_stats_df=term_stats,
+                    tombstones=tombs, allowlist=allow,
                 )
             else:
                 res = q_mod.run_ranked(
@@ -874,6 +913,19 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--latency", action="store_true",
                    help="per-query in-process latency quantiles "
                         "(op_perftest shape) instead of the Spark suite")
+    q.add_argument("--corpus", default=None,
+                   help="forward corpus parquet (doc_id, text, ...) — "
+                        "required by --prf and --collapse-by")
+    q.add_argument("--prf", action="store_true",
+                   help="two-stage pseudo-relevance-feedback expansion "
+                        "(operators/prf.py): top --prf-depth docs mine "
+                        "--prf-terms expansion terms, query re-runs")
+    q.add_argument("--prf-depth", type=int, default=5)
+    q.add_argument("--prf-terms", type=int, default=3)
+    q.add_argument("--collapse-by", default=None,
+                   help="field collapse: at most one result per value "
+                        "of this --corpus column per query (exhaustive "
+                        "docpart substrate; ignores --mode)")
     q.set_defaults(fn=cmd_queries)
 
     ph = sub.add_parser("phrase")

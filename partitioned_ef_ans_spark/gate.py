@@ -48,6 +48,11 @@ GATE_QUERIES: list[tuple[int, list[str]]] = [
 
 TOP_K = 10
 
+#: PRF (rm3 mode): feedback depth / expansion-term count — shared by
+#: the Spark gate call and the DuckDB oracle so both cut identically.
+PRF_K_FB = 5
+PRF_M = 3
+
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -251,22 +256,47 @@ def q_ranked_and_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ranked_collapsed_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsed top-k (≤1 result per (query, source) — SERP
+    host-collapse) over the doc-partitioned exhaustive substrate:
+    per-group best needs ALL scores, so it rides
+    ranked_scores_docpartitioned, not a pruned kernel."""
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix = _get_index(spark, sf_dir)
+    groups = load_documents(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("grp")
+    )
+    return q_mod.run_ranked_collapsed(
+        spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
+        ix["num_docs"], ix["avg_len"], groups, k=TOP_K,
+        term_stats_df=ix["term_stats"],
+    )
+
+
 def q_ranked_docpart_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two document-partitioned ranked twins (exhaustive OR /
+    """The document-partitioned ranked twins (exhaustive OR /
     conjunctive AND — the shapes the giant-query dispatch routes to)
-    collapsed into one window entry keyed by ``mode``: same oracle
-    strength as the twins, one fewer driver-window slot (the
-    family-union pattern applied to the docpart plane)."""
+    plus the field-collapsed diversified top-k (which NEEDS the
+    exhaustive docpart substrate) collapsed into one window entry
+    keyed by ``mode``: same oracle strength as the twins, one fewer
+    driver-window slot (the family-union pattern applied to the
+    docpart plane)."""
     a = q_ranked_or_docpart(spark, sf_dir).withColumn("mode", F.lit("or"))
     b = q_ranked_and_docpart(spark, sf_dir).withColumn("mode", F.lit("and"))
-    return a.unionByName(b)
+    c = q_ranked_collapsed_top10(spark, sf_dir).withColumn(
+        "mode", F.lit("collapse")
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def sql_ranked_docpart_family() -> str:
     return (
         f"SELECT 'or' AS mode, v.* FROM ({sql_ranked_or()}) v "
         "UNION ALL "
-        f"SELECT 'and' AS mode, v.* FROM ({sql_ranked_and()}) v"
+        f"SELECT 'and' AS mode, v.* FROM ({sql_ranked_and()}) v "
+        "UNION ALL "
+        f"SELECT 'collapse' AS mode, v.* FROM ({sql_ranked_collapsed()}) v"
     )
 
 
@@ -350,15 +380,34 @@ def q_ranked_and_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _indexed_ranked(spark, sf_dir, "ranked_and")
 
 
+def q_ranked_prf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (operators/prf.py): stage-1
+    top-``PRF_K_FB`` via the pruned blockmax kernel, integer-tf
+    expansion mining over the (semi-join-pruned) forward table,
+    stage-2 re-run on the expanded queries — both stages the certified
+    run_ranked machinery."""
+    from partitioned_ef_ans_spark.operators import prf as prf_mod
+
+    ix = _get_index(spark, sf_dir)
+    return prf_mod.run_ranked_prf(
+        spark, ix["index_df"], gate_queries_df(spark), ix["codec"],
+        ix["num_docs"], ix["avg_len"], load_documents(spark, sf_dir),
+        k=TOP_K, k_fb=PRF_K_FB, m=PRF_M, mode="blockmax",
+        dtype="float64", term_stats_df=ix["term_stats"],
+    )
+
+
 def q_ranked_indexed_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three index-backed exhaustive ranked twins (disjunctive /
-    conjunctive full scoring + the vectorized pruned TAAT kernel) in
-    one union entry keyed by ``mode`` — the family-union pattern: same
-    oracle strength, one driver-window slot."""
+    """The index-backed exhaustive ranked twins (disjunctive /
+    conjunctive full scoring + the vectorized pruned TAAT kernel) plus
+    the two-stage PRF extension in one union entry keyed by ``mode`` —
+    the family-union pattern: same oracle strength, one driver-window
+    slot."""
     a = q_ranked_or_indexed(spark, sf_dir).withColumn("mode", F.lit("or"))
     b = q_ranked_and_indexed(spark, sf_dir).withColumn("mode", F.lit("and"))
     c = q_taat_top10(spark, sf_dir).withColumn("mode", F.lit("taat"))
-    return a.unionByName(b).unionByName(c)
+    d = q_ranked_prf_top10(spark, sf_dir).withColumn("mode", F.lit("rm3"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def sql_ranked_indexed_family() -> str:
@@ -367,7 +416,9 @@ def sql_ranked_indexed_family() -> str:
         "UNION ALL "
         f"SELECT 'and' AS mode, v.* FROM ({sql_ranked_and()}) v "
         "UNION ALL "
-        f"SELECT 'taat' AS mode, v.* FROM ({sql_ranked_or()}) v"
+        f"SELECT 'taat' AS mode, v.* FROM ({sql_ranked_or()}) v "
+        "UNION ALL "
+        f"SELECT 'rm3' AS mode, v.* FROM ({sql_ranked_prf()}) v"
     )
 
 
@@ -884,6 +935,122 @@ ORDER BY query_id, "rank"
 
 def sql_ranked_or() -> str:
     return _sql_ranked(False)
+
+
+def sql_ranked_prf() -> str:
+    """Two-stage PRF oracle: exhaustive rounded top-PRF_K_FB feedback
+    set -> integer-tf expansion mining (no floats: engines agree
+    bit-for-bit; ties by term) -> exhaustive rounded top-k over the
+    expanded (original qtf + expansion qtf=1) query."""
+    qrys, _nq = _values_queries()
+    docw = bm25.duckdb_doc_term_weight(tf="tf.tf", norm_len="ds.norm_len")
+    qw1 = bm25.duckdb_query_term_weight(
+        qtf="q.qtf", df="dfs.df", num_docs="nd.num_docs"
+    )
+    qw2 = bm25.duckdb_query_term_weight(
+        qtf="q2.qtf", df="dfs.df", num_docs="nd.num_docs"
+    )
+    return f"""
+WITH {_TOK_CTE}, {_TF_CTE}, {_DFS_CTE}, {_ND_CTE}, {_DS_CTE},
+qrys AS ({qrys}),
+qw AS (
+  SELECT q.query_id, q.term, {qw1} AS q_weight
+  FROM qrys q JOIN dfs USING (term) CROSS JOIN nd
+),
+per_doc AS (
+  SELECT qw.query_id AS query_id, tf.doc_id AS doc_id,
+         round(sum(qw.q_weight * {docw}), {bm25.ROUND_DECIMALS}) AS score
+  FROM tf
+  JOIN qw ON tf.term = qw.term
+  JOIN ds ON tf.doc_id = ds.doc_id
+  GROUP BY qw.query_id, tf.doc_id
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rn
+    FROM per_doc
+  ) WHERE rn <= {PRF_K_FB}
+),
+expw AS (
+  SELECT f.query_id, t.term, CAST(sum(t.tf) AS BIGINT) AS wt
+  FROM tf t
+  JOIN fb f ON t.doc_id = f.doc_id
+  LEFT JOIN qrys q ON q.query_id = f.query_id AND q.term = t.term
+  WHERE q.term IS NULL
+  GROUP BY f.query_id, t.term
+),
+expsel AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY wt DESC, term) AS rn
+    FROM expw
+  ) WHERE rn <= {PRF_M}
+),
+qrys2 AS (
+  SELECT query_id, term, qtf FROM qrys
+  UNION ALL
+  SELECT query_id, term, 1 AS qtf FROM expsel
+),
+qw2c AS (
+  SELECT q2.query_id, q2.term, {qw2} AS q_weight
+  FROM qrys2 q2 JOIN dfs USING (term) CROSS JOIN nd
+),
+per_doc2 AS (
+  SELECT qw2c.query_id AS query_id, tf.doc_id AS doc_id,
+         round(sum(qw2c.q_weight * {docw}), {bm25.ROUND_DECIMALS}) AS score
+  FROM tf
+  JOIN qw2c ON tf.term = qw2c.term
+  JOIN ds ON tf.doc_id = ds.doc_id
+  GROUP BY qw2c.query_id, tf.doc_id
+)
+SELECT query_id, CAST(row_number() OVER w AS INT) AS "rank", doc_id, score
+FROM per_doc2
+WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
+QUALIFY "rank" <= {TOP_K}
+ORDER BY query_id, "rank"
+"""
+
+
+def sql_ranked_collapsed() -> str:
+    """Field-collapse oracle: exhaustive rounded scores -> best doc per
+    (query, source) (score desc, doc_id) -> global top-k."""
+    qrys, _nq = _values_queries()
+    docw = bm25.duckdb_doc_term_weight(tf="tf.tf", norm_len="ds.norm_len")
+    qw = bm25.duckdb_query_term_weight(
+        qtf="q.qtf", df="dfs.df", num_docs="nd.num_docs"
+    )
+    return f"""
+WITH {_TOK_CTE}, {_TF_CTE}, {_DFS_CTE}, {_ND_CTE}, {_DS_CTE},
+qrys AS ({qrys}),
+qw AS (
+  SELECT q.query_id, q.term, {qw} AS q_weight
+  FROM qrys q JOIN dfs USING (term) CROSS JOIN nd
+),
+per_doc AS (
+  SELECT qw.query_id AS query_id, tf.doc_id AS doc_id,
+         round(sum(qw.q_weight * {docw}), {bm25.ROUND_DECIMALS}) AS score
+  FROM tf
+  JOIN qw ON tf.term = qw.term
+  JOIN ds ON tf.doc_id = ds.doc_id
+  GROUP BY qw.query_id, tf.doc_id
+),
+best AS (
+  SELECT query_id, doc_id, score FROM (
+    SELECT p.query_id, p.doc_id, p.score,
+           row_number() OVER (PARTITION BY p.query_id, d.source
+                              ORDER BY p.score DESC, p.doc_id) AS g_rn
+    FROM per_doc p JOIN documents d USING (doc_id)
+  ) WHERE g_rn = 1
+)
+SELECT query_id, CAST(row_number() OVER w AS INT) AS "rank", doc_id, score
+FROM best
+WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
+QUALIFY "rank" <= {TOP_K}
+ORDER BY query_id, "rank"
+"""
 
 
 # every 7th doc tombstoned — deterministic at any scale factor, and

@@ -973,19 +973,20 @@ def run_ranked(
     return joined.groupBy("query_id").applyInPandas(kernel, schema=RESULT_SCHEMA)
 
 
-def run_ranked_docpartitioned(
+def ranked_scores_docpartitioned(
     spark,
     index_df: DataFrame,
     queries_df: DataFrame,
     codec,
     num_docs: int,
     avg_len: float,
-    k: int = 10,
     term_stats_df: DataFrame | None = None,
     tomb_bc=None,
 ) -> DataFrame:
     """Document-partitioned exhaustive BM25 (the second parallelism
-    axis).
+    axis) as the full per-(query, doc) scored relation — the substrate
+    ``run_ranked_docpartitioned`` tops-k and ``run_ranked_collapsed``
+    group-collapses.
 
     Each index CHUNK (a doc-range slice of one term's list) computes
     its docs' partial scores locally — no per-query gathering of whole
@@ -1046,15 +1047,94 @@ def run_ranked_docpartitioned(
                 }
             )
 
-    per_doc = (
+    return (
         joined.select("qs", "df", "chunk_id", "payload", "doc_lens")
         .mapInPandas(partials, schema="query_id long, doc_id long, partial double")
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("partial"), bm25.ROUND_DECIMALS).alias("score"))
     )
+
+
+def run_ranked_docpartitioned(
+    spark,
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    codec,
+    num_docs: int,
+    avg_len: float,
+    k: int = 10,
+    term_stats_df: DataFrame | None = None,
+    tomb_bc=None,
+) -> DataFrame:
+    """Global top-k window over ``ranked_scores_docpartitioned`` —
+    rank-identical to ranked_or/WAND/taat under the gate's comparison
+    discipline (rounded scores, doc_id tie-break)."""
+    from pyspark.sql.window import Window
+
+    per_doc = ranked_scores_docpartitioned(
+        spark, index_df, queries_df, codec, num_docs, avg_len,
+        term_stats_df=term_stats_df, tomb_bc=tomb_bc,
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
+    )
+
+
+def run_ranked_collapsed(
+    spark,
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    codec,
+    num_docs: int,
+    avg_len: float,
+    groups_df: DataFrame,
+    k: int = 10,
+    term_stats_df: DataFrame | None = None,
+    tomb_bc=None,
+    tombstones=None,
+    allowlist=None,
+) -> DataFrame:
+    """Field-collapsed (diversified) top-k: at most ONE result per
+    (query, group) — the SERP host-collapse every search engine ships
+    and the reference has no analogue of.
+
+    ``groups_df`` maps ``doc_id -> grp`` (e.g. the documents table's
+    ``source`` column).  Exactness needs the best-per-group over the
+    FULL scored set, so this rides the doc-partitioned exhaustive
+    substrate (not a pruned top-k, which only certifies k global
+    rows): per-chunk partials → hash-agg per (query, doc) → join the
+    doc-keyed group map (co-partitioned by doc_id at scale; the scored
+    relation is already doc-hashed by the agg) → per-(query, grp)
+    best via window (rounded score desc, doc_id asc) → global top-k
+    window over the ≤|groups| survivors per query.  No step gathers a
+    whole query's lists; shuffle keys are (query,doc) then
+    (query,grp) — both fine-grained at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    if allowlist is not None:
+        tombstones = make_allowlist(allowlist, tombstones)
+    if tomb_bc is None and tombstones is not None:
+        tomb_bc = _as_tomb_bc(spark, tombstones)
+    per_doc = ranked_scores_docpartitioned(
+        spark, index_df, queries_df, codec, num_docs, avg_len,
+        term_stats_df=term_stats_df, tomb_bc=tomb_bc,
+    )
+    grouped = per_doc.join(groups_df, "doc_id")
+    wg = Window.partitionBy("query_id", "grp").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    best = (
+        grouped.withColumn("_g_rn", F.row_number().over(wg))
+        .where(F.col("_g_rn") == 1)
+        .drop("_g_rn", "grp")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        best.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
     )

@@ -16,11 +16,25 @@ def ship_package(spark: SparkSession) -> None:
     if getattr(sc, "_pefa_shipped", False):
         return
     pkg_dir = Path(__file__).resolve().parent
-    zip_path = Path(f"/tmp/pefa_pkg_{os.getpid()}.zip")
+    # Content-addressed zip name: a PID-keyed path can resurrect a
+    # STALE package after PID recycling (executors then import old
+    # code — signature mismatches surface as worker TypeErrors far
+    # from the cause).  Hashing source content makes reuse safe and
+    # the tmp+rename write makes concurrent builders race-free.
+    import hashlib
+
+    files = sorted(pkg_dir.rglob("*.py"))
+    h = hashlib.sha1()
+    for f in files:
+        h.update(str(f.relative_to(pkg_dir)).encode())
+        h.update(f.read_bytes())
+    zip_path = Path(f"/dev/shm/pefa_pkg_{h.hexdigest()[:16]}.zip")
     if not zip_path.exists():
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for f in pkg_dir.rglob("*.py"):
+        tmp = zip_path.with_suffix(f".{os.getpid()}.tmp")
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for f in files:
                 zf.write(f, f"partitioned_ef_ans_spark/{f.relative_to(pkg_dir)}")
+        os.replace(tmp, zip_path)
     sc.addPyFile(str(zip_path))
     sc._pefa_shipped = True
 
