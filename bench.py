@@ -119,6 +119,33 @@ def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
                 spark, index_df, qdf, codec, conj, term_stats_df=term_stats
             ).count()
             out[f"{name}_{N_QUERIES}q"] = round(time.perf_counter() - t0, 3)
+        # round-4 retrieval extensions: two-stage PRF (~2x a ranked
+        # pass + a broadcast-pruned forward fetch) and field collapse
+        # (exhaustive docpart substrate — the expected slow-but-exact
+        # diversity shape)
+        from partitioned_ef_ans_spark.operators import prf as prf_mod
+
+        t0 = time.perf_counter()
+        prf_mod.run_ranked_prf(
+            spark, index_df, qdf, codec, nd, avg_len,
+            corpus.withColumnRenamed("content", "text"),
+            k=K, mode="blockmax", dtype="float32",
+            term_stats_df=term_stats,
+        ).count()
+        dt = time.perf_counter() - t0
+        out[f"prf_{N_QUERIES}q"] = round(dt, 3)
+        out["prf_qps"] = round(N_QUERIES / dt, 1)
+        groups = corpus.select(
+            "doc_id", F.pmod("doc_id", F.lit(64)).cast("string").alias("grp")
+        )
+        t0 = time.perf_counter()
+        q_mod.run_ranked_collapsed(
+            spark, index_df, qdf, codec, nd, avg_len, groups, k=K,
+            term_stats_df=term_stats,
+        ).count()
+        dt = time.perf_counter() - t0
+        out[f"collapse_{N_QUERIES}q"] = round(dt, 3)
+        out["collapse_qps"] = round(N_QUERIES / dt, 1)
     out["total_wall"] = round(time.perf_counter() - t_start, 3)
     spark.stop()
 
