@@ -382,16 +382,17 @@ def cmd_queries(args) -> int:
             allow = [int(l) for l in fh if l.strip()]
     prf = getattr(args, "prf", False)
     collapse_by = getattr(args, "collapse_by", None)
+    fuzzy = getattr(args, "fuzzy", False)
     if (prf or collapse_by) and not getattr(args, "corpus", None):
         print("--prf / --collapse-by need --corpus", file=sys.stderr)
         return 1
     shard_dirs = [d for d in args.index_dir.split(",") if d]
-    if (prf or collapse_by) and (
+    if (prf or collapse_by or fuzzy) and (
         len(shard_dirs) > 1 or args.latency
         or getattr(args, "fetch", "gather") == "direct"
     ):
-        print("--prf / --collapse-by serve one index through the "
-              "gather path (no shards / --latency / --fetch direct)",
+        print("--prf / --collapse-by / --fuzzy serve one index through "
+              "the gather path (no shards / --latency / --fetch direct)",
               file=sys.stderr)
         return 1
     if len(shard_dirs) > 1:
@@ -473,6 +474,16 @@ def cmd_queries(args) -> int:
     tombs = None if args.include_deleted else load_tombstones(args.index_dir)
     qdf = queries_to_df(spark, qs).cache()
     qdf.count()
+    if fuzzy:
+        # did-you-mean: correct OOV terms against the frozen term_stats
+        # BEFORE serving (operators/spellcheck.py) — mode-independent,
+        # so it happens once for the whole run matrix
+        from partitioned_ef_ans_spark.operators import spellcheck as sp_mod
+
+        qdf = sp_mod.correct_query_terms(
+            qdf, term_stats, max_dist=args.fuzzy_max_dist
+        ).cache()
+        qdf.count()
     corpus_df = (
         spark.read.parquet(args.corpus)
         if (prf or collapse_by) else None
@@ -926,6 +937,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="field collapse: at most one result per value "
                         "of this --corpus column per query (exhaustive "
                         "docpart substrate; ignores --mode)")
+    q.add_argument("--fuzzy", action="store_true",
+                   help="did-you-mean: correct OOV query terms against "
+                        "the index dictionary before serving (min "
+                        "levenshtein, ties df desc then term; queries "
+                        "keeping an unresolvable term drop whole)")
+    q.add_argument("--fuzzy-max-dist", type=int, default=2)
     q.set_defaults(fn=cmd_queries)
 
     ph = sub.add_parser("phrase")

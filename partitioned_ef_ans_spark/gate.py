@@ -53,6 +53,23 @@ TOP_K = 10
 PRF_K_FB = 5
 PRF_M = 3
 
+#: did-you-mean (fuzzy mode): typo'd queries over the gate vocabulary.
+#: Each row exercises a distinct corner of the correction rule —
+#: multi-typo, distance-2, in-vocab passthrough, uncorrectable token
+#: (whole-query drop), rare-term typo (positive idf), a distance-1 TIE
+#: (sow -> {slow, row}: df must break it), and a correction colliding
+#: with a literal occurrence (qtf folds to 2).
+FUZZY_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["sprak", "joim"]),
+    (1, ["tabel"]),
+    (2, ["group", "windoq"]),
+    (3, ["zzqq_missing", "scan"]),
+    (4, ["dupp"]),
+    (5, ["sow"]),
+    (6, ["joim", "join"]),
+]
+FUZZY_MAX_DIST = 2
+
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -397,17 +414,39 @@ def q_ranked_prf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ranked_fuzzy_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean retrieval (operators/spellcheck.py): OOV query
+    terms corrected against the frozen term_stats dictionary
+    (min Levenshtein ≤ FUZZY_MAX_DIST, ties df desc then term —
+    all-integer ordering), then the certified run_ranked."""
+    from partitioned_ef_ans_spark.operators import spellcheck as sp_mod
+
+    ix = _get_index(spark, sf_dir)
+    return sp_mod.run_ranked_fuzzy(
+        spark, ix["index_df"],
+        r_mod.queries_to_df(spark, FUZZY_QUERIES), ix["codec"],
+        ix["num_docs"], ix["avg_len"], term_stats_df=ix["term_stats"],
+        max_dist=FUZZY_MAX_DIST, mode="blockmax", k=TOP_K,
+        dtype="float64",
+    )
+
+
 def q_ranked_indexed_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index-backed exhaustive ranked twins (disjunctive /
     conjunctive full scoring + the vectorized pruned TAAT kernel) plus
-    the two-stage PRF extension in one union entry keyed by ``mode`` —
-    the family-union pattern: same oracle strength, one driver-window
-    slot."""
+    the two-stage PRF and did-you-mean extensions in one union entry
+    keyed by ``mode`` — the family-union pattern: same oracle
+    strength, one driver-window slot."""
     a = q_ranked_or_indexed(spark, sf_dir).withColumn("mode", F.lit("or"))
     b = q_ranked_and_indexed(spark, sf_dir).withColumn("mode", F.lit("and"))
     c = q_taat_top10(spark, sf_dir).withColumn("mode", F.lit("taat"))
     d = q_ranked_prf_top10(spark, sf_dir).withColumn("mode", F.lit("rm3"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    e = q_ranked_fuzzy_top10(spark, sf_dir).withColumn(
+        "mode", F.lit("fuzzy")
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    )
 
 
 def sql_ranked_indexed_family() -> str:
@@ -418,7 +457,9 @@ def sql_ranked_indexed_family() -> str:
         "UNION ALL "
         f"SELECT 'taat' AS mode, v.* FROM ({sql_ranked_or()}) v "
         "UNION ALL "
-        f"SELECT 'rm3' AS mode, v.* FROM ({sql_ranked_prf()}) v"
+        f"SELECT 'rm3' AS mode, v.* FROM ({sql_ranked_prf()}) v "
+        "UNION ALL "
+        f"SELECT 'fuzzy' AS mode, v.* FROM ({sql_ranked_fuzzy()}) v"
     )
 
 
@@ -1008,6 +1049,85 @@ per_doc2 AS (
 )
 SELECT query_id, CAST(row_number() OVER w AS INT) AS "rank", doc_id, score
 FROM per_doc2
+WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
+QUALIFY "rank" <= {TOP_K}
+ORDER BY query_id, "rank"
+"""
+
+
+def sql_ranked_fuzzy() -> str:
+    """Did-you-mean oracle: OOV tokens of FUZZY_QUERIES corrected
+    against the corpus df-histogram (== the index's frozen term_stats
+    df, itself a hashed gate entry) by (levenshtein, df desc, term) —
+    all integers, engines agree exactly — then exhaustive rounded
+    BM25 top-k over the corrected queries (qtf recounted after
+    correction, so a correction colliding with a literal folds to
+    qtf=2; queries keeping an unresolvable token drop whole)."""
+    rows = []
+    for qid, terms in FUZZY_QUERIES:
+        for pos, t in enumerate(terms):
+            rows.append(f"({qid}, {pos}, '{t.lower()}')")
+    q_vals = (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS q(query_id, pos, term)"
+    )
+    docw = bm25.duckdb_doc_term_weight(tf="tf.tf", norm_len="ds.norm_len")
+    qw = bm25.duckdb_query_term_weight(
+        qtf="q2.qtf", df="dfs.df", num_docs="nd.num_docs"
+    )
+    return f"""
+WITH {_TOK_CTE}, {_TF_CTE}, {_DFS_CTE}, {_ND_CTE}, {_DS_CTE},
+q AS ({q_vals}),
+hit AS (
+  SELECT q.query_id, q.pos, q.term FROM q JOIN dfs USING (term)
+),
+oov AS (
+  SELECT q.query_id, q.pos, q.term
+  FROM q LEFT JOIN dfs USING (term) WHERE dfs.term IS NULL
+),
+cand AS (
+  SELECT o.query_id, o.pos, d.term AS cand, d.df,
+         levenshtein(o.term, d.term) AS dist
+  FROM oov o JOIN dfs d
+    ON abs(length(o.term) - length(d.term)) <= {FUZZY_MAX_DIST}
+  WHERE levenshtein(o.term, d.term) <= {FUZZY_MAX_DIST}
+),
+fixed AS (
+  SELECT query_id, pos, cand AS term FROM (
+    SELECT query_id, pos, cand,
+           row_number() OVER (PARTITION BY query_id, pos
+                              ORDER BY dist, df DESC, cand) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+resolved AS (
+  SELECT * FROM hit UNION ALL SELECT * FROM fixed
+),
+keep AS (
+  SELECT r.query_id FROM resolved r
+  JOIN (SELECT query_id, count(*) AS n FROM q GROUP BY query_id) c
+    USING (query_id)
+  GROUP BY r.query_id, c.n HAVING count(*) = any_value(c.n)
+),
+qrys2 AS (
+  SELECT r.query_id, r.term, CAST(count(*) AS INT) AS qtf
+  FROM resolved r JOIN keep USING (query_id)
+  GROUP BY r.query_id, r.term
+),
+qw2 AS (
+  SELECT q2.query_id, q2.term, {qw} AS q_weight
+  FROM qrys2 q2 JOIN dfs USING (term) CROSS JOIN nd
+),
+per_doc AS (
+  SELECT qw2.query_id AS query_id, tf.doc_id AS doc_id,
+         round(sum(qw2.q_weight * {docw}), {bm25.ROUND_DECIMALS}) AS score
+  FROM tf
+  JOIN qw2 ON tf.term = qw2.term
+  JOIN ds ON tf.doc_id = ds.doc_id
+  GROUP BY qw2.query_id, tf.doc_id
+)
+SELECT query_id, CAST(row_number() OVER w AS INT) AS "rank", doc_id, score
+FROM per_doc
 WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
 QUALIFY "rank" <= {TOP_K}
 ORDER BY query_id, "rank"

@@ -1,0 +1,166 @@
+"""Did-you-mean spell correction (operators/spellcheck.py) — the
+round-4 fuzzy-retrieval extension (driver-hashed as the ``fuzzy`` mode
+of ``ranked_indexed_family``).
+
+Pinned here:
+
+* the correction rule equals a full python replay (own DP Levenshtein)
+  on a corpus whose w00..w13 vocabulary makes distance ties routine —
+  (dist, df desc, term asc) ordering is genuinely exercised;
+* Spark's F.levenshtein and DuckDB's levenshtein agree on every
+  (typo, vocab) pair the gate can see (the all-integer ordering only
+  transfers across engines if the metric itself does);
+* a query keeping an unresolvable token drops whole (S6 skip
+  semantics); corrections colliding with literals fold to qtf=2
+  (run_ranked_fuzzy == run_ranked over manually corrected queries).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from test_deletes import N_DOCS, VOCAB, _build, _corpus
+
+TYPOS = [
+    (0, ["w0", "w03"]),        # 'w0': dist 1 to ALL w0X -> df/term ties
+    (1, ["w1z"]),              # dist 1 to w10..w13
+    (2, ["qqqqq", "w05"]),     # unresolvable -> whole query drops
+    (3, ["w07x", "w07"]),      # correction collides with literal
+    (4, ["ww00"]),             # insertion typo
+]
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+            )
+    return dp[len(b)]
+
+
+def _dfs():
+    df = Counter()
+    for _d, text in _corpus(range(N_DOCS)):
+        for t in set(text.split()):
+            df[t] += 1
+    return df
+
+
+def _py_correct(queries, max_dist=2):
+    df = _dfs()
+    out = {}
+    for qid, terms in queries:
+        fixed = []
+        for t in terms:
+            t = t.lower()
+            if t in df:
+                fixed.append(t)
+                continue
+            cand = sorted(
+                (_lev(t, v), -df[v], v) for v in df
+                if abs(len(t) - len(v)) <= max_dist
+                and _lev(t, v) <= max_dist
+            )
+            if not cand:
+                fixed = None
+                break
+            fixed.append(cand[0][2])
+        if fixed is not None:
+            out[qid] = fixed
+    return out
+
+
+@pytest.fixture(scope="module")
+def sp_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("spidx") / "idx")
+    _build(spark, d, range(N_DOCS))
+    return d
+
+
+def _dict_df(spark, sp_index):
+    from partitioned_ef_ans_spark.index import build as b_mod
+
+    _ix, _s, ts, _c, _m = b_mod.load_index(spark, sp_index)
+    return ts.select("term", "df")
+
+
+def test_correction_python_replay(spark, sp_index):
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.operators.spellcheck import (
+        correct_query_terms,
+    )
+
+    got = {
+        r["query_id"]: list(r["terms"])
+        for r in correct_query_terms(
+            queries_to_df(spark, TYPOS), _dict_df(spark, sp_index)
+        ).collect()
+    }
+    want = _py_correct(TYPOS)
+    assert got == want
+    assert 2 not in got            # unresolvable token dropped the query
+    assert got[3][0] == got[3][1] == "w07"   # collision -> same term twice
+    # the 'w0' row hit a genuine multi-candidate tie at distance 1
+    df = _dfs()
+    tied = [v for v in df if abs(len(v) - 2) <= 2 and _lev("w0", v) == 1]
+    assert len(tied) > 1
+
+
+def test_fuzzy_equals_manual_correction(spark, sp_index):
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.operators.spellcheck import (
+        run_ranked_fuzzy,
+    )
+
+    index_df, _s, ts, codec, man = b_mod.load_index(spark, sp_index)
+    got = run_ranked_fuzzy(
+        spark, index_df, queries_to_df(spark, TYPOS), codec,
+        man["num_docs"], man["avg_doc_len"], term_stats_df=ts,
+        mode="blockmax", k=5, dtype="float64",
+    )
+    manual = sorted(_py_correct(TYPOS).items())
+    want = q_mod.run_ranked(
+        spark, index_df, queries_to_df(spark, manual), codec,
+        man["num_docs"], man["avg_doc_len"], mode="blockmax", k=5,
+        dtype="float64", term_stats_df=ts,
+    )
+    key = lambda df: [  # noqa: E731
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in df.orderBy("query_id", "rank").collect()
+    ]
+    rows = key(got)
+    assert rows == key(want) and rows
+
+
+def test_spark_duckdb_levenshtein_agree(spark):
+    import duckdb
+
+    from partitioned_ef_ans_spark import gate
+
+    pairs = [
+        (t, v)
+        for _q, terms in list(TYPOS) + list(gate.FUZZY_QUERIES)
+        for t in terms
+        for v in VOCAB + ["spark", "table", "window", "join", "dup",
+                          "slow", "row", "scan"]
+    ]
+    sdf = spark.createDataFrame(pairs, "a string, b string")
+    from pyspark.sql import functions as F
+
+    got = [
+        (r["a"], r["b"], r["d"])
+        for r in sdf.select("a", "b", F.levenshtein("a", "b").alias("d"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    for a, b, d in got:
+        assert con.sql(
+            f"SELECT levenshtein('{a}', '{b}')"
+        ).fetchone()[0] == d, (a, b, d)
