@@ -98,6 +98,34 @@ def test_cli_collapse_matches_inprocess(spark, cli_prf_env):
     assert got == want and len(got) == 3  # one per src group
 
 
+def test_cli_fuzzy_matches_inprocess(spark, cli_prf_env):
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.operators.spellcheck import (
+        run_ranked_fuzzy,
+    )
+
+    _corpus_path, idx = cli_prf_env
+    # query 0 has a correctable typo; query 1 is unresolvable -> drops
+    got = _parse_topk(run_cli(
+        "queries", idx, "--fuzzy", "--print-topk",
+        stdin="w0q w03\nzzz zzzz\n",
+    ))
+    index_df, ts, codec, man = _load(spark, idx)
+    want = [
+        (r["query_id"], r["rank"], r["doc_id"], float(r["score"]))
+        for r in run_ranked_fuzzy(
+            spark, index_df,
+            queries_to_df(
+                spark, [(0, ["w0q", "w03"]), (1, ["zzz", "zzzz"])]
+            ),
+            codec, man["num_docs"], man["avg_doc_len"],
+            term_stats_df=ts, mode="blockmax", k=10, dtype="float32",
+        ).orderBy("query_id", "rank").collect()
+    ]
+    assert got == want and len(got) == 10
+    assert {q for q, *_ in got} == {0}
+
+
 def test_cli_prf_flag_validation():
     import subprocess
     import sys
