@@ -383,17 +383,19 @@ def cmd_queries(args) -> int:
     prf = getattr(args, "prf", False)
     collapse_by = getattr(args, "collapse_by", None)
     fuzzy = getattr(args, "fuzzy", False)
-    if (prf or collapse_by) and not getattr(args, "corpus", None):
-        print("--prf / --collapse-by need --corpus", file=sys.stderr)
+    mlt = getattr(args, "more_like", False)
+    if (prf or collapse_by or mlt) and not getattr(args, "corpus", None):
+        print("--prf / --collapse-by / --more-like need --corpus",
+              file=sys.stderr)
         return 1
     shard_dirs = [d for d in args.index_dir.split(",") if d]
-    if (prf or collapse_by or fuzzy) and (
+    if (prf or collapse_by or fuzzy or mlt) and (
         len(shard_dirs) > 1 or args.latency
         or getattr(args, "fetch", "gather") == "direct"
     ):
-        print("--prf / --collapse-by / --fuzzy serve one index through "
-              "the gather path (no shards / --latency / --fetch direct)",
-              file=sys.stderr)
+        print("--prf / --collapse-by / --fuzzy / --more-like serve one "
+              "index through the gather path (no shards / --latency / "
+              "--fetch direct)", file=sys.stderr)
         return 1
     if len(shard_dirs) > 1:
         # scatter-gather serving over shard indexes (index/sharded.py):
@@ -486,7 +488,7 @@ def cmd_queries(args) -> int:
         qdf.count()
     corpus_df = (
         spark.read.parquet(args.corpus)
-        if (prf or collapse_by) else None
+        if (prf or collapse_by or mlt) else None
     )
     for mode in args.mode.split(","):
         for run in range(args.runs):
@@ -506,6 +508,20 @@ def cmd_queries(args) -> int:
                         "doc_id", F.col(collapse_by).alias("grp")
                     ),
                     k=args.k, term_stats_df=term_stats,
+                    tombstones=tombs, allowlist=allow,
+                )
+            elif mlt:
+                # stdin lines are source DOC IDS, one per line
+                from partitioned_ef_ans_spark.operators import mlt as mlt_mod
+
+                ids = spark.createDataFrame(
+                    [(int(t[0]),) for _q, t in qs], "doc_id long"
+                )
+                res = mlt_mod.run_more_like_this(
+                    spark, index_df, ids, codec, man["num_docs"],
+                    man["avg_doc_len"], corpus_df,
+                    term_stats_df=term_stats, m=args.mlt_terms,
+                    k=args.k, mode=mode, dtype="float32",
                     tombstones=tombs, allowlist=allow,
                 )
             elif prf:
@@ -943,6 +959,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "levenshtein, ties df desc then term; queries "
                         "keeping an unresolvable term drop whole)")
     q.add_argument("--fuzzy-max-dist", type=int, default=2)
+    q.add_argument("--more-like", action="store_true",
+                   help="more-like-this: stdin lines are source doc "
+                        "ids; each doc's --mlt-terms most salient "
+                        "terms (tf desc, df asc) become its query, "
+                        "self excluded from results (needs --corpus)")
+    q.add_argument("--mlt-terms", type=int, default=5)
     q.set_defaults(fn=cmd_queries)
 
     ph = sub.add_parser("phrase")

@@ -70,6 +70,11 @@ FUZZY_QUERIES: list[tuple[int, list[str]]] = [
 ]
 FUZZY_MAX_DIST = 2
 
+#: more-like-this (mlt mode): source docs (present at every sf) and
+#: the salient-term budget — shared by Spark gate call and oracle.
+MLT_DOC_IDS = (0, 3, 11)
+MLT_M = 5
+
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -431,11 +436,30 @@ def q_ranked_fuzzy_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mlt_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this (operators/mlt.py): each source doc's top-MLT_M
+    salient terms (tf desc, df asc, term — all integers) become its
+    query; certified run_ranked serves it; self excluded exactly via
+    top-(k+1) + trim."""
+    from partitioned_ef_ans_spark.operators import mlt as mlt_mod
+
+    ix = _get_index(spark, sf_dir)
+    ids = spark.createDataFrame(
+        [(int(i),) for i in MLT_DOC_IDS], "doc_id long"
+    )
+    return mlt_mod.run_more_like_this(
+        spark, ix["index_df"], ids, ix["codec"], ix["num_docs"],
+        ix["avg_len"], load_documents(spark, sf_dir),
+        term_stats_df=ix["term_stats"], m=MLT_M, k=TOP_K,
+        mode="blockmax", dtype="float64",
+    )
+
+
 def q_ranked_indexed_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index-backed exhaustive ranked twins (disjunctive /
     conjunctive full scoring + the vectorized pruned TAAT kernel) plus
-    the two-stage PRF and did-you-mean extensions in one union entry
-    keyed by ``mode`` — the family-union pattern: same oracle
+    the PRF, did-you-mean and more-like-this extensions in one union
+    entry keyed by ``mode`` — the family-union pattern: same oracle
     strength, one driver-window slot."""
     a = q_ranked_or_indexed(spark, sf_dir).withColumn("mode", F.lit("or"))
     b = q_ranked_and_indexed(spark, sf_dir).withColumn("mode", F.lit("and"))
@@ -444,8 +468,10 @@ def q_ranked_indexed_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = q_ranked_fuzzy_top10(spark, sf_dir).withColumn(
         "mode", F.lit("fuzzy")
     )
+    f = q_mlt_top10(spark, sf_dir).withColumn("mode", F.lit("mlt"))
     return (
-        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        a.unionByName(b).unionByName(c).unionByName(d)
+        .unionByName(e).unionByName(f)
     )
 
 
@@ -459,7 +485,9 @@ def sql_ranked_indexed_family() -> str:
         "UNION ALL "
         f"SELECT 'rm3' AS mode, v.* FROM ({sql_ranked_prf()}) v "
         "UNION ALL "
-        f"SELECT 'fuzzy' AS mode, v.* FROM ({sql_ranked_fuzzy()}) v"
+        f"SELECT 'fuzzy' AS mode, v.* FROM ({sql_ranked_fuzzy()}) v "
+        "UNION ALL "
+        f"SELECT 'mlt' AS mode, v.* FROM ({sql_mlt()}) v"
     )
 
 
@@ -1128,6 +1156,52 @@ per_doc AS (
 )
 SELECT query_id, CAST(row_number() OVER w AS INT) AS "rank", doc_id, score
 FROM per_doc
+WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
+QUALIFY "rank" <= {TOP_K}
+ORDER BY query_id, "rank"
+"""
+
+
+def sql_mlt() -> str:
+    """More-like-this oracle: top-MLT_M salient terms per source doc
+    (tf desc, df asc, term — all integers) -> exhaustive rounded BM25
+    with the source doc excluded, top-k."""
+    ids = ", ".join(f"({int(i)})" for i in MLT_DOC_IDS)
+    docw = bm25.duckdb_doc_term_weight(tf="tf.tf", norm_len="ds.norm_len")
+    qw = bm25.duckdb_query_term_weight(
+        qtf="q3.qtf", df="dfs.df", num_docs="nd.num_docs"
+    )
+    return f"""
+WITH {_TOK_CTE}, {_TF_CTE}, {_DFS_CTE}, {_ND_CTE}, {_DS_CTE},
+src AS (SELECT * FROM (VALUES {ids}) AS s(doc_id)),
+sal AS (
+  SELECT tf.doc_id AS qid, tf.term, tf.tf, dfs.df
+  FROM tf JOIN src USING (doc_id) JOIN dfs USING (term)
+),
+sel AS (
+  SELECT qid, term FROM (
+    SELECT qid, term,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY tf DESC, df, term) AS rn
+    FROM sal
+  ) WHERE rn <= {MLT_M}
+),
+qrys3 AS (SELECT qid AS query_id, term, 1 AS qtf FROM sel),
+qw3 AS (
+  SELECT q3.query_id, q3.term, {qw} AS q_weight
+  FROM qrys3 q3 JOIN dfs USING (term) CROSS JOIN nd
+),
+per_doc AS (
+  SELECT qw3.query_id AS query_id, tf.doc_id AS doc_id,
+         round(sum(qw3.q_weight * {docw}), {bm25.ROUND_DECIMALS}) AS score
+  FROM tf
+  JOIN qw3 ON tf.term = qw3.term
+  JOIN ds ON tf.doc_id = ds.doc_id
+  GROUP BY qw3.query_id, tf.doc_id
+)
+SELECT query_id, CAST(row_number() OVER w AS INT) AS "rank", doc_id, score
+FROM per_doc
+WHERE doc_id <> query_id
 WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
 QUALIFY "rank" <= {TOP_K}
 ORDER BY query_id, "rank"
