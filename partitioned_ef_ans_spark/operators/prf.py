@@ -110,11 +110,15 @@ def run_ranked_prf(
     """
     from partitioned_ef_ans_spark.index import query as q_mod
 
+    # cache the tiny intermediates: run_ranked references its queries
+    # frame more than once (giant-query dispatch probe + the list
+    # join), and without a cache each reference would re-execute the
+    # whole stage-1 retrieval
     fb = q_mod.run_ranked(
         spark, index_df, queries_df, codec, num_docs, avg_len,
         mode=mode, k=int(k_fb), dtype=dtype, term_stats_df=term_stats_df,
         **kw,
-    ).select("query_id", "doc_id")
+    ).select("query_id", "doc_id").cache()
     fb_doc_ids = fb.select("doc_id").distinct()
     fb_docs_tbl = docs_df.join(F.broadcast(fb_doc_ids), "doc_id")
     toks = tokenizer.tokenize(fb_docs_tbl, doc_col="doc_id", text_col="text")
@@ -123,7 +127,7 @@ def run_ranked_prf(
         "query_id", F.explode(F.array_distinct("terms")).alias("term")
     )
     exp = expansion_terms(fb, fb_tf, orig, m)
-    expanded = expand_queries(queries_df, exp)
+    expanded = expand_queries(queries_df, exp).cache()
     return q_mod.run_ranked(
         spark, index_df, expanded, codec, num_docs, avg_len,
         mode=mode, k=int(k), dtype=dtype, term_stats_df=term_stats_df,

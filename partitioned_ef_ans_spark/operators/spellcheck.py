@@ -101,7 +101,10 @@ def run_ranked_fuzzy(
     masking / dispatch guarantee inherited)."""
     from partitioned_ef_ans_spark.index import query as q_mod
 
-    corrected = correct_query_terms(queries_df, term_stats_df, max_dist)
+    # cached: run_ranked references its queries frame more than once
+    # (dispatch probe + list join) — uncached, each reference would
+    # re-run the correction join
+    corrected = correct_query_terms(queries_df, term_stats_df, max_dist).cache()
     return q_mod.run_ranked(
         spark, index_df, corrected, codec, num_docs, avg_len,
         mode=mode, k=k, dtype=dtype, term_stats_df=term_stats_df, **kw,
