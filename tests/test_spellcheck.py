@@ -139,6 +139,60 @@ def test_fuzzy_equals_manual_correction(spark, sp_index):
     assert rows == key(want) and rows
 
 
+def test_random_typos_fuzz(spark, sp_index):
+    """100 seeded random typo strings through the full correction rule:
+    Spark == python replay, and Spark's levenshtein == DuckDB's on
+    every (typo, vocab) pair — one batched job per engine."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(0xC0FFEE)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789w"
+    typos = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+        for _ in range(100)
+    ]
+    queries = [(i, [t]) for i, t in enumerate(typos)]
+
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.operators.spellcheck import (
+        correct_query_terms,
+    )
+
+    got = {
+        r["query_id"]: list(r["terms"])
+        for r in correct_query_terms(
+            queries_to_df(spark, queries), _dict_df(spark, sp_index)
+        ).collect()
+    }
+    assert got == _py_correct(queries)
+
+    from pyspark.sql import functions as F
+
+    pairs = [(t, v) for t in set(typos) for v in VOCAB]
+    sdf = spark.createDataFrame(pairs, "a string, b string")
+    sgot = {
+        (r["a"], r["b"]): r["d"]
+        for r in sdf.select(
+            "a", "b", F.levenshtein("a", "b").alias("d")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+        + ") AS t(a, b)"
+    )
+    dgot = {
+        (a, b): d
+        for a, b, d in con.sql(
+            "SELECT a, b, levenshtein(a, b) FROM p"
+        ).fetchall()
+    }
+    assert sgot == dgot
+
+
 def test_spark_duckdb_levenshtein_agree(spark):
     import duckdb
 
