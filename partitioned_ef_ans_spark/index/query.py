@@ -1123,7 +1123,13 @@ def run_ranked_collapsed(
         spark, index_df, queries_df, codec, num_docs, avg_len,
         term_stats_df=term_stats_df, tomb_bc=tomb_bc,
     )
-    grouped = per_doc.join(groups_df, "doc_id")
+    # left join: a doc with no group row stays retrievable as its own
+    # singleton group (Lucene-collapse semantics for a missing field)
+    # rather than silently vanishing from results
+    grouped = per_doc.join(groups_df, "doc_id", "left").withColumn(
+        "grp",
+        F.coalesce(F.col("grp"), F.concat(F.lit("\x00doc:"), F.col("doc_id"))),
+    )
     wg = Window.partitionBy("query_id", "grp").orderBy(
         F.desc("score"), F.asc("doc_id")
     )

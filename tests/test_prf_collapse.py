@@ -195,6 +195,69 @@ def test_collapse_replay_and_one_per_group(spark, prf_index):
     assert all(v == 1 for v in seen.values())
 
 
+def test_collapse_missing_group_kept_and_tombstones(spark, prf_index):
+    """Docs absent from groups_df survive as singleton groups (Lucene
+    missing-field collapse), and tombstones= masks through the docpart
+    substrate."""
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    index_df, ts, codec, man = _load(spark, prf_index)
+    full = _rows(_collapsed(spark, prf_index, k=10))
+    # drop half the group rows: those docs must still appear, now as
+    # their own groups -> the result can only GAIN rows per query
+    partial_groups = _groups(spark).where("doc_id % 2 = 0")
+    got = _rows(q_mod.run_ranked_collapsed(
+        spark, index_df, queries_to_df(spark, QUERIES), codec,
+        man["num_docs"], man["avg_doc_len"], partial_groups, k=10,
+        term_stats_df=ts,
+    ))
+    docs_full = {(q, d) for q, _r, d, _s in full}
+    docs_got = {(q, d) for q, _r, d, _s in got}
+    assert docs_full <= docs_got
+    odd = [d for _q, _r, d, _s in got if d % 2 == 1]
+    assert odd, "no ungrouped doc surfaced — vacuous"
+    # tombstones compose: masked docs never serve
+    dead = sorted({d for _q, _r, d, _s in got})[:2]
+    masked = _rows(q_mod.run_ranked_collapsed(
+        spark, index_df, queries_to_df(spark, QUERIES), codec,
+        man["num_docs"], man["avg_doc_len"], _groups(spark), k=10,
+        term_stats_df=ts, tombstones=dead,
+    ))
+    assert masked and not {d for _q, _r, d, _s in masked} & set(dead)
+
+
+def test_mlt_fuzzy_respect_tombstones(spark, prf_index):
+    """The extension operators inherit run_ranked masking: a
+    tombstoned doc neither serves nor seeds."""
+    from partitioned_ef_ans_spark.operators.mlt import run_more_like_this
+    from partitioned_ef_ans_spark.operators.spellcheck import (
+        run_ranked_fuzzy,
+    )
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    index_df, ts, codec, man = _load(spark, prf_index)
+    base = run_more_like_this(
+        spark, index_df, spark.createDataFrame([(0,)], "doc_id long"),
+        codec, man["num_docs"], man["avg_doc_len"], _docs_df(spark),
+        term_stats_df=ts, m=4, k=5, dtype="float64",
+    ).collect()
+    dead = [base[0]["doc_id"]]
+    got = run_more_like_this(
+        spark, index_df, spark.createDataFrame([(0,)], "doc_id long"),
+        codec, man["num_docs"], man["avg_doc_len"], _docs_df(spark),
+        term_stats_df=ts, m=4, k=5, dtype="float64", tombstones=dead,
+    ).collect()
+    assert got and all(r["doc_id"] != dead[0] for r in got)
+    fz = run_ranked_fuzzy(
+        spark, index_df,
+        queries_to_df(spark, [(0, ["w0q", "w03"])]), codec,
+        man["num_docs"], man["avg_doc_len"], term_stats_df=ts,
+        k=5, dtype="float64", tombstones=dead,
+    ).collect()
+    assert fz and all(r["doc_id"] != dead[0] for r in fz)
+
+
 def test_collapse_is_load_bearing(spark, prf_index):
     """The plain docpart top-k repeats a group inside some query's
     top-3 (3 groups, k=3) — collapse must differ there."""
