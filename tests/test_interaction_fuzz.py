@@ -188,6 +188,46 @@ def _assert_equals_fresh_build(spark, tmp_path, codec, d, model, live, tag):
         assert _ranked(spark, d, QUERIES, mode) == _ranked(
             spark, fresh, QUERIES, mode
         ), mode
+    # the round-4 retrieval extensions are maintenance-invariant too:
+    # more-like-this and field collapse over the maintained index must
+    # equal the fresh build (they ride run_ranked / the docpart scored
+    # substrate, so segment routing + universes must line up)
+    assert _ext_results(spark, d, model, live) == _ext_results(
+        spark, fresh, model, live
+    )
+
+
+def _ext_results(spark, out_dir, model, live):
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.operators.mlt import run_more_like_this
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    index_df, _s, ts, codec, man = b_mod.load_index(spark, out_dir)
+    docs = _mk_docs(spark, model, sorted(live))
+    src = spark.createDataFrame([(sorted(live)[0],)], "doc_id long")
+    mlt_rows = [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in run_more_like_this(
+            spark, index_df, src, codec, man["num_docs"],
+            man["avg_doc_len"], docs, term_stats_df=ts, m=4, k=5,
+            dtype="float64",
+        ).orderBy("query_id", "rank").collect()
+    ]
+    groups = docs.select(
+        "doc_id", F.pmod("doc_id", F.lit(3)).cast("string").alias("grp")
+    )
+    col_rows = [
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in q_mod.run_ranked_collapsed(
+            spark, index_df, queries_to_df(spark, QUERIES), codec,
+            man["num_docs"], man["avg_doc_len"], groups, k=5,
+            term_stats_df=ts,
+        ).orderBy("query_id", "rank").collect()
+    ]
+    return mlt_rows, col_rows
 
 
 def test_interaction_fuzz_ans(spark, tmp_path):
