@@ -555,6 +555,29 @@ def cmd_queries(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    """Prefix autocomplete from the index dictionary
+    (operators/suggest.py): stdin lines are prefixes; prints
+    prefix\\trank\\tterm\\tdf ordered (df desc, term)."""
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.operators.suggest import suggest_terms
+
+    prefixes = [ln.strip().lower() for ln in sys.stdin if ln.strip()]
+    if not prefixes:
+        print("no prefixes on stdin", file=sys.stderr)
+        return 1
+    spark = _spark(args)
+    _ix, _stats, term_stats, _codec, _man = b_mod.load_index(
+        spark, args.index_dir
+    )
+    pre = spark.createDataFrame([(p,) for p in prefixes], "prefix string")
+    res = suggest_terms(pre, term_stats, n=args.n)
+    for r in res.orderBy("prefix", "rank").collect():
+        print(f"{r['prefix']}\t{r['rank']}\t{r['term']}\t{r['df']}")
+    spark.stop()
+    return 0
+
+
 def cmd_phrase(args) -> int:
     """Exact phrase search over a shingle index (index/phrase.py):
     candidates from the conjunctive shingle match, verified against
@@ -966,6 +989,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "self excluded from results (needs --corpus)")
     q.add_argument("--mlt-terms", type=int, default=5)
     q.set_defaults(fn=cmd_queries)
+
+    sg = sub.add_parser("suggest")
+    sg.add_argument("index_dir")
+    sg.add_argument("-n", type=int, default=8,
+                    help="completions per prefix (df desc, term asc)")
+    sg.set_defaults(fn=cmd_suggest)
 
     ph = sub.add_parser("phrase")
     ph.add_argument("index_dir", help="shingle index (built with --ngram 2)")
