@@ -70,8 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxscore_family": gate.q_maxscore_family,
         "ranked_docpart_family": gate.q_ranked_docpart_family,
         "ranked_indexed_family": gate.q_ranked_indexed_family,
-        "bool_indexed": gate.q_bool_indexed,
-        "bool_docpart": gate.q_bool_docpart,
+        "bool_engines_family": gate.q_bool_engines,
+        "suggest_top": gate.q_suggest_top,
         "wand_top10_ef_family": gate.q_wand_top10_ef_family,
         "ranked_deleted_top10": gate.q_ranked_deleted_top10,
         "ranked_filtered_top10": gate.q_ranked_filtered_top10,
@@ -114,8 +114,8 @@ def oracle_sql() -> dict[str, str]:
         "maxscore_family": gate.sql_maxscore_family(),
         "ranked_docpart_family": gate.sql_ranked_docpart_family(),
         "ranked_indexed_family": gate.sql_ranked_indexed_family(),
-        "bool_indexed": gate.sql_bool_indexed(),
-        "bool_docpart": gate.sql_bool_docpart(),
+        "bool_engines_family": gate.sql_bool_engines(),
+        "suggest_top": gate.sql_suggest_top(),
         "wand_top10_ef_family": gate.sql_wand_union_ef_family(),
         "ranked_deleted_top10": gate.sql_ranked_deleted(),
         "ranked_filtered_top10": gate.sql_ranked_filtered(),

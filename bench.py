@@ -1308,6 +1308,15 @@ def main():
 
     q: dict = {}
     build_and_query(CPUS, q, query_modes=True)
+    # The headline line must stay COMPACT: the driver captures only the
+    # tail of stdout, and the round-4 line (with the full latency_us
+    # dict + scaling all_times inlined) outgrew that capture — the
+    # recorded artifact came back `parsed: null`.  Per-mode latency
+    # detail and full scaling traces go to a sidecar the line names.
+    detail: dict = {}
+    lat = q.pop("latency_us", None)
+    if lat is not None:
+        detail["latency_us"] = lat
     out = {
         "metric": "ans_index_build_plus_topk_query_suite",
         "value": q["total_wall"],
@@ -1319,14 +1328,38 @@ def main():
         "synth_docs": SYNTH_DOCS,
     }
     # most recent `bench.py --scaling` record (measured separately at
-    # the 72M-posting corpus — see BENCH.md for methodology)
+    # the 144M-posting corpus — see BENCH.md for methodology): compact
+    # summary inline, full trace (all_times etc.) in the sidecar
     scaling_path = Path(__file__).resolve().parent / "BENCH_SCALING.json"
     if scaling_path.exists():
         try:
-            out["scaling_evidence"] = json.loads(scaling_path.read_text())
+            sc = json.loads(scaling_path.read_text())
+            detail["scaling_evidence"] = sc
+            out["scaling_evidence"] = {
+                k: sc[k]
+                for k in ("metric", "value", "unit", "postings")
+                if k in sc
+            }
         except Exception:
             pass
-    print(json.dumps(out))
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    out["detail_file"] = detail_path.name
+    line = json.dumps(out)
+    if len(line) > 1800:
+        # last-resort trim so the line NEVER outgrows the driver's
+        # tail capture again: drop the per-leg wall-seconds twins
+        # (qps keys carry the same information), detail keeps all
+        detail["queries_full"] = dict(out["queries"])
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        out["queries"] = {
+            k: v for k, v in out["queries"].items()
+            if not k.endswith(f"_{N_QUERIES}q")
+        }
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

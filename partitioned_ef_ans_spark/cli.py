@@ -490,7 +490,14 @@ def cmd_queries(args) -> int:
         spark.read.parquet(args.corpus)
         if (prf or collapse_by or mlt) else None
     )
-    for mode in args.mode.split(","):
+    # collapse rides the exhaustive docpart substrate and ignores
+    # --mode (per the help text) — collapse the mode matrix to one
+    # iteration so `--mode a,b --collapse-by x` doesn't silently rerun
+    # the identical job under misleading per-mode timing labels
+    run_modes = (
+        args.mode.split(",") if not collapse_by else ["collapse"]
+    )
+    for mode in run_modes:
         for run in range(args.runs):
             t0 = time.perf_counter()
             if direct:

@@ -551,6 +551,59 @@ def sql_bool_docpart() -> str:
     return sql_bool_indexed()
 
 
+def q_bool_engines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two boolean execution substrates (query-parallel indexed,
+    doc-partitioned gather-free) in ONE union entry keyed by
+    ``engine`` — identical schema, identical oracle; folding them
+    frees a driver-window slot for the suggest gate while keeping
+    both engines hashed."""
+    a = q_bool_indexed(spark, sf_dir).withColumn("engine", F.lit("indexed"))
+    b = q_bool_docpart(spark, sf_dir).withColumn("engine", F.lit("docpart"))
+    return a.unionByName(b)
+
+
+def sql_bool_engines() -> str:
+    return (
+        f"SELECT v.*, 'indexed' AS engine FROM ({sql_bool_indexed()}) v "
+        "UNION ALL "
+        f"SELECT v.*, 'docpart' AS engine FROM ({sql_bool_docpart()}) v"
+    )
+
+
+#: fixed autocomplete prefixes for the suggest gate: vocabulary hits
+#: of different breadths plus a guaranteed-empty one (zz) — chosen
+#: from the same corpus vocabulary GATE_QUERIES draws on
+SUGGEST_PREFIXES: list[str] = ["s", "qu", "gr", "da", "zz"]
+
+
+def q_suggest_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete (operators/suggest.py) over the index's
+    FROZEN term dictionary — the real serving path (CLI ``suggest``
+    reads load_index's term_stats).  Deterministic ordering: df DESC,
+    term ASC, integers only."""
+    from partitioned_ef_ans_spark.operators.suggest import suggest_terms
+
+    ix = _get_index(spark, sf_dir)
+    pre = spark.createDataFrame(
+        [(p,) for p in SUGGEST_PREFIXES], "prefix string"
+    )
+    return suggest_terms(pre, ix["term_stats"], n=8).withColumn(
+        "df", F.col("df").cast("long")
+    )
+
+
+def sql_suggest_top() -> str:
+    vals = ", ".join(f"('{p}')" for p in SUGGEST_PREFIXES)
+    return f"""
+WITH {_TOK_CTE}, {_TF_CTE}, {_DFS_CTE},
+pre AS (SELECT * FROM (VALUES {vals}) AS p(prefix))
+SELECT prefix, CAST(row_number() OVER w AS INT) AS "rank", term,
+       CAST(df AS BIGINT) AS df
+FROM pre JOIN dfs ON starts_with(term, prefix)
+WINDOW w AS (PARTITION BY prefix ORDER BY df DESC, term)
+QUALIFY "rank" <= 8"""
+
+
 def q_index_decode_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1 verification pass (create_freq_index.cpp:15-62): decode the
     ENTIRE compressed index back to (term, doc_id, tf) and diff against
@@ -1234,8 +1287,11 @@ per_doc AS (
 best AS (
   SELECT query_id, doc_id, score FROM (
     SELECT p.query_id, p.doc_id, p.score,
-           row_number() OVER (PARTITION BY p.query_id, d.source
-                              ORDER BY p.score DESC, p.doc_id) AS g_rn
+           row_number() OVER (
+               PARTITION BY p.query_id,
+                            COALESCE(d.source,
+                                     chr(0) || 'doc:' || CAST(p.doc_id AS VARCHAR))
+               ORDER BY p.score DESC, p.doc_id) AS g_rn
     FROM per_doc p JOIN documents d USING (doc_id)
   ) WHERE g_rn = 1
 )

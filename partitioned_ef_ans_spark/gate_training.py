@@ -270,6 +270,8 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from partitioned_ef_ans_spark import gate as g_mod
     from partitioned_ef_ans_spark.operators import hybrid as h_mod
 
+    from partitioned_ef_ans_spark.operators import ann as ann_mod
+
     qids = [qid for qid, _terms in g_mod.GATE_QUERIES]
     sparse = g_mod.q_ranked_or(spark, sf_dir)
     qvecs = (
@@ -278,7 +280,19 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     dense = h_mod.dense_topk_for_queries(qvecs, _embs(spark, sf_dir), k=10)
-    return h_mod.rrf_fuse([sparse, dense], k=10)
+    brute = h_mod.rrf_fuse([sparse, dense], k=10).withColumn(
+        "variant", F.lit("brute")
+    )
+    # the scale twin: IVF-probe dense leg (centroids pinned to the 8
+    # smallest vec_ids so the textual oracle replays the bucketing;
+    # production default is data-driven auto_n_centroids)
+    dense_ivf = ann_mod.ivf_dense_topk(
+        qvecs, _embs(spark, sf_dir), k=10, n_centroids=8, nprobe=2
+    )
+    ivf = h_mod.rrf_fuse([sparse, dense_ivf], k=10).withColumn(
+        "variant", F.lit("ivf")
+    )
+    return brute.unionByName(ivf)
 
 
 def sql_hybrid_rrf() -> str:
@@ -307,18 +321,78 @@ dense AS (
   WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, doc_id)
   QUALIFY "rank" <= 10
 ),
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         FROM embeddings ORDER BY vec_id LIMIT 8),
+csim AS (
+  SELECT e.vec_id, c.cent_id,
+         round(list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+               / (ne.nn * nc.nn), 6) AS csim
+  FROM embeddings e JOIN nrm ne ON e.vec_id = ne.vec_id
+       CROSS JOIN cent c JOIN nrm nc ON c.cent_id = nc.vec_id
+),
+assign AS (
+  SELECT vec_id, cent_id AS bucket FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cent_id) AS crank
+    FROM csim
+  ) WHERE crank = 1
+),
+qsim AS (
+  SELECT qv.query_id, c.cent_id,
+         round(list_sum(list_transform(range(1, len(qv.embedding)+1),
+                 i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+               / (nq.nn * nc.nn), 6) AS csim
+  FROM qv JOIN nrm nq ON qv.query_id = nq.vec_id
+       CROSS JOIN cent c JOIN nrm nc ON c.cent_id = nc.vec_id
+),
+probes AS (
+  SELECT query_id, cent_id AS bucket FROM (
+    SELECT query_id, cent_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY csim DESC, cent_id) AS crank
+    FROM qsim
+  ) WHERE crank <= 2
+),
+icand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS doc_id
+  FROM probes p JOIN assign a ON p.bucket = a.bucket
+),
+idots AS (
+  SELECT c.query_id, c.doc_id,
+         list_sum(list_transform(range(1, len(qe.embedding)+1),
+                  i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(de.embedding[i] AS DOUBLE))) AS dot
+  FROM icand c JOIN embeddings qe ON qe.vec_id = c.query_id
+               JOIN embeddings de ON de.vec_id = c.doc_id
+),
+icos AS (
+  SELECT d.query_id, d.doc_id, round(d.dot / (nq.nn * nd.nn), 6) AS cos
+  FROM idots d JOIN nrm nq ON d.query_id = nq.vec_id
+  JOIN nrm nd ON d.doc_id = nd.vec_id
+),
+dense_ivf AS (
+  SELECT query_id, CAST(row_number() OVER w AS INT) AS "rank", doc_id
+  FROM icos
+  WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, doc_id)
+  QUALIFY "rank" <= 10
+),
 contrib AS (
-  SELECT query_id, doc_id, 1.0 / (60.0 + "rank") AS c FROM sparse
+  SELECT 'brute' AS variant, query_id, doc_id, 1.0 / (60.0 + "rank") AS c FROM sparse
   UNION ALL
-  SELECT query_id, doc_id, 1.0 / (60.0 + "rank") AS c FROM dense
+  SELECT 'brute' AS variant, query_id, doc_id, 1.0 / (60.0 + "rank") AS c FROM dense
+  UNION ALL
+  SELECT 'ivf' AS variant, query_id, doc_id, 1.0 / (60.0 + "rank") AS c FROM sparse
+  UNION ALL
+  SELECT 'ivf' AS variant, query_id, doc_id, 1.0 / (60.0 + "rank") AS c FROM dense_ivf
 ),
 fused AS (
-  SELECT query_id, doc_id, round(sum(c), 7) AS rrf
-  FROM contrib GROUP BY query_id, doc_id
+  SELECT variant, query_id, doc_id, round(sum(c), 7) AS rrf
+  FROM contrib GROUP BY variant, query_id, doc_id
 )
-SELECT query_id, CAST(row_number() OVER w2 AS INT) AS "rank", doc_id, rrf
+SELECT query_id, CAST(row_number() OVER w2 AS INT) AS "rank", doc_id, rrf, variant
 FROM fused
-WINDOW w2 AS (PARTITION BY query_id ORDER BY rrf DESC, doc_id)
+WINDOW w2 AS (PARTITION BY variant, query_id ORDER BY rrf DESC, doc_id)
 QUALIFY "rank" <= 10"""
 
 

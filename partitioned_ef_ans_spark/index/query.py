@@ -1083,49 +1083,13 @@ def run_ranked_docpartitioned(
     )
 
 
-def run_ranked_collapsed(
-    spark,
-    index_df: DataFrame,
-    queries_df: DataFrame,
-    codec,
-    num_docs: int,
-    avg_len: float,
-    groups_df: DataFrame,
-    k: int = 10,
-    term_stats_df: DataFrame | None = None,
-    tomb_bc=None,
-    tombstones=None,
-    allowlist=None,
-) -> DataFrame:
-    """Field-collapsed (diversified) top-k: at most ONE result per
-    (query, group) — the SERP host-collapse every search engine ships
-    and the reference has no analogue of.
-
-    ``groups_df`` maps ``doc_id -> grp`` (e.g. the documents table's
-    ``source`` column).  Exactness needs the best-per-group over the
-    FULL scored set, so this rides the doc-partitioned exhaustive
-    substrate (not a pruned top-k, which only certifies k global
-    rows): per-chunk partials → hash-agg per (query, doc) → join the
-    doc-keyed group map (co-partitioned by doc_id at scale; the scored
-    relation is already doc-hashed by the agg) → per-(query, grp)
-    best via window (rounded score desc, doc_id asc) → global top-k
-    window over the ≤|groups| survivors per query.  No step gathers a
-    whole query's lists; shuffle keys are (query,doc) then
-    (query,grp) — both fine-grained at 100 TB.
-    """
+def _collapse_scored(per_doc: DataFrame, groups_df: DataFrame, k: int) -> DataFrame:
+    """Shared collapse tail: (query_id, doc_id, score) + doc→grp map →
+    best-per-(query, grp) → global top-k.  A doc with no group row
+    stays retrievable as its own singleton group (Lucene-collapse
+    semantics for a missing field) rather than silently vanishing."""
     from pyspark.sql.window import Window
 
-    if allowlist is not None:
-        tombstones = make_allowlist(allowlist, tombstones)
-    if tomb_bc is None and tombstones is not None:
-        tomb_bc = _as_tomb_bc(spark, tombstones)
-    per_doc = ranked_scores_docpartitioned(
-        spark, index_df, queries_df, codec, num_docs, avg_len,
-        term_stats_df=term_stats_df, tomb_bc=tomb_bc,
-    )
-    # left join: a doc with no group row stays retrievable as its own
-    # singleton group (Lucene-collapse semantics for a missing field)
-    # rather than silently vanishing from results
     grouped = per_doc.join(groups_df, "doc_id", "left").withColumn(
         "grp",
         F.coalesce(F.col("grp"), F.concat(F.lit("\x00doc:"), F.col("doc_id"))),
@@ -1144,6 +1108,148 @@ def run_ranked_collapsed(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
     )
+
+
+def run_ranked_collapsed(
+    spark,
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    codec,
+    num_docs: int,
+    avg_len: float,
+    groups_df: DataFrame,
+    k: int = 10,
+    term_stats_df: DataFrame | None = None,
+    tomb_bc=None,
+    tombstones=None,
+    allowlist=None,
+    prune: bool = True,
+    probe_mode: str = "maxscore_blockmax",
+    k_probe: int | None = None,
+) -> DataFrame:
+    """Field-collapsed (diversified) top-k: at most ONE result per
+    (query, group) — the SERP host-collapse every search engine ships
+    and the reference has no analogue of.  ``groups_df`` maps
+    ``doc_id -> grp`` (e.g. the documents table's ``source`` column).
+
+    Two exact execution paths:
+
+    - ``prune=False`` — the doc-partitioned EXHAUSTIVE substrate:
+      per-chunk partials → hash-agg per (query, doc) → join the
+      doc-keyed group map → per-(query, grp) best via window →
+      global top-k.  No step gathers a whole query's lists; shuffle
+      keys are (query,doc) then (query,grp) — both fine-grained at
+      100 TB.  Always exact, pays the full scored relation.
+
+    - ``prune=True`` (default) — PROBE + CERTIFICATE + FALLBACK:
+      run the certified pruned top-``K`` kernel (``probe_mode``,
+      ``K = k_probe or 5*k``), collapse the probe rows, and accept a
+      query's collapsed top-k iff the exactness certificate holds:
+      either the probe returned ALL matching docs (< K rows), or the
+      probe yields ≥ k distinct groups AND the k-th group-best score
+      is STRICTLY greater than the probe's k-probe-th plain score
+      ``s_K``.  Certificate soundness: every doc outside the probe
+      scores ≤ s_K (pruned-kernel guarantee), so (a) any group whose
+      true best beats s_K has that best doc inside the probe (scores
+      are identical across substrates — rounded doubles, gate-pinned),
+      and (b) an unseen group's best ≤ s_K < b_k can never displace
+      the k selected groups nor change their best docs.  Queries that
+      fail the certificate (deep group duplication, k-th-boundary
+      score ties) fall back to the exhaustive substrate — only those
+      queries pay it.  Results are bit-identical to ``prune=False``
+      on every path.
+    """
+    if allowlist is not None:
+        tombstones = make_allowlist(allowlist, tombstones)
+    if tomb_bc is None and tombstones is not None:
+        tomb_bc = _as_tomb_bc(spark, tombstones)
+    if not prune:
+        per_doc = ranked_scores_docpartitioned(
+            spark, index_df, queries_df, codec, num_docs, avg_len,
+            term_stats_df=term_stats_df, tomb_bc=tomb_bc,
+        )
+        return _collapse_scored(per_doc, groups_df, k)
+
+    from pyspark.sql.window import Window
+
+    K = max(int(k_probe) if k_probe else 5 * int(k), int(k))
+    probe_tombs = (
+        tomb_bc.value[0] if tomb_bc is not None else None
+    )
+    s = run_ranked(
+        spark, index_df, queries_df, codec, num_docs, avg_len,
+        mode=probe_mode, k=K, dtype="float64",
+        term_stats_df=term_stats_df, tombstones=probe_tombs,
+    ).localCheckpoint(eager=True)
+
+    # group lookup for the probe rows only: inner-join the BIG doc→grp
+    # map against the broadcast probe (a left outer can't broadcast
+    # its preserved side), then re-attach probe rows with no group row
+    # as singleton groups via a broadcast anti-join.  At cluster scale
+    # this is a metadata-table scan with a broadcast semi-join filter —
+    # partition-prunable when the map is bucketed by doc_id.
+    matched = groups_df.join(
+        F.broadcast(s.select("query_id", "doc_id", "score")), "doc_id"
+    ).select("query_id", "doc_id", "score", "grp")
+    unmatched = s.join(
+        F.broadcast(matched.select("query_id", "doc_id")),
+        ["query_id", "doc_id"],
+        "left_anti",
+    ).select(
+        "query_id", "doc_id", "score",
+        F.concat(F.lit("\x00doc:"), F.col("doc_id")).alias("grp"),
+    )
+    sg = matched.unionByName(unmatched).withColumn(
+        "grp",
+        F.coalesce(F.col("grp"), F.concat(F.lit("\x00doc:"), F.col("doc_id"))),
+    )
+    wg = Window.partitionBy("query_id", "grp").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    bestr = (
+        sg.withColumn("_g_rn", F.row_number().over(wg))
+        .where(F.col("_g_rn") == 1)
+        .withColumn("g_rank", F.row_number().over(wq))
+    ).localCheckpoint(eager=True)
+
+    # per-query certificate (tiny: one row per query, collected)
+    probe_stats = s.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_probe"), F.min("score").alias("s_K")
+    )
+    grp_stats = bestr.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max(F.when(F.col("g_rank") == k, F.col("score"))).alias("b_k"),
+    )
+    cert = {
+        r["query_id"]: (
+            r["n_probe"] < K
+            or (
+                r["n_groups"] >= k
+                and r["b_k"] is not None
+                and r["b_k"] > r["s_K"]
+            )
+        )
+        for r in probe_stats.join(grp_stats, "query_id").collect()
+    }
+    failing = sorted(q for q, ok in cert.items() if not ok)
+    fast = bestr.select(
+        "query_id",
+        F.col("g_rank").cast("int").alias("rank"),
+        "doc_id",
+        "score",
+    ).where(F.col("rank") <= k)
+    if not failing:
+        return fast
+    fast = fast.where(~F.col("query_id").isin(failing))
+    slow_q = queries_df.where(F.col("query_id").isin(failing))
+    per_doc = ranked_scores_docpartitioned(
+        spark, index_df, slow_q, codec, num_docs, avg_len,
+        term_stats_df=term_stats_df, tomb_bc=tomb_bc,
+    )
+    return fast.unionByName(_collapse_scored(per_doc, groups_df, k))
 
 
 def run_ranked_and_docpartitioned(

@@ -178,6 +178,145 @@ def kmeans_centroids(
     return cent
 
 
+def assign_buckets(
+    embeddings: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """(vec_id, bucket): nearest-centroid assignment of every corpus
+    vector (rounded cosine, cent_id tie-break).  Split out of
+    :func:`ivf_topk` so external-query serving can assign the corpus
+    ONCE and reuse the assignment across query batches — at 100 TB the
+    assignment is a one-off broadcast-join pass you persist alongside
+    the embeddings, not per-batch work."""
+    sim = embeddings.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cent_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("cvec"))
+            / (_norm(F.col("embedding")) * _norm(F.col("cvec"))),
+            6,
+        ).alias("csim"),
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cent_id")
+    )
+    return (
+        sim.withColumn("crank", F.row_number().over(wassign))
+        .where(F.col("crank") == 1)
+        .select("vec_id", F.col("cent_id").alias("bucket"))
+    )
+
+
+def ivf_dense_topk(
+    query_vecs: DataFrame,
+    embeddings: DataFrame,
+    *,
+    k: int = 10,
+    n_centroids: int | None = None,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
+    salt_target: int | None = None,
+) -> DataFrame:
+    """IVF-probe dense retrieval for EXTERNAL query vectors:
+    ``query_vecs`` is ``(query_id, embedding)``, result is
+    ``(query_id, rank, doc_id, cos)`` — the scale twin of
+    :func:`..operators.hybrid.dense_topk_for_queries`'s brute-force
+    crossJoin (same output shape, recall traded for never touching
+    non-probed buckets).
+
+    Plan shape at 100 TB: the corpus is bucket-assigned ONCE (pass
+    ``assignments`` from :func:`assign_buckets` to amortize across
+    query batches); each query joins the broadcast centroids to pick
+    its ``nprobe`` closest buckets (map-side — queries are the small
+    relation); the candidate join is bucket-colocated with hot buckets
+    salted exactly like :func:`ivf_topk` (sub-keyed corpus side,
+    probe side replicated — every (query, member) pair meets once);
+    candidates are distinct'd on the ID PAIR only before the vector
+    payload is re-joined for scoring.  No full-corpus crossJoin
+    anywhere.  With ``nprobe >= n_centroids`` the candidate set is the
+    whole corpus and the result EQUALS the brute-force baseline
+    (locked in tests)."""
+    if centroids is not None:
+        cent = centroids.select("cent_id", "cvec")
+    else:
+        if n_centroids is None:
+            n_centroids = auto_n_centroids(embeddings.count())
+        # n smallest actual ids, not a value filter (sparse-id safety)
+        cent = embeddings.orderBy("vec_id").limit(n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+        )
+    if assignments is None:
+        assignments = assign_buckets(embeddings, cent)
+    qsim = query_vecs.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "cent_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("cvec"))
+            / (_norm(F.col("embedding")) * _norm(F.col("cvec"))),
+            6,
+        ).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("cent_id")
+    )
+    probes = (
+        qsim.withColumn("crank", F.row_number().over(wq))
+        .where(F.col("crank") <= int(nprobe))
+        .select("query_id", F.col("cent_id").alias("bucket"))
+    )
+    from partitioned_ef_ans_spark.operators.dedup import (
+        BUCKET_SALT_TARGET,
+        bucket_salts,
+    )
+
+    if salt_target is None:
+        salt_target = BUCKET_SALT_TARGET
+    nsalt = F.broadcast(
+        bucket_salts(assignments.groupBy("bucket").count(), salt_target)
+    )
+    t_s = (
+        assignments.join(nsalt, "bucket")
+        .withColumn(
+            "salt", F.pmod(F.hash("vec_id"), F.col("nsalt")).cast("int")
+        )
+        .drop("nsalt")
+    )
+    q_rep = (
+        probes.join(nsalt, "bucket")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.col("nsalt") - F.lit(1)))
+        )
+        .drop("nsalt")
+    )
+    cand = (
+        q_rep.join(t_s, ["bucket", "salt"])
+        .select("query_id", F.col("vec_id").alias("doc_id"))
+        .distinct()
+    )
+    temb = embeddings.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("temb")
+    )
+    qemb = query_vecs.select("query_id", F.col("embedding").alias("qemb"))
+    scored = cand.join(temb, "doc_id").join(qemb, "query_id").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            _dot(F.col("qemb"), F.col("temb"))
+            / (_norm(F.col("qemb")) * _norm(F.col("temb"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "query_id", F.col("rank").cast("int").alias("rank"),
+            "doc_id", "cos",
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,

@@ -83,8 +83,10 @@ def dense_topk_for_queries(
     cos)`` top-k by rounded cosine (vec_id tie-break) — the per-query
     twin of :func:`..operators.ann.cosine_topk`'s all-pairs shape (no
     self-exclusion: a query vector is not a corpus row here).  This is
-    the brute-force baseline; the IVF path is the scale twin exactly
-    as in operators/ann.py."""
+    the brute-force baseline (full-corpus crossJoin — recall oracle /
+    small-corpus tool only); the scale path is
+    :func:`..operators.ann.ivf_dense_topk`, which assigns the corpus
+    to IVF buckets once and probes ``nprobe`` buckets per query."""
     from partitioned_ef_ans_spark.operators.ann import _dot, _norm
 
     q = query_vecs.select(

@@ -112,6 +112,15 @@ def training_mix(
     if dedup == "neardup":
         from partitioned_ef_ans_spark.operators import cc as cc_mod
 
+        if id_col != "doc_id" and "doc_id" in ded.columns:
+            # withColumnRenamed would otherwise yield TWO doc_id
+            # columns and an ambiguous-reference analysis error deep
+            # inside neardup_clusters — fail fast with the cause
+            raise ValueError(
+                f"dedup='neardup' with id_col={id_col!r} requires the "
+                "frame not to carry a separate 'doc_id' column "
+                "(rename or drop it first)"
+            )
         base = (
             ded if id_col == "doc_id"
             else ded.withColumnRenamed(id_col, "doc_id")

@@ -110,15 +110,18 @@ def run_ranked_prf(
     """
     from partitioned_ef_ans_spark.index import query as q_mod
 
-    # cache the tiny intermediates: run_ranked references its queries
-    # frame more than once (giant-query dispatch probe + the list
-    # join), and without a cache each reference would re-execute the
-    # whole stage-1 retrieval
+    # materialize the tiny intermediates: run_ranked references its
+    # queries frame more than once (giant-query dispatch probe + the
+    # list join), and without materialization each reference would
+    # re-execute the whole stage-1 retrieval.  localCheckpoint (not
+    # cache) so lineage is truncated and the blocks are reclaimed by
+    # the ContextCleaner when the frames go out of scope — repeated
+    # invocations in one session never accumulate pinned cache entries
     fb = q_mod.run_ranked(
         spark, index_df, queries_df, codec, num_docs, avg_len,
         mode=mode, k=int(k_fb), dtype=dtype, term_stats_df=term_stats_df,
         **kw,
-    ).select("query_id", "doc_id").cache()
+    ).select("query_id", "doc_id").localCheckpoint(eager=True)
     fb_doc_ids = fb.select("doc_id").distinct()
     fb_docs_tbl = docs_df.join(F.broadcast(fb_doc_ids), "doc_id")
     toks = tokenizer.tokenize(fb_docs_tbl, doc_col="doc_id", text_col="text")
@@ -127,7 +130,7 @@ def run_ranked_prf(
         "query_id", F.explode(F.array_distinct("terms")).alias("term")
     )
     exp = expansion_terms(fb, fb_tf, orig, m)
-    expanded = expand_queries(queries_df, exp).cache()
+    expanded = expand_queries(queries_df, exp).localCheckpoint(eager=True)
     return q_mod.run_ranked(
         spark, index_df, expanded, codec, num_docs, avg_len,
         mode=mode, k=int(k), dtype=dtype, term_stats_df=term_stats_df,

@@ -45,7 +45,7 @@ def test_gate_hybrid_matches_duckdb_oracle(spark, sf_med):
     from partitioned_ef_ans_spark import gate_training as gt
 
     got = sorted(
-        (r["query_id"], r["rank"], r["doc_id"], r["rrf"])
+        (r["variant"], r["query_id"], r["rank"], r["doc_id"], r["rrf"])
         for r in gt.q_hybrid_rrf(spark, sf_med).collect()
     )
     con = duckdb.connect()
@@ -54,11 +54,90 @@ def test_gate_hybrid_matches_duckdb_oracle(spark, sf_med):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"parquet_scan('{sf_med}/{t}.parquet')"
         )
-    want = sorted(map(tuple, con.execute(gt.sql_hybrid_rrf()).fetchall()))
+    want = sorted(
+        (v, q, r, d, s)
+        for q, r, d, s, v in con.execute(gt.sql_hybrid_rrf()).fetchall()
+    )
     assert got == want
+    assert {v for v, *_ in got} == {"brute", "ivf"}
     # the all-OOV gate query (id 4) must still retrieve via the dense
     # list (asymmetric fusion is load-bearing; both-list combination is
     # pinned by the hand-computed unit test — the synthetic embeddings
     # are independent of the text, so cross-list overlap at this SF is
     # not guaranteed)
-    assert any(q == 4 for q, _r, _d, _s in got)
+    assert any(q == 4 for _v, q, _r, _d, _s in got)
+
+
+def _qvecs(spark, sf_med, n=20):
+    from pyspark.sql import functions as F
+
+    embs = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    return embs, (
+        embs.orderBy("vec_id").limit(n)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def test_ivf_dense_probe_all_equals_brute(spark, sf_med):
+    """nprobe >= n_centroids probes every bucket -> the candidate set
+    is the whole corpus and IVF must EQUAL the brute-force baseline
+    row-for-row (scores included)."""
+    from partitioned_ef_ans_spark.operators import ann as ann_mod
+
+    embs, qv = _qvecs(spark, sf_med)
+    brute = h_mod.dense_topk_for_queries(qv, embs, k=5)
+    ivf = ann_mod.ivf_dense_topk(
+        qv, embs, k=5, n_centroids=8, nprobe=8
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["cos"])
+    assert sorted(map(key, ivf.collect())) == sorted(map(key, brute.collect()))
+
+
+def test_ivf_dense_recall_vs_brute(spark, sf_med):
+    """nprobe=2 of 8 buckets: top-10 recall vs brute force should stay
+    usable (the corpus vector identical to the query is always in a
+    probed bucket, so recall@1 of the self-hit is 1.0)."""
+    from partitioned_ef_ans_spark.operators import ann as ann_mod
+
+    embs, qv = _qvecs(spark, sf_med)
+    brute = {
+        (r["query_id"], r["doc_id"])
+        for r in h_mod.dense_topk_for_queries(qv, embs, k=10).collect()
+    }
+    ivf_rows = ann_mod.ivf_dense_topk(
+        qv, embs, k=10, n_centroids=8, nprobe=2
+    ).collect()
+    ivf = {(r["query_id"], r["doc_id"]) for r in ivf_rows}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.3f}"
+    # the self-hit (query vector IS a corpus row here) lands in the
+    # query's own nearest bucket, which is always probed
+    self_hits = {
+        r["query_id"] for r in ivf_rows
+        if r["doc_id"] == r["query_id"] and r["rank"] == 1
+    }
+    assert len(self_hits) == 20
+
+
+def test_ivf_dense_reused_assignment_and_salting(spark, sf_med):
+    """Passing a precomputed corpus assignment (the amortized serving
+    shape) and forcing hot-bucket salting (salt_target=1) must not
+    change results."""
+    from partitioned_ef_ans_spark.operators import ann as ann_mod
+
+    embs, qv = _qvecs(spark, sf_med, n=8)
+    cent = embs.orderBy("vec_id").limit(8).selectExpr(
+        "vec_id AS cent_id", "embedding AS cvec"
+    )
+    assigned = ann_mod.assign_buckets(embs, cent)
+    base = ann_mod.ivf_dense_topk(
+        qv, embs, k=5, centroids=cent, nprobe=2
+    )
+    reused = ann_mod.ivf_dense_topk(
+        qv, embs, k=5, centroids=cent, nprobe=2,
+        assignments=assigned, salt_target=1,
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["cos"])
+    assert sorted(map(key, reused.collect())) == sorted(
+        map(key, base.collect())
+    )

@@ -227,6 +227,35 @@ def test_collapse_missing_group_kept_and_tombstones(spark, prf_index):
     assert masked and not {d for _q, _r, d, _s in masked} & set(dead)
 
 
+def test_collapse_prune_equals_exhaustive(spark, prf_index):
+    """The probe+certificate fast path (prune=True, the default) must
+    be BIT-identical to the exhaustive substrate on every shape: tight
+    probes that pass the certificate, few-group workloads that force
+    the per-query fallback (3 groups < k=10), and partial group maps
+    (singleton semantics)."""
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    index_df, ts, codec, man = _load(spark, prf_index)
+    qdf = queries_to_df(spark, QUERIES)
+    for groups, k, k_probe in [
+        (_groups(spark), 2, 4),    # tiny probe: certificate does the work
+        (_groups(spark), 10, 4),   # 3 groups < k -> certificate fails
+        (_groups(spark).where("doc_id % 2 = 0"), 3, 6),  # singletons
+    ]:
+        fast = _rows(q_mod.run_ranked_collapsed(
+            spark, index_df, qdf, codec, man["num_docs"],
+            man["avg_doc_len"], groups, k=k, term_stats_df=ts,
+            prune=True, k_probe=k_probe,
+        ))
+        slow = _rows(q_mod.run_ranked_collapsed(
+            spark, index_df, qdf, codec, man["num_docs"],
+            man["avg_doc_len"], groups, k=k, term_stats_df=ts,
+            prune=False,
+        ))
+        assert fast == slow, f"k={k} k_probe={k_probe}"
+
+
 def test_mlt_fuzzy_respect_tombstones(spark, prf_index):
     """The extension operators inherit run_ranked masking: a
     tombstoned doc neither serves nor seeds."""
