@@ -21,7 +21,10 @@ retrieval extensions ride those unions too — PRF query expansion as
 ``ranked_indexed_family`` mode ``rm3``, did-you-mean spell correction
 as its mode ``fuzzy``, more-like-this as its mode ``mlt``,
 field-collapsed diversified top-k as ``ranked_docpart_family`` mode
-``collapse``) — 53 entries
+``collapse``; the two boolean execution substrates as
+``bool_engines_family``, whose freed slot gates prefix autocomplete
+``suggest_top``; ``hybrid_rrf_topk`` is a brute+ivf variant union
+gating the IVF-probe dense leg) — 53 entries
 total: the first 50 are ALL oracle-hashed (transform_queries via the
 pinned Porter stem table, functions/stem_fixture.py;
 ranked_deleted_top10 / ranked_filtered_top10 gate the two masking

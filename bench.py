@@ -891,9 +891,18 @@ def decontam_mode():
         ).collect()[0]
         return int(row["c"]), int(row["s"] or 0)
 
-    ev_a, ev_b = eval_set(0), eval_set(1)
-    scan_s, (rows_a, sum_a) = timed(lambda: scan_stats(ev_a))
-    scan_refresh_s, _ = timed(lambda: scan_stats(ev_b))
+    # n-refresh series (the amortization curve is the whole claim: one
+    # eval set only extrapolates it) — eval set r = docs where
+    # doc_id % eval_mod == r, a fresh suite per refresh
+    n_refresh = max(2, int(os.environ.get("PEFA_DECONTAM_REFRESHES", "4")))
+    evals = [eval_set(r) for r in range(n_refresh)]
+    scan_series, scan_results = [], []
+    for ev in evals:
+        s, res = timed(lambda ev=ev: scan_stats(ev))
+        scan_series.append(round(s, 3))
+        scan_results.append(res)
+    rows_a, sum_a = scan_results[0]
+    scan_s, scan_refresh_s = scan_series[0], scan_series[1]
 
     idx_dir = f"/dev/shm/pefa_decontam_{os.getpid()}"
     shutil.rmtree(idx_dir, ignore_errors=True)
@@ -917,16 +926,72 @@ def decontam_mode():
         ).collect()[0]
         return int(row["c"]), int(row["s"] or 0)
 
-    index_s, (irows_a, isum_a) = timed(lambda: index_stats(ev_a))
-    index_refresh_s, _ = timed(lambda: index_stats(ev_b))
-    assert (rows_a, sum_a) == (irows_a, isum_a), (
-        f"scan {(rows_a, sum_a)} != index {(irows_a, isum_a)}"
+    index_series = []
+    for r, ev in enumerate(evals):
+        s, res = timed(lambda ev=ev: index_stats(ev))
+        index_series.append(round(s, 3))
+        assert res == scan_results[r], (
+            f"refresh {r}: scan {scan_results[r]} != index {res}"
+        )
+    index_s, index_refresh_s = index_series[0], index_series[1]
+
+    # delta-update leg: append a batch through update_index_delta and
+    # show the via-index refresh stays exact AND cheap on the stacked
+    # index (the LSM claim the pytest pins at small scale, timed here)
+    n_delta = int(os.environ.get("PEFA_DECONTAM_DELTA_DOCS", "2000"))
+    from partitioned_ef_ans_spark.index.checkpoint import update_index_delta
+
+    delta = c_mod.synthesize_corpus_distributed(
+        spark, n_delta, vocab_size=20000, num_partitions=cpus, seed=777
+    ).select(
+        (F.regexp_extract("path", r"f(\d+)\.", 1).cast("long")
+         + F.lit(n_docs)).alias("doc_id"),
+        F.col("content").alias("text"),
+    ).cache()
+    delta.count()
+    delta_update_s, _ = timed(lambda: update_index_delta(
+        spark, idx_dir, delta, doc_col="doc_id", text_col="text",
+    ))
+    index_df2, _s2, term_stats2, codec2, man2 = b_mod.load_index(
+        spark, idx_dir
     )
+    index_df2 = index_df2.cache()
+    index_df2.count()
+    docs2 = docs.unionByName(delta)
+    ev0_2 = docs2.where(F.col("doc_id") % eval_mod == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+
+    def index_stats2(ev):
+        df = dc_mod.contamination_via_index(
+            spark, index_df2, ev, codec2, n=ngram, min_overlap=min_ov,
+            term_stats_df=term_stats2, index_ngram=man2["ngram"],
+        )
+        row = df.agg(
+            F.count("*").alias("c"), F.sum("n_hit").alias("s")
+        ).collect()[0]
+        return int(row["c"]), int(row["s"] or 0)
+
+    def scan_stats2(ev):
+        df = dc_mod.contamination(docs2, ev, n=ngram, min_overlap=min_ov)
+        row = df.agg(
+            F.count("*").alias("c"), F.sum("n_hit").alias("s")
+        ).collect()[0]
+        return int(row["c"]), int(row["s"] or 0)
+
+    index_delta_refresh_s, post = timed(lambda: index_stats2(ev0_2))
+    _scan2_s, post_scan = timed(lambda: scan_stats2(ev0_2))
+    assert post == post_scan, (
+        f"post-delta: index {post} != scan {post_scan}"
+    )
+
+    mean_scan = sum(scan_series) / len(scan_series)
+    mean_index = sum(index_series) / len(index_series)
     out = {
         "metric": "decontam_scan_vs_index",
         "unit": "sec",
         "num_docs": n_docs,
-        "eval_items": ev_a.count(),
+        "eval_items": evals[0].count(),
         "postings": man["total_postings"],
         "contaminated_pairs": rows_a,
         "queries": {
@@ -936,6 +1001,21 @@ def decontam_mode():
             "index_s": round(index_s, 3),
             "index_refresh_s": round(index_refresh_s, 3),
             "refresh_speedup": round(scan_refresh_s / index_refresh_s, 2),
+            "delta_update_s": round(delta_update_s, 3),
+            "index_delta_refresh_s": round(index_delta_refresh_s, 3),
+        },
+        "refresh_series": {
+            "n_refreshes": n_refresh,
+            "scan_s": scan_series,
+            "index_s": index_series,
+            "mean_scan_refresh_s": round(mean_scan, 3),
+            "mean_index_refresh_s": round(mean_index, 3),
+            "mean_speedup": round(mean_scan / mean_index, 2),
+            # refreshes until the one-time shingle-index build is paid
+            # back by per-refresh savings
+            "build_amortizes_after": round(
+                build_s / max(mean_scan - mean_index, 1e-9), 2
+            ),
         },
         "sf": SF_DIR,
         "cpus": cpus,

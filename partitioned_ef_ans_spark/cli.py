@@ -79,12 +79,31 @@ def resolve_type(name: str) -> str:
     )
 
 
+#: True when _spark() reused a caller-owned session (in-process
+#: embedding: tests, notebooks) — _stop() then leaves its lifecycle
+#: to the caller instead of tearing it down mid-suite
+_SHARED_SESSION = False
+
+
 def _spark(args):
+    global _SHARED_SESSION
+    from pyspark.sql import SparkSession
+
     from partitioned_ef_ans_spark.session import get_spark
 
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        _SHARED_SESSION = True
+        return active
+    _SHARED_SESSION = False
     spark = get_spark(master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def _stop(spark) -> None:
+    if not _SHARED_SESSION:
+        spark.stop()
 
 
 def _read_corpus(spark, path: str, args):
@@ -196,7 +215,7 @@ def cmd_create_freq_index(args) -> int:
             rc = 1
         else:
             print(f"check ok: {n} postings decode-identical")
-    spark.stop()
+    _stop(spark)
     return rc
 
 
@@ -224,7 +243,7 @@ def cmd_create_wand_data(args) -> int:
     b_mod.term_stats_agg(index_df).write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(f"wand data: {n} terms -> {args.out}")
-    spark.stop()
+    _stop(spark)
     return 0
 
 
@@ -285,7 +304,7 @@ def cmd_update_index(args) -> int:
         "universe_drift_full_reencode": man.get("universe_drift_full_reencode"),
         "update_sec": man.get("update_sec"),
     }))
-    spark.stop()
+    _stop(spark)
     return 0
 
 
@@ -314,7 +333,7 @@ def cmd_compact(args) -> int:
         "minor_compact_sec": man.get("minor_compact_sec"),
         "folded_segments": man.get("folded_segments"),
     }))
-    spark.stop()
+    _stop(spark)
     return 0
 
 
@@ -338,7 +357,7 @@ def cmd_merge(args) -> int:
         "merged_from": man["merged_from"],
         "merge_mode": man.get("merge_mode", "rebuild"),
     }))
-    spark.stop()
+    _stop(spark)
     return 0
 
 
@@ -362,7 +381,7 @@ def cmd_delete(args) -> int:
     spark = _spark(args)
     info = delete_docs(spark, args.index_dir, ids)
     print(json.dumps(info))
-    spark.stop()
+    _stop(spark)
     return 0
 
 
@@ -439,7 +458,7 @@ def cmd_queries(args) -> int:
                 for r in res.orderBy("query_id", "rank").collect():
                     print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t"
                           f"{r['score']}")
-        spark.stop()
+        _stop(spark)
         return 0
     if args.latency:
         # the reference's op_perftest: sequential in-process per-query
@@ -558,7 +577,7 @@ def cmd_queries(args) -> int:
         if args.print_topk:
             for r in res.orderBy("query_id", "rank").collect():
                 print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']}")
-    spark.stop()
+    _stop(spark)
     return 0
 
 
@@ -581,7 +600,7 @@ def cmd_suggest(args) -> int:
     res = suggest_terms(pre, term_stats, n=args.n)
     for r in res.orderBy("prefix", "rank").collect():
         print(f"{r['prefix']}\t{r['rank']}\t{r['term']}\t{r['df']}")
-    spark.stop()
+    _stop(spark)
     return 0
 
 
@@ -607,7 +626,7 @@ def cmd_phrase(args) -> int:
     if n < 2:
         print(f"{args.index_dir} is a unigram index (ngram={n}); build "
               "with create_freq_index --ngram 2 first", file=sys.stderr)
-        spark.stop()
+        _stop(spark)
         return 1
     qdf = queries_to_df(spark, qs)
     tombs = None if args.include_deleted else load_tombstones(args.index_dir)
@@ -629,7 +648,7 @@ def cmd_phrase(args) -> int:
         )
         for r in res.orderBy("query_id").collect():
             print(f"{r['query_id']}\t{r['matches']}")
-    spark.stop()
+    _stop(spark)
     return 0
 
 
@@ -667,7 +686,7 @@ def cmd_facets(args) -> int:
 
     for r in res.orderBy("query_id", F.desc("matches"), "facet").collect():
         print(f"{r['query_id']}\t{r['facet']}\t{r['matches']}")
-    spark.stop()
+    _stop(spark)
     return 0
 
 
@@ -739,7 +758,7 @@ def cmd_decontam(args) -> int:
         for r in res.orderBy("doc_id", "eval_id").collect():
             print(f"{r['doc_id']}\t{r['eval_id']}\t{r['n_hit']}\t"
                   f"{r['eval_ngrams']}\t{r['overlap_frac']}")
-    spark.stop()
+    _stop(spark)
     return 0
 
 
@@ -773,7 +792,7 @@ def cmd_mix(args) -> int:
         sel, stratum_col=args.stratum_col, text_col=text_col
     ).collect():
         print(f"{r[args.stratum_col]}\t{r['n_docs']}\t{r['n_tokens']}")
-    spark.stop()
+    _stop(spark)
     return 0
 
 
@@ -808,7 +827,7 @@ def cmd_sample(args) -> int:
     else:
         for r in sel.select(doc_col).orderBy(doc_col).collect():
             print(r[doc_col])
-    spark.stop()
+    _stop(spark)
     return 0
 
 
@@ -842,7 +861,7 @@ def cmd_transform_queries(args) -> int:
     for r in out.orderBy("query_id").collect():
         print(" ".join(str(t) for t in r["term_ids"]))
         print(" ".join(str(t) for t in r["uterm_ids"]))
-    spark.stop()
+    _stop(spark)
     return 0
 
 

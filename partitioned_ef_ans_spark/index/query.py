@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import bisect
 import heapq
+import os
 from typing import Iterator
 
 import numpy as np
@@ -220,6 +221,263 @@ class _Enum:
 _LIST_CACHE: dict = {}
 _WEIGHT_CACHE: dict = {}
 _CACHE_LIMIT = 4096
+
+
+class _LazyList:
+    """Un-decoded posting list for the faithful DAAT walks: per-chunk
+    (cache_key, payload, doc_lens, first_doc, last_doc) rows in
+    chunk-id order.  :class:`_LazyEnum` decodes a chunk only when the
+    walk actually lands in it — ``next_geq`` jumps over whole chunks
+    by their (first_doc, last_doc) metadata, which is the Q12 lazy-
+    skip machinery applied at chunk granularity (the EF/block payload
+    of a skipped chunk is never touched).  This is what lets BMW's
+    deep block skips convert into *decode* savings instead of only
+    walk savings."""
+
+    __slots__ = ("rows", "codec", "avg_len", "tomb", "dtype", "ttag")
+
+    def __init__(self, rows, codec, avg_len, tomb, dtype, ttag=""):
+        self.rows = rows
+        self.codec = codec
+        self.avg_len = avg_len
+        self.tomb = tomb
+        self.dtype = dtype
+        self.ttag = ttag
+
+
+class _LazyEnum:
+    """Chunk-lazy document enumerator — the same protocol as
+    :class:`_Enum` (docid/next/next_geq/cur/w[pos]), but decode +
+    doc-weight computation happen per chunk on first entry.  A chunk
+    the walk skips past (``next_geq`` beyond its last_doc) is never
+    decoded.  Tombstoned indexes materialize every chunk they land in
+    (the mask can empty a chunk, so metadata alone can't position
+    ``cur``); unmasked indexes sit 'virtually' at a chunk's first_doc
+    until a weight/next access forces the decode."""
+
+    __slots__ = ("rows", "nch", "ci", "docs", "_w", "pos", "sentinel",
+                 "q_weight", "max_weight", "cur", "block_ends",
+                 "block_ubs", "codec", "avg_len", "tomb", "dtype",
+                 "ttag", "loaded")
+
+    def __init__(self, lazy: _LazyList, sentinel, q_weight=0.0,
+                 max_weight=0.0):
+        self.rows = lazy.rows
+        self.nch = len(lazy.rows)
+        self.codec = lazy.codec
+        self.avg_len = lazy.avg_len
+        self.tomb = lazy.tomb
+        self.dtype = lazy.dtype
+        self.ttag = lazy.ttag
+        self.sentinel = sentinel
+        self.q_weight = q_weight
+        self.max_weight = max_weight
+        self.docs = []
+        self._w = None
+        self.pos = 0
+        self.ci = 0
+        self.loaded = False
+        self.block_ends = None
+        self.block_ubs = None
+        self._advance_chunk(0)
+
+    # kernels read en.w[en.pos] directly; property forces the decode
+    @property
+    def w(self):
+        if not self.loaded:
+            self._materialize()
+        return self._w
+
+    def docid(self) -> int:
+        return self.cur
+
+    def _decode_chunk(self, ci):
+        """(docs_list, weights) of chunk ci, tomb-masked; raw decode
+        shared through _LIST_CACHE, masked doc weights through
+        _WEIGHT_CACHE (ttag-keyed so masked never aliases unmasked)."""
+        from partitioned_ef_ans_spark.index.build import (
+            decode_lists_segmented,
+        )
+
+        key, payload, doc_lens, _fd, _ld = self.rows[ci]
+        pair = _LIST_CACHE.get(key)
+        if pair is None:
+            pair = decode_lists_segmented(self.codec, [payload], [key[2]])[0]
+            if len(_LIST_CACHE) + 1 > _CACHE_LIMIT:
+                _LIST_CACHE.clear()
+                _WEIGHT_CACHE.clear()
+            _LIST_CACHE[key] = pair
+        docs, freqs = pair
+        norms = doc_lens / self.avg_len
+        keep = tomb_keep(docs, self.tomb)
+        if keep is not None:
+            docs, freqs, norms = docs[keep], freqs[keep], norms[keep]
+        wkey = (key, self.dtype == np.float32, self.ttag, "lazyw")
+        w = _WEIGHT_CACHE.get(wkey)
+        if w is None or len(w) != len(docs):
+            w = _doc_weights(freqs, norms, self.dtype)
+            _WEIGHT_CACHE[wkey] = w
+        return docs.tolist(), w
+
+    def _materialize(self):
+        docs, w = self._decode_chunk(self.ci)
+        self.docs, self._w = docs, w
+        self.loaded = True
+
+    def _advance_chunk(self, ci):
+        """Position at the first surviving doc of chunk >= ci."""
+        while ci < self.nch:
+            if self.tomb is None:
+                self.ci = ci
+                self.loaded = False
+                self.pos = 0
+                self.cur = int(self.rows[ci][3])  # first_doc metadata
+                return
+            docs, w = self._decode_chunk(ci)
+            if docs:
+                self.ci = ci
+                self.docs, self._w = docs, w
+                self.loaded = True
+                self.pos = 0
+                self.cur = docs[0]
+                return
+            ci += 1
+        self.ci = self.nch
+        self.cur = self.sentinel
+
+    def next(self) -> None:
+        if self.ci >= self.nch:
+            return
+        if not self.loaded:
+            self._materialize()
+        self.pos += 1
+        if self.pos < len(self.docs):
+            self.cur = self.docs[self.pos]
+        else:
+            self._advance_chunk(self.ci + 1)
+
+    def next_geq(self, lower_bound: int) -> None:
+        if lower_bound <= self.cur or self.ci >= self.nch:
+            return
+        ci = self.ci
+        # inside the current chunk?
+        if lower_bound <= int(self.rows[ci][4]):  # last_doc
+            if not self.loaded:
+                self._materialize()
+            pos = bisect.bisect_left(self.docs, lower_bound, self.pos)
+            if pos < len(self.docs):
+                self.pos = pos
+                self.cur = self.docs[pos]
+                return
+            ci += 1  # tomb-masked tail
+        else:
+            ci += 1
+        # skip whole chunks by metadata — their payloads never decode
+        while ci < self.nch and int(self.rows[ci][4]) < lower_bound:
+            ci += 1
+        while ci < self.nch:
+            if lower_bound <= int(self.rows[ci][3]):  # lands at chunk start
+                self._jump_to(ci)
+                if self.ci < self.nch:
+                    return
+                ci = self.nch
+                break
+            docs, w = self._decode_chunk(ci)
+            pos = bisect.bisect_left(docs, lower_bound)
+            if pos < len(docs):
+                self.ci = ci
+                self.docs, self._w = docs, w
+                self.loaded = True
+                self.pos = pos
+                self.cur = docs[pos]
+                return
+            ci += 1  # fully masked / masked tail: try next chunk
+        self.ci = self.nch
+        self.cur = self.sentinel
+
+    def _jump_to(self, ci):
+        self._advance_chunk(ci)
+
+
+#: minimum chunk count before a list is served lazily: chunk-skip
+#: laziness only pays when there ARE chunks to skip — short lists
+#: (the overwhelming Zipf tail) decode faster in one batched call
+#: than through per-chunk python plumbing (measured: lazy-everything
+#: made the 500q faithful-wand leg 1.29x slower at 4.6M postings
+#: while multi-chunk skipping is what fixes p95 at 144.5M)
+LAZY_MIN_CHUNKS = int(os.environ.get("PEFA_LAZY_MIN_CHUNKS", "4"))
+
+
+def _faithful_lists(pdf, codec, avg_len, tomb, dtype, ttag, lazy_ok=True,
+                    min_chunks=None):
+    """(lists, tws) for the faithful DAAT walks: terms with >=
+    ``min_chunks`` (default LAZY_MIN_CHUNKS) chunks become
+    :class:`_LazyList` (next_geq skips whole chunks without decoding);
+    shorter lists eager-decode in one batched `_decode_group` call
+    with their weight arrays in ``tws``.  Callers running kernels in
+    Spark workers must capture the threshold DRIVER-side and pass it
+    (worker module globals re-read the env at worker import)."""
+    if min_chunks is None:
+        min_chunks = LAZY_MIN_CHUNKS
+    if not lazy_ok:
+        lists, norms = _decode_group(pdf, codec, avg_len)
+        lists, norms = _apply_tomb(lists, norms, tomb)
+        tws = (
+            _term_weights(lists, norms, dtype, tag=codec.tag + ttag)
+            if lists else {}
+        )
+        return lists, tws
+    counts = pdf.groupby("term")["chunk_id"].size()
+    big = set(counts[counts >= min_chunks].index)
+    lists: dict = {}
+    tws: dict = {}
+    small_pdf = pdf[~pdf["term"].isin(big)] if big else pdf
+    if len(small_pdf):
+        sl, norms = _decode_group(small_pdf, codec, avg_len)
+        sl, norms = _apply_tomb(sl, norms, tomb)
+        if sl:
+            tws = _term_weights(sl, norms, dtype, tag=codec.tag + ttag)
+            lists.update(sl)
+    if big:
+        lists.update(_lazy_lists(
+            pdf[pdf["term"].isin(big)], codec, avg_len, tomb, dtype, ttag
+        ))
+    return lists, tws
+
+
+def _as_enum(lv, tw, sentinel, q_weight, max_weight):
+    """Enumerator over either an eager (docs, freqs) pair + its weight
+    array, or a :class:`_LazyList` (chunk-lazy decode)."""
+    if isinstance(lv, _LazyList):
+        return _LazyEnum(lv, sentinel, q_weight=q_weight,
+                         max_weight=max_weight)
+    return _Enum(lv[0], tw, sentinel, q_weight=q_weight,
+                 max_weight=max_weight)
+
+
+def _lazy_lists(pdf: pd.DataFrame, codec, avg_len, tomb, dtype, ttag=""):
+    """{term: _LazyList} over the group's chunk rows — the un-decoded
+    twin of :func:`_decode_group` for the faithful DAAT walks."""
+    tag = codec.tag
+    pdf = pdf.sort_values(["term", "chunk_id"])
+    rows_by_term: dict[str, list] = {}
+    seen = set()
+    for term, cid, n, fd, ld, p, dl in zip(
+        pdf["term"], pdf["chunk_id"], pdf["n"], pdf["first_doc"],
+        pdf["last_doc"], pdf["payload"], pdf["doc_lens"],
+    ):
+        key = (tag, term, int(cid), int(n), int(fd), int(ld))
+        if key in seen:
+            continue
+        seen.add(key)
+        rows_by_term.setdefault(term, []).append(
+            (key, bytes(p), np.asarray(dl, dtype=np.float64), int(fd),
+             int(ld))
+        )
+    return {
+        t: _LazyList(rows, codec, avg_len, tomb, dtype, ttag)
+        for t, rows in rows_by_term.items()
+    }
 
 
 def _decode_group(pdf: pd.DataFrame, codec, avg_len: float):
@@ -422,12 +680,12 @@ def _kernel_wand(lists, tws, weights, max_weights, dtype, qid, k, num_docs, extr
     the output boundary matches the round-then-rank discipline."""
     kk = k + extra
     enums = [
-        _Enum(
-            lists[t][0],
-            tws[t],
+        _as_enum(
+            lists[t],
+            tws.get(t) if tws else None,
             num_docs,
-            q_weight=dtype(weights[t]),
-            max_weight=dtype(weights[t]) * dtype(max_weights[t]),
+            dtype(weights[t]),
+            dtype(weights[t]) * dtype(max_weights[t]),
         )
         for t in sorted(lists)
     ]
@@ -501,12 +759,12 @@ def _kernel_wand_bmw(
     kk = k + extra
     enums = []
     for t in sorted(lists):
-        en = _Enum(
-            lists[t][0],
-            tws[t],
+        en = _as_enum(
+            lists[t],
+            tws.get(t) if tws else None,
             num_docs,
-            q_weight=dtype(weights[t]),
-            max_weight=dtype(weights[t]) * dtype(max_weights[t]),
+            dtype(weights[t]),
+            dtype(weights[t]) * dtype(max_weights[t]),
         )
         en.block_ends, en.block_ubs = blocks_meta[t]
         enums.append(en)
@@ -590,12 +848,12 @@ def _kernel_maxscore(lists, tws, weights, max_weights, dtype, qid, k, num_docs, 
     kk = k + extra
     enums = sorted(
         (
-            _Enum(
-                lists[t][0],
-                tws[t],
+            _as_enum(
+                lists[t],
+                tws.get(t) if tws else None,
                 num_docs,
-                q_weight=dtype(weights[t]),
-                max_weight=dtype(weights[t]) * dtype(max_weights[t]),
+                dtype(weights[t]),
+                dtype(weights[t]) * dtype(max_weights[t]),
             )
             for t in sorted(lists)
         ),
@@ -645,6 +903,12 @@ def make_ranked_kernel(
     codec_bc, num_docs, avg_len, k, mode, dtype_name="float64", tomb_bc=None
 ):
     dtype = np.float32 if dtype_name == "float32" else np.float64
+    # read DRIVER-side and capture in the closure: python workers'
+    # environ is snapshotted at JVM start, so a worker-side read could
+    # not be toggled per-run (tests flip these to pin lazy == eager
+    # and to force laziness onto small fixtures)
+    lazy_ok = os.environ.get("PEFA_LAZY_FAITHFUL", "1") == "1"
+    lazy_min = LAZY_MIN_CHUNKS
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
@@ -664,11 +928,25 @@ def make_ranked_kernel(
                 else bmx.kernel_maxscore_blockmax
             )
             return fn(pdf, codec, num_docs, avg_len, k, dtype, tomb=tomb, ttag=ttag)
-        lists, norms = _decode_group(pdf, codec, avg_len)
-        lists, norms = _apply_tomb(lists, norms, tomb)
+        if mode in ("wand", "wand_bmw", "maxscore"):
+            # chunk-lazy decode for MULTI-CHUNK lists: the faithful
+            # walks' next_geq skips whole chunks via (first_doc,
+            # last_doc) metadata without touching their payloads —
+            # BMW's deep skips become decode savings, which is what
+            # caps its p95 otherwise.  Short lists stay on the
+            # batched eager decode (see LAZY_MIN_CHUNKS).
+            lists, tws = _faithful_lists(
+                pdf, codec, avg_len, tomb, dtype, ttag, lazy_ok=lazy_ok,
+                min_chunks=lazy_min,
+            )
+        else:
+            lists, norms = _decode_group(pdf, codec, avg_len)
+            lists, norms = _apply_tomb(lists, norms, tomb)
+            if not lists:
+                return _topk_rows([], qid, k)
+            tws = _term_weights(lists, norms, dtype, tag=codec.tag + ttag)
         if not lists:
             return _topk_rows([], qid, k)
-        tws = _term_weights(lists, norms, dtype, tag=codec.tag + ttag)
         per_term = pdf.drop_duplicates("term").set_index("term")
         weights = {
             t: _q_weight(per_term.loc[t, "qtf"], per_term.loc[t, "df"], num_docs, dtype)
@@ -863,6 +1141,21 @@ DOCPART_DISPATCH_BUDGET_BYTES = int(
 )
 
 
+def _total_payload_bytes(term_stats_df: DataFrame) -> int:
+    """Whole-index compressed payload total, memoized ON the frame
+    object: callers (gate/bench/CLI/serving loops) reuse one cached
+    term_stats frame across a whole batch run, so the scalar is
+    computed once per loaded index, not once per query batch."""
+    tot = getattr(term_stats_df, "_pefa_total_payload_bytes", None)
+    if tot is None:
+        row = term_stats_df.agg(
+            F.sum("payload_bytes").alias("b")
+        ).collect()[0]
+        tot = int(row["b"] or 0)
+        term_stats_df._pefa_total_payload_bytes = tot
+    return tot
+
+
 def giant_query_ids(
     queries_df: DataFrame,
     term_stats_df: DataFrame,
@@ -933,7 +1226,16 @@ def run_ranked(
     if codec.docs is None and mode == "wand_bmw":
         mode = "wand"  # EF families carry no intra-list block maxima
 
-    if term_stats_df is not None and docpart_budget_bytes is not None:
+    if (
+        term_stats_df is not None
+        and docpart_budget_bytes is not None
+        # probe short-circuit: when the WHOLE index's compressed
+        # payload fits the budget, no query can exceed it — the
+        # memoized scalar replaces a per-batch probe job (the probe
+        # was the uniform r4 suite slowdown: one multi-stage Spark
+        # job per run_ranked call, ~0.3-0.6 s each on this host)
+        and _total_payload_bytes(term_stats_df) > docpart_budget_bytes
+    ):
         big = giant_query_ids(queries_df, term_stats_df, docpart_budget_bytes)
         if big:
             from partitioned_ef_ans_spark.index import blockmax as bmx
@@ -1507,7 +1809,11 @@ def run_boolean(
     tomb_bc = _as_tomb_bc(spark, tombstones)
     # boolean ops dedup query terms first (queries.hpp:30-34)
     qdf = queries_df.select("query_id", F.array_distinct("terms").alias("terms"))
-    if term_stats_df is not None and docpart_budget_bytes is not None:
+    if (
+        term_stats_df is not None
+        and docpart_budget_bytes is not None
+        and _total_payload_bytes(term_stats_df) > docpart_budget_bytes
+    ):
         big = giant_query_ids(qdf, term_stats_df, docpart_budget_bytes)
         if big:
             routed = run_boolean_docpartitioned(

@@ -30,6 +30,7 @@ shape can do.
 from __future__ import annotations
 
 import json
+import os
 import pickle
 from typing import Iterator
 
@@ -38,6 +39,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from partitioned_ef_ans_spark.index import query as q_mod
+
+#: (idx_dir, term_stats mtime) -> whole-index compressed payload total
+#: for the giant-query probe short-circuit (single-entry: serving
+#: loops target one index dir at a time)
+_TOTAL_BYTES_CACHE: dict = {}
 
 #: queries per serving task (a task fetches the union of its queries'
 #: lists once; more queries per task amortize hot-term reads through
@@ -239,8 +245,27 @@ def run_ranked_direct(
     routed = None
     if docpart_budget_bytes is not None:
         term_stats_df = spark.read.parquet(f"{idx_dir}/term_stats.parquet")
-        big = q_mod.giant_query_ids(
-            queries_df, term_stats_df, docpart_budget_bytes
+        # same probe short-circuit as run_ranked: an index whose whole
+        # compressed payload fits the budget cannot host a giant
+        # query.  The scalar is cached per index dir (this path reads
+        # a fresh term_stats frame every call, so the frame-attached
+        # memo would not stick).
+        try:
+            mt = os.path.getmtime(f"{idx_dir}/term_stats.parquet")
+        except OSError:
+            mt = -1.0
+        key = (idx_dir, mt)  # mtime-keyed: updates rewrite the stats
+        tot = _TOTAL_BYTES_CACHE.get(key)
+        if tot is None:
+            tot = q_mod._total_payload_bytes(term_stats_df)
+            _TOTAL_BYTES_CACHE.clear()
+            _TOTAL_BYTES_CACHE[key] = tot
+        big = (
+            q_mod.giant_query_ids(
+                queries_df, term_stats_df, docpart_budget_bytes
+            )
+            if tot > docpart_budget_bytes
+            else []
         )
         if big:
             index_df, _stats, ts, codec2, man2 = b_mod.load_index(

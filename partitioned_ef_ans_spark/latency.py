@@ -10,6 +10,7 @@ and the ``queries --latency`` CLI.
 from __future__ import annotations
 
 import json
+import os
 import pickle
 import time
 from collections import Counter
@@ -118,13 +119,25 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
                         pdf["block_maxs"].map(len).sum()
                     )
                 t0 = time.perf_counter()
-                lists, norms = q_mod._decode_group(pdf, codec, avg_len)
-                lists, norms = q_mod._apply_tomb(lists, norms, tomb)
+                if mode in ("wand", "wand_bmw", "maxscore"):
+                    # chunk-thresholded lazy decode (query._LazyEnum):
+                    # multi-chunk lists skip whole chunks without
+                    # decode/concat/tolist; short lists stay on the
+                    # batched eager decode — the same split
+                    # make_ranked_kernel serves
+                    lists, tws = q_mod._faithful_lists(
+                        pdf, codec, avg_len, tomb, np.float32, ttag,
+                        lazy_ok=os.environ.get(
+                            "PEFA_LAZY_FAITHFUL", "1") == "1",
+                    )
+                else:
+                    lists, norms = q_mod._decode_group(pdf, codec, avg_len)
+                    lists, norms = q_mod._apply_tomb(lists, norms, tomb)
+                    tws = q_mod._term_weights(
+                        lists, norms, np.float32, tag=codec.tag + ttag
+                    )
                 if not lists:
                     continue
-                tws = q_mod._term_weights(
-                    lists, norms, np.float32, tag=codec.tag + ttag
-                )
                 per_term = pdf.drop_duplicates("term").set_index("term")
                 weights = {
                     t: q_mod._q_weight(per_term.loc[t, "qtf"], per_term.loc[t, "df"], nd, np.float32)

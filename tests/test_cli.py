@@ -27,6 +27,32 @@ def run_cli(*args, stdin=None, timeout=420):
     return r.stdout
 
 
+def run_cli_inproc(*args, stdin=None):
+    """Drive ``cli.main()`` in-process, sharing the pytest
+    SparkSession (cli._spark reuses the active session and _stop
+    leaves it alive).  Same argv parsing, dispatch, and stdout
+    contract as the subprocess path WITHOUT a fresh ~15 s JVM per
+    invocation — the suite-runtime lever.  True-subprocess coverage
+    stays in test_cli_pipeline_end_to_end /
+    test_cli_package_and_spark_submit / the knob round-trip (env
+    export is process-level semantics)."""
+    import contextlib
+    import io
+
+    from partitioned_ef_ans_spark import cli
+
+    old_stdin = sys.stdin
+    sys.stdin = io.StringIO(stdin or "")
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([str(a) for a in args])
+    finally:
+        sys.stdin = old_stdin
+    assert rc == 0, f"cli {args} failed:\n{buf.getvalue()}"
+    return buf.getvalue()
+
+
 def test_type_map_covers_all_16_reference_types():
     from partitioned_ef_ans_spark.cli import TYPE_MAP, resolve_type
 
@@ -103,7 +129,7 @@ def test_cli_pipeline_end_to_end(tmp_path):
         shutil.rmtree(idx, ignore_errors=True)
 
 
-def test_cli_resumable_build_then_update(tmp_path):
+def test_cli_resumable_build_then_update(spark, tmp_path):
     """create_freq_index --resumable -> update_index -> queries: the
     CLI incremental-maintenance flow end-to-end."""
     import pyarrow as pa
@@ -112,7 +138,7 @@ def test_cli_resumable_build_then_update(tmp_path):
     idx = f"/dev/shm/pefa_cli_upd_{os.getpid()}"
     shutil.rmtree(idx, ignore_errors=True)
     try:
-        run_cli("create_freq_index", "block_ansmsb", f"{SF}/documents.parquet",
+        run_cli_inproc("create_freq_index", "block_ansmsb", f"{SF}/documents.parquet",
                 idx, "--resumable", "--num-parts", "4")
         new = str(tmp_path / "new.parquet")
         pq.write_table(
@@ -122,11 +148,11 @@ def test_cli_resumable_build_then_update(tmp_path):
             }),
             new,
         )
-        out = run_cli("update_index", idx, new)
+        out = run_cli_inproc("update_index", idx, new)
         rec = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
         assert rec["num_docs"] == 502 and 1 <= rec["parts_reencoded"] <= 4
 
-        out = run_cli("queries", idx, "--print-topk", stdin="1\tdup\n")
+        out = run_cli_inproc("queries", idx, "--print-topk", stdin="1\tdup\n")
         topk = [l.split("\t") for l in out.splitlines()
                 if l and not l.startswith("{")]
         docs = {int(t[2]) for t in topk}
@@ -135,7 +161,7 @@ def test_cli_resumable_build_then_update(tmp_path):
         shutil.rmtree(idx, ignore_errors=True)
 
 
-def test_cli_delete_then_compact():
+def test_cli_delete_then_compact(spark):
     """delete -> queries masks the tombstoned doc; --include-deleted
     restores the pre-delete view; compact folds physically and the doc
     stays gone with no sidecar."""
@@ -143,7 +169,7 @@ def test_cli_delete_then_compact():
     shutil.rmtree(idx, ignore_errors=True)
 
     def topk(*extra):
-        out = run_cli("queries", idx, "--print-topk", *extra,
+        out = run_cli_inproc("queries", idx, "--print-topk", *extra,
                       stdin="1\tdup\n")
         return [
             l.split("\t") for l in out.splitlines()
@@ -151,11 +177,11 @@ def test_cli_delete_then_compact():
         ]
 
     try:
-        run_cli("create_freq_index", "block_ansmsb", f"{SF}/documents.parquet",
+        run_cli_inproc("create_freq_index", "block_ansmsb", f"{SF}/documents.parquet",
                 idx, "--resumable", "--num-parts", "4")
         top_doc = int(topk()[0][2])
 
-        out = run_cli("delete", idx, "--ids", str(top_doc))
+        out = run_cli_inproc("delete", idx, "--ids", str(top_doc))
         rec = json.loads([l for l in out.splitlines() if l.startswith("{")][0])
         assert rec["tombstones_total"] == 1
 
@@ -163,7 +189,7 @@ def test_cli_delete_then_compact():
         assert masked and top_doc not in {int(t[2]) for t in masked}
         assert int(topk("--include-deleted")[0][2]) == top_doc
 
-        run_cli("compact", idx)
+        run_cli_inproc("compact", idx)
         post = topk()
         assert post and top_doc not in {int(t[2]) for t in post}
         from partitioned_ef_ans_spark.index.checkpoint import load_tombstones
@@ -258,7 +284,7 @@ def test_cli_partition_knobs_round_trip(tmp_path):
         shutil.rmtree(idx_knob, ignore_errors=True)
 
 
-def test_cli_sharded_queries_match_merged(tmp_path):
+def test_cli_sharded_queries_match_merged(spark, tmp_path):
     """`queries shardA,shardB` (scatter-gather with global stats) must
     print the exact top-k the concat-merged index prints."""
     import duckdb
@@ -277,17 +303,17 @@ def test_cli_sharded_queries_match_merged(tmp_path):
     a, b, merged = f"{base}/a", f"{base}/b", f"{base}/m"
     shutil.rmtree(base, ignore_errors=True)
     try:
-        run_cli("create_freq_index", "block_ansmsbmedmaxmerged", ca, a,
+        run_cli_inproc("create_freq_index", "block_ansmsbmedmaxmerged", ca, a,
                 "--resumable", "--num-parts", "4")
-        run_cli("create_freq_index", "block_ansmsbmedmaxmerged", cb, b,
+        run_cli_inproc("create_freq_index", "block_ansmsbmedmaxmerged", cb, b,
                 "--resumable", "--num-parts", "4")
-        run_cli("merge", merged, a, b, "--mode", "concat",
+        run_cli_inproc("merge", merged, a, b, "--mode", "concat",
                 "--num-parts", "4")
 
         qtsv = "1\tdup spark\n2\tthe dup data\n"
 
         def topk(index_arg, *extra):
-            out = run_cli("queries", index_arg, "--mode",
+            out = run_cli_inproc("queries", index_arg, "--mode",
                           "blockmax,ranked_or", "--print-topk", *extra,
                           stdin=qtsv)
             return sorted(
@@ -314,7 +340,7 @@ def test_cli_sharded_queries_match_merged(tmp_path):
         shutil.rmtree(base, ignore_errors=True)
 
 
-def test_cli_facets_match_duckdb(tmp_path):
+def test_cli_facets_match_duckdb(spark, tmp_path):
     """`facets` — per-query facet counts over the boolean match set —
     against a DuckDB oracle that re-tokenizes the corpus."""
     import duckdb
@@ -324,9 +350,9 @@ def test_cli_facets_match_duckdb(tmp_path):
     idx = f"/dev/shm/pefa_cli_facet_{os.getpid()}"
     shutil.rmtree(idx, ignore_errors=True)
     try:
-        run_cli("create_freq_index", "block_ansmsbmedmaxmerged",
+        run_cli_inproc("create_freq_index", "block_ansmsbmedmaxmerged",
                 f"{SF}/documents.parquet", idx)
-        out = run_cli("facets", idx, "--meta", f"{SF}/documents.parquet",
+        out = run_cli_inproc("facets", idx, "--meta", f"{SF}/documents.parquet",
                       "--facet-col", "lang", stdin="1\tdup spark\n2\tthe\n")
         got = {
             (int(q), f): int(m)
@@ -355,7 +381,7 @@ def test_cli_facets_match_duckdb(tmp_path):
         shutil.rmtree(idx, ignore_errors=True)
 
 
-def test_cli_phrase_index_and_search(tmp_path):
+def test_cli_phrase_index_and_search(spark, tmp_path):
     """create_freq_index --ngram 2 -> phrase (counts + --ranked): the
     CLI phrase flow, counts pinned against a DuckDB token-stream
     containment oracle."""
@@ -366,14 +392,14 @@ def test_cli_phrase_index_and_search(tmp_path):
     idx = f"/dev/shm/pefa_cli_phrase_{os.getpid()}"
     shutil.rmtree(idx, ignore_errors=True)
     try:
-        out = run_cli("create_freq_index", "block_ansmsbmedmaxmerged",
+        out = run_cli_inproc("create_freq_index", "block_ansmsbmedmaxmerged",
                       f"{SF}/documents.parquet", idx, "--ngram", "2",
                       "--check")
         assert "check ok:" in out
 
         phrases = [(1, "order fast"), (2, "agg dup"), (3, "zz qq")]
         stdin = "".join(f"{q}\t{p}\n" for q, p in phrases)
-        out = run_cli("phrase", idx, "--corpus", f"{SF}/documents.parquet",
+        out = run_cli_inproc("phrase", idx, "--corpus", f"{SF}/documents.parquet",
                       stdin=stdin)
         got = {
             int(q): int(m)
@@ -397,7 +423,7 @@ def test_cli_phrase_index_and_search(tmp_path):
                 want[qid] = int(n)
         assert got == want and got
 
-        out = run_cli("phrase", idx, "--ranked", stdin="1\tagg dup\n")
+        out = run_cli_inproc("phrase", idx, "--ranked", stdin="1\tagg dup\n")
         rows = [l.split("\t") for l in out.splitlines() if l]
         assert rows and all(len(r) == 4 for r in rows)
         assert [int(r[1]) for r in rows] == list(range(1, len(rows) + 1))

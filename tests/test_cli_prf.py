@@ -10,14 +10,14 @@ import shutil
 import pandas as pd
 import pytest
 
-from tests.test_cli import run_cli
+from tests.test_cli import run_cli_inproc as run_cli
 from tests.test_deletes import N_DOCS, _corpus
 
 QUERY = "w00 w03"
 
 
 @pytest.fixture(scope="module")
-def cli_prf_env():
+def cli_prf_env(spark):
     base = f"/dev/shm/pefa_cli_prf_{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)

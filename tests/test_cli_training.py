@@ -11,7 +11,8 @@ import shutil
 import pyarrow.parquet as pq
 import pytest
 
-from tests.test_cli import SF, run_cli
+from tests.test_cli import SF
+from tests.test_cli import run_cli_inproc as run_cli
 
 pytestmark = pytest.mark.usefixtures()
 
@@ -31,7 +32,7 @@ def eval_parquet(tmp_path_factory):
     return out
 
 
-def test_cli_decontam_scan_vs_index(tmp_path, eval_parquet):
+def test_cli_decontam_scan_vs_index(spark, tmp_path, eval_parquet):
     idx = f"/dev/shm/pefa_cli_dc_{os.getpid()}"
     shutil.rmtree(idx, ignore_errors=True)
     try:
@@ -54,7 +55,7 @@ def test_cli_decontam_scan_vs_index(tmp_path, eval_parquet):
         shutil.rmtree(idx, ignore_errors=True)
 
 
-def test_cli_mix_report_and_selection(tmp_path, eval_parquet):
+def test_cli_mix_report_and_selection(spark, tmp_path, eval_parquet):
     out = str(tmp_path / "mix.parquet")
     rep = run_cli(
         "mix", f"{SF}/documents.parquet", "--eval", eval_parquet,
@@ -75,7 +76,7 @@ def test_cli_mix_report_and_selection(tmp_path, eval_parquet):
     assert sum(int(p[1]) for p in lines) == len(kept)
 
 
-def test_cli_sample_rates_md5_replay(tmp_path):
+def test_cli_sample_rates_md5_replay(spark, tmp_path):
     from partitioned_ef_ans_spark.operators.sampling import HASH_SPACE
 
     got = {
