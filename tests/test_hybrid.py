@@ -119,6 +119,28 @@ def test_ivf_dense_recall_vs_brute(spark, sf_med):
     assert len(self_hits) == 20
 
 
+def test_ivf_dense_plan_has_no_corpus_cross_join(spark, sf_med):
+    """The point of ivf_dense_topk: the corpus joins candidates by
+    (bucket, salt) equi-keys — never through a cartesian/nested-loop
+    join.  The only nested-loop joins allowed are the two
+    broadcast-CENTROID sims (corpus-assign + query-probe), whose
+    broadcast side is the n_centroids-row relation."""
+    from partitioned_ef_ans_spark.operators import ann as ann_mod
+
+    embs, qv = _qvecs(spark, sf_med)
+    plan = ann_mod.ivf_dense_topk(
+        qv, embs, k=5, n_centroids=8, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # centroid sims only (assign + probe, each subtree duplicated in
+    # two consuming branches): every nested-loop join must build
+    # (broadcast) its right side — the n_centroids-row relation; the
+    # corpus/query relations are always the streamed side
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj <= 4, plan
+    assert n_bnlj == plan.count("BroadcastNestedLoopJoin BuildRight"), plan
+
+
 def test_ivf_dense_reused_assignment_and_salting(spark, sf_med):
     """Passing a precomputed corpus assignment (the amortized serving
     shape) and forcing hot-bucket salting (salt_target=1) must not

@@ -91,7 +91,7 @@ def test_lazy_enum_skips_chunks():
     def fake_decode(codec, payloads, chunk_ids):
         decoded.extend(chunk_ids)
         out = []
-        for ci in payloads:
+        for ci in chunk_ids:  # payloads arrive as opaque bytes
             docs = np.arange(ci * 100, ci * 100 + per, dtype=np.int64)
             out.append((docs, np.ones(per, dtype=np.int64)))
         return out
