@@ -850,7 +850,6 @@ def decontam_mode():
 
     from partitioned_ef_ans_spark import corpus as c_mod
     from partitioned_ef_ans_spark.index import build as b_mod
-    from partitioned_ef_ans_spark.index import phrase as ph_mod
     from partitioned_ef_ans_spark.operators import decontam as dc_mod
     from partitioned_ef_ans_spark.session import get_spark
 
@@ -906,9 +905,16 @@ def decontam_mode():
 
     idx_dir = f"/dev/shm/pefa_decontam_{os.getpid()}"
     shutil.rmtree(idx_dir, ignore_errors=True)
-    build_s, _ = timed(lambda: ph_mod.build_phrase_index(
-        spark, docs, idx_dir, codec="ans", n=ngram,
+    # resumable layout (num_parts in the manifest) — the delta-update
+    # leg below requires it, exactly like test_via_index_after_delta_update
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+    )
+
+    build_s, _ = timed(lambda: build_index_resumable(
+        spark, docs, idx_dir, codec="ans", num_parts=16,
         chunk_postings=1 << 14, doc_col="doc_id", text_col="text",
+        ngram=ngram,
     ))
     index_df, _s, term_stats, codec_obj, man = b_mod.load_index(
         spark, idx_dir
@@ -952,6 +958,12 @@ def decontam_mode():
     delta_update_s, _ = timed(lambda: update_index_delta(
         spark, idx_dir, delta, doc_col="doc_id", text_col="text",
     ))
+    # the pre-delta cache MUST go before re-reading the same path:
+    # Spark's CacheManager matches parquet scans by canonicalized plan
+    # (path+schema), so a fresh spark.read.parquet(idx_dir) would be
+    # served from the stale cached relation and miss the delta segment
+    index_df.unpersist(blocking=True)
+    spark.catalog.refreshByPath(idx_dir)
     index_df2, _s2, term_stats2, codec2, man2 = b_mod.load_index(
         spark, idx_dir
     )

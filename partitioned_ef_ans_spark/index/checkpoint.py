@@ -191,6 +191,7 @@ def build_index_resumable(
         if fail_after_parts is not None and encoded_parts >= fail_after_parts:
             raise BuildInterrupted(f"injected failure after {encoded_parts} parts")
 
+    _refresh_path(spark, f"{out_dir}/index.parquet")
     total = spark.read.parquet(f"{out_dir}/index.parquet")
     # freeze the per-term WAND metadata like the non-resumable build
     b_mod.term_stats_agg(total).write.mode("overwrite").parquet(
@@ -432,15 +433,39 @@ class UpdateInProgress(RuntimeError):
     pass
 
 
+def _refresh_path(spark, path: str) -> None:
+    """Invalidate/re-list any cached relations under ``path``.
+
+    Spark's CacheManager matches parquet scans by canonicalized plan
+    (path + schema), NOT by file listing: once the caller has cached a
+    load_index frame, every later ``spark.read.parquet(path)`` in the
+    same session — including reads issued INSIDE a mutator after it
+    wrote new files — is silently served from that cache.  Observed
+    live: update_index_delta's sidecar refresh read the caller's
+    cached pre-delta index and froze a term_stats.parquet MISSING
+    every delta-only term (delta docs invisible to term-driven query
+    paths)."""
+    try:
+        spark.catalog.refreshByPath(path)
+    except Exception:
+        pass  # non-SQL sessions / path vanished mid-teardown
+
+
 def _locked(fn):
     """Run ``fn(spark, out_dir, ...)`` under the directory's
-    single-writer update lock."""
+    single-writer update lock.  Cached relations under the directory
+    are refreshed on entry (so the mutator reads disk truth, not a
+    caller's stale cache) and on exit (so post-mutation readers see
+    the new segments) — see _refresh_path."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(spark, out_dir, *args, **kwargs):
         with _update_lock(out_dir):
-            return fn(spark, out_dir, *args, **kwargs)
+            _refresh_path(spark, out_dir)
+            out = fn(spark, out_dir, *args, **kwargs)
+        _refresh_path(spark, out_dir)
+        return out
 
     return wrapper
 
@@ -705,12 +730,22 @@ def _refresh_sidecars(
 ) -> dict:
     """Refreeze term_stats.parquet from the bound-inflated index view
     (so ``max_term_weight`` stays an upper bound for stale parts) and
-    rewrite the manifest with the new global scalars."""
+    rewrite the manifest with the new global scalars.
+
+    The index tree was mutated by the caller within this same job, so
+    any cached relation over it (the caller's pre-mutation load_index
+    frame, or the _locked entry-refresh recache) is stale NOW — drop
+    it or this read would refreeze term_stats WITHOUT the new
+    segments (the delta-only-terms-invisible bug)."""
+    _refresh_path(spark, f"{out_dir}/index.parquet")
     total = spark.read.parquet(f"{out_dir}/index.parquet")
     scales = part_bound_scales(out_dir, avg_len)
     if scales:
         total = b_mod.apply_bound_scales(total, scales)
     _swap_dir_write(b_mod.term_stats_agg(total), f"{out_dir}/term_stats.parquet")
+    # same alias hazard for the just-swapped sidecar: a caller-cached
+    # term_stats frame would serve the PRE-swap rows to this aggregate
+    _refresh_path(spark, f"{out_dir}/term_stats.parquet")
     agg = spark.read.parquet(f"{out_dir}/term_stats.parquet").agg(
         F.sum("postings").alias("postings"), F.sum("payload_bytes").alias("bytes")
     ).collect()[0]
@@ -838,13 +873,17 @@ def merge_indexes(
     a fold.  A later compact_index normalizes everything."""
     os.makedirs(out_dir, exist_ok=True)  # lock lives inside out_dir
     with _update_lock(out_dir):
+        _refresh_path(spark, out_dir)  # see _locked: stale-cache guard
         if mode == "concat":
-            return _merge_concat_locked(spark, out_dir, src_dirs)
-        if mode != "rebuild":
+            out = _merge_concat_locked(spark, out_dir, src_dirs)
+        elif mode != "rebuild":
             raise ValueError(f"unknown merge mode {mode!r}")
-        return _merge_indexes_locked(
-            spark, out_dir, src_dirs, num_parts, chunk_postings
-        )
+        else:
+            out = _merge_indexes_locked(
+                spark, out_dir, src_dirs, num_parts, chunk_postings
+            )
+    _refresh_path(spark, out_dir)
+    return out
 
 
 def _merge_indexes_locked(

@@ -559,6 +559,64 @@ def test_delta_update_rank_identical_and_o_batch(spark, tmp_path):
         update_index_incremental(spark, d, _mk_docs(spark, [(300, "t000")]))
 
 
+def test_mutation_refreshes_stale_cached_scans(spark, tmp_path):
+    """A cached pre-update load_index frame must not alias the
+    post-update reload: Spark's CacheManager matches parquet scans by
+    canonicalized plan (path + schema), so without the mutators'
+    refreshByPath guard a fresh spark.read.parquet(out_dir) issued
+    AFTER update_index_delta is silently served from the stale cached
+    relation and misses the delta segment entirely (found live in the
+    decontam bench's post-delta leg: via-index 75 pairs vs scan 77)."""
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        update_index_delta,
+    )
+
+    by_part = _vocab_by_part()
+    d = str(tmp_path / "idx")
+    build_index_resumable(
+        spark, _mk_docs(spark, _corpus_a(by_part)), d, codec="ans",
+        num_parts=NUM_PARTS, chunk_postings=CHUNK,
+    )
+    index_df, _s, ts, _codec, _man = b_mod.load_index(spark, d)
+    index_df = index_df.cache()
+    ts = ts.cache()
+    n_before = index_df.count()  # materialize the PRE-update caches
+    t_before = ts.count()
+    try:
+        # the delta batch introduces a term the base vocabulary has
+        # never seen — the failure mode is that term being invisible
+        rows = _corpus_delta(by_part)
+        rows[0] = (rows[0][0], rows[0][1] + " zzzfreshterm zzzfreshterm")
+        fresh_doc = rows[0][0]
+        m1 = update_index_delta(spark, d, _mk_docs(spark, rows))
+        assert m1["delta_segments"] == 1
+        index_df2, _s2, ts2, codec2, _man2 = b_mod.load_index(spark, d)
+        # delta chunks must be visible despite the live stale cache
+        assert index_df2.count() > n_before
+        # the REFROZEN term_stats must carry the delta-only term: the
+        # broken path read the stale cached index inside the sidecar
+        # refresh and froze stats without any delta term
+        assert ts2.count() > t_before
+        assert ts2.where(F.col("term") == "zzzfreshterm").count() == 1
+        # and the term-driven query path actually finds the delta doc
+        from partitioned_ef_ans_spark.index import query as q_mod
+        from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+        got = q_mod.run_boolean(
+            spark, index_df2, queries_to_df(spark, [(0, ["zzzfreshterm"])]),
+            codec2, True, term_stats_df=ts2,
+        ).collect()
+        assert [(r["query_id"], r["matches"]) for r in got] == [(0, 1)], (
+            f"delta-only term invisible to the query path (doc "
+            f"{fresh_doc} should match): {got}"
+        )
+    finally:
+        index_df.unpersist()
+        ts.unpersist()
+
+
 def test_minor_compaction_folds_segments_only(spark, tmp_path):
     """compact_deltas (MINOR compaction): all live delta segments fold
     into one in O(live deltas) — base part payload files are the same
