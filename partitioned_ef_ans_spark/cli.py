@@ -478,6 +478,11 @@ def cmd_queries(args) -> int:
             print(json.dumps({"mode": mode, "unit": "us", **s}))
         return 0
     spark = _spark(args)
+    # every frame cached below is unpersisted in the finally — _spark
+    # may hand back a long-lived shared session (in-process tests,
+    # --runs loops), and leaked pinned caches accumulate across
+    # invocations on one JVM
+    _cached = []
     direct = getattr(args, "fetch", "gather") == "direct"
     if direct:
         # storage-direct serving (index/serve.py): queries partition
@@ -489,11 +494,13 @@ def cmd_queries(args) -> int:
             spark, args.index_dir
         )
         index_df = index_df.cache()
+        _cached.append(index_df)
         index_df.count()  # warmup, like the reference's mmap warmup
     # tombstoned docs are masked by default; --include-deleted ignores
     # the sidecar (e.g. to diff pre/post-delete rankings)
     tombs = None if args.include_deleted else load_tombstones(args.index_dir)
     qdf = queries_to_df(spark, qs).cache()
+    _cached.append(qdf)
     qdf.count()
     if fuzzy:
         # did-you-mean: correct OOV terms against the frozen term_stats
@@ -504,6 +511,7 @@ def cmd_queries(args) -> int:
         qdf = sp_mod.correct_query_terms(
             qdf, term_stats, max_dist=args.fuzzy_max_dist
         ).cache()
+        _cached.append(qdf)
         qdf.count()
     corpus_df = (
         spark.read.parquet(args.corpus)
@@ -516,67 +524,74 @@ def cmd_queries(args) -> int:
     run_modes = (
         args.mode.split(",") if not collapse_by else ["collapse"]
     )
-    for mode in run_modes:
-        for run in range(args.runs):
-            t0 = time.perf_counter()
-            if direct:
-                res = run_ranked_direct(
-                    spark, args.index_dir, qdf, mode=mode, k=args.k,
-                    dtype="float32", tombstones=tombs, allowlist=allow,
-                )
-            elif collapse_by:
-                from pyspark.sql import functions as F
+    try:
+        for mode in run_modes:
+            for run in range(args.runs):
+                t0 = time.perf_counter()
+                if direct:
+                    res = run_ranked_direct(
+                        spark, args.index_dir, qdf, mode=mode, k=args.k,
+                        dtype="float32", tombstones=tombs, allowlist=allow,
+                    )
+                elif collapse_by:
+                    from pyspark.sql import functions as F
 
-                res = q_mod.run_ranked_collapsed(
-                    spark, index_df, qdf, codec, man["num_docs"],
-                    man["avg_doc_len"],
-                    corpus_df.select(
-                        "doc_id", F.col(collapse_by).alias("grp")
-                    ),
-                    k=args.k, term_stats_df=term_stats,
-                    tombstones=tombs, allowlist=allow,
-                )
-            elif mlt:
-                # stdin lines are source DOC IDS, one per line
-                from partitioned_ef_ans_spark.operators import mlt as mlt_mod
+                    res = q_mod.run_ranked_collapsed(
+                        spark, index_df, qdf, codec, man["num_docs"],
+                        man["avg_doc_len"],
+                        corpus_df.select(
+                            "doc_id", F.col(collapse_by).alias("grp")
+                        ),
+                        k=args.k, term_stats_df=term_stats,
+                        tombstones=tombs, allowlist=allow,
+                    )
+                elif mlt:
+                    # stdin lines are source DOC IDS, one per line
+                    from partitioned_ef_ans_spark.operators import mlt as mlt_mod
 
-                ids = spark.createDataFrame(
-                    [(int(t[0]),) for _q, t in qs], "doc_id long"
-                )
-                res = mlt_mod.run_more_like_this(
-                    spark, index_df, ids, codec, man["num_docs"],
-                    man["avg_doc_len"], corpus_df,
-                    term_stats_df=term_stats, m=args.mlt_terms,
-                    k=args.k, mode=mode, dtype="float32",
-                    tombstones=tombs, allowlist=allow,
-                )
-            elif prf:
-                from partitioned_ef_ans_spark.operators import prf as prf_mod
+                    ids = spark.createDataFrame(
+                        [(int(t[0]),) for _q, t in qs], "doc_id long"
+                    )
+                    res = mlt_mod.run_more_like_this(
+                        spark, index_df, ids, codec, man["num_docs"],
+                        man["avg_doc_len"], corpus_df,
+                        term_stats_df=term_stats, m=args.mlt_terms,
+                        k=args.k, mode=mode, dtype="float32",
+                        tombstones=tombs, allowlist=allow,
+                    )
+                elif prf:
+                    from partitioned_ef_ans_spark.operators import prf as prf_mod
 
-                res = prf_mod.run_ranked_prf(
-                    spark, index_df, qdf, codec, man["num_docs"],
-                    man["avg_doc_len"], corpus_df, k=args.k,
-                    k_fb=args.prf_depth, m=args.prf_terms, mode=mode,
-                    dtype="float32", term_stats_df=term_stats,
-                    tombstones=tombs, allowlist=allow,
-                )
-            else:
-                res = q_mod.run_ranked(
-                    spark, index_df, qdf, codec, man["num_docs"],
-                    man["avg_doc_len"], mode=mode, k=args.k,
-                    dtype="float32", term_stats_df=term_stats,
-                    tombstones=tombs, allowlist=allow,
-                )
-            nrows = res.count()
-            dt = time.perf_counter() - t0
-            print(json.dumps({
-                "mode": mode, "run": run, "queries": len(qs),
-                "results": nrows, "wall_sec": round(dt, 3),
-                "qps": round(len(qs) / dt, 1),
-            }))
-        if args.print_topk:
-            for r in res.orderBy("query_id", "rank").collect():
-                print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']}")
+                    res = prf_mod.run_ranked_prf(
+                        spark, index_df, qdf, codec, man["num_docs"],
+                        man["avg_doc_len"], corpus_df, k=args.k,
+                        k_fb=args.prf_depth, m=args.prf_terms, mode=mode,
+                        dtype="float32", term_stats_df=term_stats,
+                        tombstones=tombs, allowlist=allow,
+                    )
+                else:
+                    res = q_mod.run_ranked(
+                        spark, index_df, qdf, codec, man["num_docs"],
+                        man["avg_doc_len"], mode=mode, k=args.k,
+                        dtype="float32", term_stats_df=term_stats,
+                        tombstones=tombs, allowlist=allow,
+                    )
+                nrows = res.count()
+                dt = time.perf_counter() - t0
+                print(json.dumps({
+                    "mode": mode, "run": run, "queries": len(qs),
+                    "results": nrows, "wall_sec": round(dt, 3),
+                    "qps": round(len(qs) / dt, 1),
+                }))
+            if args.print_topk:
+                for r in res.orderBy("query_id", "rank").collect():
+                    print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['score']}")
+    finally:
+        for _f in _cached:
+            try:
+                _f.unpersist()
+            except Exception:
+                pass
     _stop(spark)
     return 0
 

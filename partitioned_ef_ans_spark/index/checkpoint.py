@@ -445,6 +445,13 @@ def _refresh_path(spark, path: str) -> None:
     cached pre-delta index and froze a term_stats.parquet MISSING
     every delta-only term (delta docs invisible to term-driven query
     paths)."""
+    from partitioned_ef_ans_spark.index import query as _q_mod
+
+    # any refresh means "disk may have changed": kill the
+    # frame-attached whole-index payload memo too (the giant-query
+    # routing short-circuit) — a delta update can grow an index past
+    # the docpart budget and the memo must not outlive that
+    _q_mod.bump_payload_epoch()
     try:
         spark.catalog.refreshByPath(path)
     except Exception:
@@ -461,10 +468,16 @@ def _locked(fn):
 
     @functools.wraps(fn)
     def wrapper(spark, out_dir, *args, **kwargs):
-        with _update_lock(out_dir):
+        try:
+            with _update_lock(out_dir):
+                _refresh_path(spark, out_dir)
+                out = fn(spark, out_dir, *args, **kwargs)
+        finally:
+            # refresh even when the mutator raises: a partial commit
+            # may have swapped files on disk, and the entry refresh
+            # re-cached the PRE-mutation listing for any caller-cached
+            # frame — readers must not keep serving that view
             _refresh_path(spark, out_dir)
-            out = fn(spark, out_dir, *args, **kwargs)
-        _refresh_path(spark, out_dir)
         return out
 
     return wrapper
@@ -1915,6 +1928,11 @@ def update_index_delta(
     # non-reentrant; the update above is fully committed first, so a
     # crash inside the fold loses nothing (roll-forward on replay).
     if max_segments is not None and int(man.get("delta_segments", 0)) > int(max_segments):
+        # __wrapped__ bypasses _locked's entry refresh, but the fold
+        # re-reads doc_stats/staging this very update just appended to
+        # — refresh first or a caller-cached frame serves the
+        # pre-delta view (the exact aliasing _refresh_path exists for)
+        _refresh_path(spark, out_dir)
         folded = compact_deltas.__wrapped__(spark, out_dir)
         if folded.get("folded_segments"):
             folded["auto_minor_compacted"] = True

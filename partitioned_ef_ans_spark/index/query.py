@@ -1011,7 +1011,10 @@ def make_ranked_kernel(
         if mode == "wand_bmw":
             from partitioned_ef_ans_spark.index.blockmax import build_bmw_meta
 
-            bmeta = build_bmw_meta(pdf, weights)
+            # terms=lists: a fully-tombstoned eager (short) list is
+            # dropped from lists/weights but its rows are still in
+            # pdf — without the restriction weights[t] KeyErrors
+            bmeta = build_bmw_meta(pdf, weights, terms=lists)
             return _kernel_wand_bmw(
                 lists, tws, weights, max_weights, bmeta, dtype, qid, k,
                 sentinel,
@@ -1164,18 +1167,35 @@ DOCPART_DISPATCH_BUDGET_BYTES = int(
 )
 
 
+#: bumped by every index mutator (checkpoint._refresh_path) so the
+#: frame-attached payload-total memo below can't survive a mutation:
+#: a delta update can grow an index past the docpart budget, and a
+#: stale sub-budget memo would silently disable giant-query routing
+#: for a caller that (correctly, post-refreshByPath) keeps serving
+#: from the same term_stats frame.
+_PAYLOAD_EPOCH = 0
+
+
+def bump_payload_epoch() -> None:
+    global _PAYLOAD_EPOCH
+    _PAYLOAD_EPOCH += 1
+
+
 def _total_payload_bytes(term_stats_df: DataFrame) -> int:
     """Whole-index compressed payload total, memoized ON the frame
     object: callers (gate/bench/CLI/serving loops) reuse one cached
     term_stats frame across a whole batch run, so the scalar is
-    computed once per loaded index, not once per query batch."""
-    tot = getattr(term_stats_df, "_pefa_total_payload_bytes", None)
-    if tot is None:
-        row = term_stats_df.agg(
-            F.sum("payload_bytes").alias("b")
-        ).collect()[0]
-        tot = int(row["b"] or 0)
-        term_stats_df._pefa_total_payload_bytes = tot
+    computed once per loaded index, not once per query batch.  The
+    memo is epoch-keyed: any mutator invalidates it (see
+    :func:`bump_payload_epoch`), so post-mutation calls re-measure."""
+    memo = getattr(term_stats_df, "_pefa_total_payload_bytes", None)
+    if memo is not None and memo[0] == _PAYLOAD_EPOCH:
+        return memo[1]
+    row = term_stats_df.agg(
+        F.sum("payload_bytes").alias("b")
+    ).collect()[0]
+    tot = int(row["b"] or 0)
+    term_stats_df._pefa_total_payload_bytes = (_PAYLOAD_EPOCH, tot)
     return tot
 
 
@@ -1498,13 +1518,13 @@ def run_ranked_collapsed(
     from pyspark.sql.window import Window
 
     K = max(int(k_probe) if k_probe else 5 * int(k), int(k))
-    probe_tombs = (
-        tomb_bc.value[0] if tomb_bc is not None else None
-    )
+    # pass the Broadcast itself — run_ranked's _as_tomb_bc reuses it,
+    # so a serving loop doesn't re-sort/re-crc/re-broadcast the whole
+    # mask array on every pruned collapse call
     s = run_ranked(
         spark, index_df, queries_df, codec, num_docs, avg_len,
         mode=probe_mode, k=K, dtype="float64",
-        term_stats_df=term_stats_df, tombstones=probe_tombs,
+        term_stats_df=term_stats_df, tombstones=tomb_bc,
     ).localCheckpoint(eager=True)
 
     # group lookup for the probe rows only: inner-join the BIG doc→grp

@@ -41,9 +41,14 @@ from pyspark.sql import functions as F
 from partitioned_ef_ans_spark.index import query as q_mod
 
 #: (idx_dir, term_stats mtime) -> whole-index compressed payload total
-#: for the giant-query probe short-circuit (single-entry: serving
-#: loops target one index dir at a time)
+#: for the giant-query probe short-circuit.  Multi-entry: sharded
+#: direct serving calls run_ranked_direct once per SHARD per batch,
+#: so a single-entry cache would thrash and re-run the payload agg —
+#: a per-call Spark job in a serving wrapper — on every call.  Mtime
+#: keying bounds it to (index dirs x mutations) per process; the cap
+#: is a leak guard for pathological dir churn.
 _TOTAL_BYTES_CACHE: dict = {}
+_TOTAL_BYTES_CACHE_CAP = 256
 
 #: queries per serving task (a task fetches the union of its queries'
 #: lists once; more queries per task amortize hot-term reads through
@@ -258,7 +263,8 @@ def run_ranked_direct(
         tot = _TOTAL_BYTES_CACHE.get(key)
         if tot is None:
             tot = q_mod._total_payload_bytes(term_stats_df)
-            _TOTAL_BYTES_CACHE.clear()
+            if len(_TOTAL_BYTES_CACHE) >= _TOTAL_BYTES_CACHE_CAP:
+                _TOTAL_BYTES_CACHE.clear()
             _TOTAL_BYTES_CACHE[key] = tot
         big = (
             q_mod.giant_query_ids(

@@ -216,6 +216,7 @@ def ivf_dense_topk(
     centroids: DataFrame | None = None,
     assignments: DataFrame | None = None,
     salt_target: int | None = None,
+    salts: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-probe dense retrieval for EXTERNAL query vectors:
     ``query_vecs`` is ``(query_id, embedding)``, result is
@@ -225,8 +226,10 @@ def ivf_dense_topk(
     non-probed buckets).
 
     Plan shape at 100 TB: the corpus is bucket-assigned ONCE (pass
-    ``assignments`` from :func:`assign_buckets` to amortize across
-    query batches); each query joins the broadcast centroids to pick
+    ``assignments`` from :func:`assign_buckets` — and the matching
+    ``salts`` from :func:`..operators.dedup.bucket_salts` — to
+    amortize both across query batches); each query joins the
+    broadcast centroids to pick
     its ``nprobe`` closest buckets (map-side — queries are the small
     relation); the candidate join is bucket-colocated with hot buckets
     salted exactly like :func:`ivf_topk` (sub-keyed corpus side,
@@ -271,9 +274,13 @@ def ivf_dense_topk(
 
     if salt_target is None:
         salt_target = BUCKET_SALT_TARGET
-    nsalt = F.broadcast(
-        bucket_salts(assignments.groupBy("bucket").count(), salt_target)
-    )
+    # salts are a pure function of the (static) bucket assignment —
+    # amortized serving should precompute them ONCE next to
+    # assign_buckets and pass them in, or the per-batch call pays a
+    # corpus-sized groupBy().count() shuffle just to rebuild them
+    if salts is None:
+        salts = bucket_salts(assignments.groupBy("bucket").count(), salt_target)
+    nsalt = F.broadcast(salts)
     t_s = (
         assignments.join(nsalt, "bucket")
         .withColumn(

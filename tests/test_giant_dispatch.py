@@ -145,3 +145,34 @@ def test_boolean_dispatch_matches_gather(spark, sf_small, monkeypatch):
         }
         monkeypatch.undo()
         assert routed and got == base
+
+
+def test_payload_total_memo_invalidated_by_mutation_epoch(spark, sf_small):
+    """The frame-attached whole-index payload memo must not survive a
+    mutation: a delta update can grow the index past the docpart
+    budget, and a stale sub-budget memo would silently disable the
+    giant-query routing for callers serving from the same frame."""
+    from partitioned_ef_ans_spark import gate
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix = _baseline_and_index(spark, sf_small)[0]
+    ts = ix["term_stats"]
+    tot = q_mod._total_payload_bytes(ts)
+    assert tot > 0
+    memo_before = ts._pefa_total_payload_bytes
+    assert q_mod._total_payload_bytes(ts) == tot  # memo hit
+    assert ts._pefa_total_payload_bytes is memo_before
+    q_mod.bump_payload_epoch()  # what every mutator refresh does
+    assert q_mod._total_payload_bytes(ts) == tot  # disk unchanged
+    assert ts._pefa_total_payload_bytes is not memo_before  # re-measured
+
+
+def test_refresh_path_bumps_payload_epoch(spark, tmp_path):
+    """checkpoint._refresh_path (every mutator's entry/exit guard) is
+    the invalidation hook for the payload memo."""
+    from partitioned_ef_ans_spark.index import checkpoint as cp
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    e0 = q_mod._PAYLOAD_EPOCH
+    cp._refresh_path(spark, str(tmp_path))
+    assert q_mod._PAYLOAD_EPOCH == e0 + 1

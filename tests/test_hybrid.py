@@ -159,7 +159,17 @@ def test_ivf_dense_reused_assignment_and_salting(spark, sf_med):
         qv, embs, k=5, centroids=cent, nprobe=2,
         assignments=assigned, salt_target=1,
     )
-    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["cos"])
-    assert sorted(map(key, reused.collect())) == sorted(
-        map(key, base.collect())
+    # fully-amortized serving shape: assignment AND its salts are
+    # precomputed once and passed in (no per-batch bucket-count
+    # shuffle); results must be identical
+    from partitioned_ef_ans_spark.operators.dedup import bucket_salts
+
+    presalted = ann_mod.ivf_dense_topk(
+        qv, embs, k=5, centroids=cent, nprobe=2,
+        assignments=assigned, salt_target=1,
+        salts=bucket_salts(assigned.groupBy("bucket").count(), 1),
     )
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["cos"])
+    want = sorted(map(key, base.collect()))
+    assert sorted(map(key, reused.collect())) == want
+    assert sorted(map(key, presalted.collect())) == want

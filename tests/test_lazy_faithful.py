@@ -125,3 +125,32 @@ def test_lazy_enum_skips_chunks():
         b_mod.decode_lists_segmented = orig
         q_mod._LIST_CACHE.clear()
         q_mod._WEIGHT_CACHE.clear()
+
+
+def test_wand_bmw_fully_masked_short_term(spark, lazy_idx):
+    """A term whose ENTIRE (eager, sub-LAZY_MIN_CHUNKS) posting list is
+    tombstoned is dropped from lists/weights by _apply_tomb — the BMW
+    meta builder must be restricted to the surviving terms or the
+    kernel dies with KeyError on the dead term (its chunk rows are
+    still in the worker's pdf).  Default lazy threshold on purpose:
+    this fixture's ~2-chunk lists take the eager drop path."""
+    from test_deletes import _corpus
+
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    dead = [d for d, text in _corpus(range(N_DOCS)) if "w00" in text.split()]
+    assert 0 < len(dead) < N_DOCS
+    index_df, ts, codec, man = _load(spark, lazy_idx)
+    q = queries_to_df(spark, [(0, ["w00", "w01"])])
+    got = {}
+    for mode in ("wand_bmw", "wand"):
+        rows = q_mod.run_ranked(
+            spark, index_df, q, codec, man["num_docs"], man["avg_doc_len"],
+            mode=mode, k=5, dtype="float64", term_stats_df=ts,
+            tombstones=dead,
+        ).collect()
+        got[mode] = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+        )
+    assert got["wand_bmw"] == got["wand"] and got["wand_bmw"]
