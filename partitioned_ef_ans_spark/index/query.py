@@ -1471,6 +1471,7 @@ def run_ranked_collapsed(
     prune: bool = True,
     probe_mode: str = "maxscore_blockmax",
     k_probe: int | None = None,
+    max_probe: int | None = None,
 ) -> DataFrame:
     """Field-collapsed (diversified) top-k: at most ONE result per
     (query, group) — the SERP host-collapse every search engine ships
@@ -1500,9 +1501,16 @@ def run_ranked_collapsed(
       and (b) an unseen group's best ≤ s_K < b_k can never displace
       the k selected groups nor change their best docs.  Queries that
       fail the certificate (deep group duplication, k-th-boundary
-      score ties) fall back to the exhaustive substrate — only those
-      queries pay it.  Results are bit-identical to ``prune=False``
-      on every path.
+      score ties) first ESCALATE to a 10× deeper probe (capped at
+      ``max_probe``, default ``50*k`` — measured on the default bench
+      every failure was a ``b_k <= s_K`` boundary tie that a deeper
+      probe resolves, and a pruned re-probe of the few failing
+      queries is far cheaper than their exhaustive scored relation);
+      only queries still failing at the cap pay the exhaustive
+      substrate.  Escalation terminates on its own: once ``K``
+      exceeds a query's match count the probe is exhausted and the
+      first certificate arm accepts it.  Results are bit-identical
+      to ``prune=False`` on every path.
     """
     if allowlist is not None:
         tombstones = make_allowlist(allowlist, tombstones)
@@ -1518,83 +1526,100 @@ def run_ranked_collapsed(
     from pyspark.sql.window import Window
 
     K = max(int(k_probe) if k_probe else 5 * int(k), int(k))
-    # pass the Broadcast itself — run_ranked's _as_tomb_bc reuses it,
-    # so a serving loop doesn't re-sort/re-crc/re-broadcast the whole
-    # mask array on every pruned collapse call
-    s = run_ranked(
-        spark, index_df, queries_df, codec, num_docs, avg_len,
-        mode=probe_mode, k=K, dtype="float64",
-        term_stats_df=term_stats_df, tombstones=tomb_bc,
-    ).localCheckpoint(eager=True)
+    cap = max(int(max_probe) if max_probe is not None else 50 * int(k), K)
+    remaining = queries_df
+    accepted: list[DataFrame] = []
+    while True:
+        # pass the Broadcast itself — run_ranked's _as_tomb_bc reuses
+        # it, so a serving loop doesn't re-sort/re-crc/re-broadcast
+        # the whole mask array on every pruned collapse call
+        s = run_ranked(
+            spark, index_df, remaining, codec, num_docs, avg_len,
+            mode=probe_mode, k=K, dtype="float64",
+            term_stats_df=term_stats_df, tombstones=tomb_bc,
+        ).localCheckpoint(eager=True)
 
-    # group lookup for the probe rows only: inner-join the BIG doc→grp
-    # map against the broadcast probe (a left outer can't broadcast
-    # its preserved side), then re-attach probe rows with no group row
-    # as singleton groups via a broadcast anti-join.  At cluster scale
-    # this is a metadata-table scan with a broadcast semi-join filter —
-    # partition-prunable when the map is bucketed by doc_id.
-    matched = groups_df.join(
-        F.broadcast(s.select("query_id", "doc_id", "score")), "doc_id"
-    ).select("query_id", "doc_id", "score", "grp")
-    unmatched = s.join(
-        F.broadcast(matched.select("query_id", "doc_id")),
-        ["query_id", "doc_id"],
-        "left_anti",
-    ).select(
-        "query_id", "doc_id", "score",
-        F.concat(F.lit("\x00doc:"), F.col("doc_id")).alias("grp"),
-    )
-    sg = matched.unionByName(unmatched).withColumn(
-        "grp",
-        F.coalesce(F.col("grp"), F.concat(F.lit("\x00doc:"), F.col("doc_id"))),
-    )
-    wg = Window.partitionBy("query_id", "grp").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    bestr = (
-        sg.withColumn("_g_rn", F.row_number().over(wg))
-        .where(F.col("_g_rn") == 1)
-        .withColumn("g_rank", F.row_number().over(wq))
-    ).localCheckpoint(eager=True)
-
-    # per-query certificate (tiny: one row per query, collected)
-    probe_stats = s.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_probe"), F.min("score").alias("s_K")
-    )
-    grp_stats = bestr.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_groups"),
-        F.max(F.when(F.col("g_rank") == k, F.col("score"))).alias("b_k"),
-    )
-    cert = {
-        r["query_id"]: (
-            r["n_probe"] < K
-            or (
-                r["n_groups"] >= k
-                and r["b_k"] is not None
-                and r["b_k"] > r["s_K"]
-            )
+        # group lookup for the probe rows only: inner-join the BIG
+        # doc→grp map against the broadcast probe (a left outer can't
+        # broadcast its preserved side), then re-attach probe rows
+        # with no group row as singleton groups via a broadcast
+        # anti-join.  At cluster scale this is a metadata-table scan
+        # with a broadcast semi-join filter — partition-prunable when
+        # the map is bucketed by doc_id.
+        matched = groups_df.join(
+            F.broadcast(s.select("query_id", "doc_id", "score")), "doc_id"
+        ).select("query_id", "doc_id", "score", "grp")
+        unmatched = s.join(
+            F.broadcast(matched.select("query_id", "doc_id")),
+            ["query_id", "doc_id"],
+            "left_anti",
+        ).select(
+            "query_id", "doc_id", "score",
+            F.concat(F.lit("\x00doc:"), F.col("doc_id")).alias("grp"),
         )
-        for r in probe_stats.join(grp_stats, "query_id").collect()
-    }
-    failing = sorted(q for q, ok in cert.items() if not ok)
-    fast = bestr.select(
-        "query_id",
-        F.col("g_rank").cast("int").alias("rank"),
-        "doc_id",
-        "score",
-    ).where(F.col("rank") <= k)
-    if not failing:
-        return fast
-    fast = fast.where(~F.col("query_id").isin(failing))
-    slow_q = queries_df.where(F.col("query_id").isin(failing))
-    per_doc = ranked_scores_docpartitioned(
-        spark, index_df, slow_q, codec, num_docs, avg_len,
-        term_stats_df=term_stats_df, tomb_bc=tomb_bc,
-    )
-    return fast.unionByName(_collapse_scored(per_doc, groups_df, k))
+        sg = matched.unionByName(unmatched).withColumn(
+            "grp",
+            F.coalesce(
+                F.col("grp"), F.concat(F.lit("\x00doc:"), F.col("doc_id"))
+            ),
+        )
+        wg = Window.partitionBy("query_id", "grp").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        bestr = (
+            sg.withColumn("_g_rn", F.row_number().over(wg))
+            .where(F.col("_g_rn") == 1)
+            .withColumn("g_rank", F.row_number().over(wq))
+        ).localCheckpoint(eager=True)
+
+        # per-query certificate (tiny: one row per query, collected)
+        probe_stats = s.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_probe"), F.min("score").alias("s_K")
+        )
+        grp_stats = bestr.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max(F.when(F.col("g_rank") == k, F.col("score"))).alias("b_k"),
+        )
+        cert = {
+            r["query_id"]: (
+                r["n_probe"] < K
+                or (
+                    r["n_groups"] >= k
+                    and r["b_k"] is not None
+                    and r["b_k"] > r["s_K"]
+                )
+            )
+            for r in probe_stats.join(grp_stats, "query_id").collect()
+        }
+        failing = sorted(q for q, ok in cert.items() if not ok)
+        fast = bestr.select(
+            "query_id",
+            F.col("g_rank").cast("int").alias("rank"),
+            "doc_id",
+            "score",
+        ).where(F.col("rank") <= k)
+        if not failing:
+            accepted.append(fast)
+            remaining = None
+            break
+        accepted.append(fast.where(~F.col("query_id").isin(failing)))
+        remaining = remaining.where(F.col("query_id").isin(failing))
+        if K >= cap:
+            break
+        K = min(K * 10, cap)
+    if remaining is not None:
+        per_doc = ranked_scores_docpartitioned(
+            spark, index_df, remaining, codec, num_docs, avg_len,
+            term_stats_df=term_stats_df, tomb_bc=tomb_bc,
+        )
+        accepted.append(_collapse_scored(per_doc, groups_df, k))
+    out = accepted[0]
+    for part in accepted[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def run_ranked_and_docpartitioned(

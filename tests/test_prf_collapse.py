@@ -238,22 +238,29 @@ def test_collapse_prune_equals_exhaustive(spark, prf_index):
 
     index_df, ts, codec, man = _load(spark, prf_index)
     qdf = queries_to_df(spark, QUERIES)
-    for groups, k, k_probe in [
-        (_groups(spark), 2, 4),    # tiny probe: certificate does the work
-        (_groups(spark), 10, 4),   # 3 groups < k -> certificate fails
-        (_groups(spark).where("doc_id % 2 = 0"), 3, 6),  # singletons
+    for groups, k, k_probe, max_probe in [
+        # tiny probe: certificate does the work
+        (_groups(spark), 2, 4, None),
+        # 3 groups < k AND cap == probe: failures skip escalation and
+        # pay the exhaustive tail
+        (_groups(spark), 10, 4, 4),
+        # same failing shape, default cap: the 10x escalation ladder
+        # resolves every query by probe exhaustion instead
+        (_groups(spark), 10, 4, None),
+        # partial map (singleton semantics)
+        (_groups(spark).where("doc_id % 2 = 0"), 3, 6, None),
     ]:
         fast = _rows(q_mod.run_ranked_collapsed(
             spark, index_df, qdf, codec, man["num_docs"],
             man["avg_doc_len"], groups, k=k, term_stats_df=ts,
-            prune=True, k_probe=k_probe,
+            prune=True, k_probe=k_probe, max_probe=max_probe,
         ))
         slow = _rows(q_mod.run_ranked_collapsed(
             spark, index_df, qdf, codec, man["num_docs"],
             man["avg_doc_len"], groups, k=k, term_stats_df=ts,
             prune=False,
         ))
-        assert fast == slow, f"k={k} k_probe={k_probe}"
+        assert fast == slow, f"k={k} k_probe={k_probe} cap={max_probe}"
 
 
 def test_mlt_fuzzy_respect_tombstones(spark, prf_index):
