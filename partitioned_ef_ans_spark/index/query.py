@@ -1469,7 +1469,7 @@ def run_ranked_collapsed(
     tombstones=None,
     allowlist=None,
     prune: bool = True,
-    probe_mode: str = "maxscore_blockmax",
+    probe_mode: str | None = None,
     k_probe: int | None = None,
     max_probe: int | None = None,
 ) -> DataFrame:
@@ -1501,16 +1501,33 @@ def run_ranked_collapsed(
       and (b) an unseen group's best ≤ s_K < b_k can never displace
       the k selected groups nor change their best docs.  Queries that
       fail the certificate (deep group duplication, k-th-boundary
-      score ties) first ESCALATE to a 10× deeper probe (capped at
-      ``max_probe``, default ``50*k`` — measured on the default bench
-      every failure was a ``b_k <= s_K`` boundary tie that a deeper
-      probe resolves, and a pruned re-probe of the few failing
-      queries is far cheaper than their exhaustive scored relation);
-      only queries still failing at the cap pay the exhaustive
-      substrate.  Escalation terminates on its own: once ``K``
-      exceeds a query's match count the probe is exhausted and the
-      first certificate arm accepts it.  Results are bit-identical
-      to ``prune=False`` on every path.
+      score ties) pay the exhaustive substrate — as ONE batch, so the
+      cost is the union of their referenced lists, not per-query.
+
+      ``probe_mode=None`` auto-dispatches on the memoized whole-index
+      payload total (the same scalar giant-query routing uses): a
+      sub-budget index probes with the exhaustive vectorized
+      ``ranked_or`` — measured 2.6x faster than the pruned kernel at
+      4.6M postings (scored_frac ~0.87: nothing to prune, pure Python
+      kernel overhead) — while an over-budget index keeps the
+      block-selective ``maxscore_blockmax`` whose pruning grows with
+      scale (scored_frac 0.33 at 144.5M).  Probe results are
+      mode-invariant (rank- and value-identical), so the certificate
+      and output don't depend on the choice.
+
+      ``max_probe > K`` opts into a 10×-K escalation ladder for
+      failing queries before the exhaustive tail.  MEASURED OFF by
+      default: on the default bench every failure was a
+      ``b_k <= s_K`` boundary tie, a 10× deeper probe resolved only
+      14/49 of them (quantized-score ties persist at depth), and the
+      exhaustive batch cost is flat in query count (7.22 s for 35
+      queries vs 7.28 s for 49 — Zipf-head chunk decode dominates),
+      so the extra probe level cost ~4.3 s to save ~0.06 s.  The
+      ladder only pays when deeper probes clear (nearly) ALL failing
+      queries; it terminates on its own because a probe that exceeds
+      a query's match count is exhausted and the first certificate
+      arm accepts it.  Results are bit-identical to ``prune=False``
+      on every path.
     """
     if allowlist is not None:
         tombstones = make_allowlist(allowlist, tombstones)
@@ -1525,8 +1542,15 @@ def run_ranked_collapsed(
 
     from pyspark.sql.window import Window
 
+    if probe_mode is None:
+        probe_mode = "maxscore_blockmax"
+        if term_stats_df is not None and (
+            _total_payload_bytes(term_stats_df)
+            <= DOCPART_DISPATCH_BUDGET_BYTES
+        ):
+            probe_mode = "ranked_or"
     K = max(int(k_probe) if k_probe else 5 * int(k), int(k))
-    cap = max(int(max_probe) if max_probe is not None else 50 * int(k), K)
+    cap = max(int(max_probe) if max_probe is not None else K, K)
     remaining = queries_df
     accepted: list[DataFrame] = []
     while True:

@@ -241,12 +241,12 @@ def test_collapse_prune_equals_exhaustive(spark, prf_index):
     for groups, k, k_probe, max_probe in [
         # tiny probe: certificate does the work
         (_groups(spark), 2, 4, None),
-        # 3 groups < k AND cap == probe: failures skip escalation and
-        # pay the exhaustive tail
-        (_groups(spark), 10, 4, 4),
-        # same failing shape, default cap: the 10x escalation ladder
-        # resolves every query by probe exhaustion instead
+        # 3 groups < k, default (no escalation): failures pay the
+        # exhaustive tail directly
         (_groups(spark), 10, 4, None),
+        # same failing shape, opt-in ladder: the 10x escalation
+        # resolves every query by probe exhaustion instead
+        (_groups(spark), 10, 4, 4000),
         # partial map (singleton semantics)
         (_groups(spark).where("doc_id % 2 = 0"), 3, 6, None),
     ]:
