@@ -1166,6 +1166,17 @@ DOCPART_DISPATCH_BUDGET_BYTES = int(
     __import__("os").environ.get("PEFA_DOCPART_BUDGET_BYTES", 256 << 20)
 )
 
+#: collapse-probe mode crossover (whole-index compressed payload): at
+#: or below this, the exhaustive vectorized ranked_or probe beats the
+#: pruned kernel (measured 500q, K=50, float64, local[8]: 2.6 s vs
+#: 6.9 s at 4.4 MB / 4.6M postings; tied 5.4 vs 5.1 at 12.7 MB /
+#: 13.6M; pruned wins 8.8 vs 7.0 at 33.7 MB / 36.2M and 2.7x at
+#: 144.5M).  8 MiB sits below the measured tie so the default leans
+#: toward the kernel whose advantage GROWS with scale.
+PROBE_EXHAUSTIVE_BUDGET_BYTES = int(
+    __import__("os").environ.get("PEFA_PROBE_EXHAUSTIVE_BUDGET_BYTES", 8 << 20)
+)
+
 
 #: bumped by every index mutator (checkpoint._refresh_path) so the
 #: frame-attached payload-total memo below can't survive a mutation:
@@ -1505,15 +1516,17 @@ def run_ranked_collapsed(
       cost is the union of their referenced lists, not per-query.
 
       ``probe_mode=None`` auto-dispatches on the memoized whole-index
-      payload total (the same scalar giant-query routing uses): a
-      sub-budget index probes with the exhaustive vectorized
-      ``ranked_or`` — measured 2.6x faster than the pruned kernel at
-      4.6M postings (scored_frac ~0.87: nothing to prune, pure Python
-      kernel overhead) — while an over-budget index keeps the
-      block-selective ``maxscore_blockmax`` whose pruning grows with
-      scale (scored_frac 0.33 at 144.5M).  Probe results are
-      mode-invariant (rank- and value-identical), so the certificate
-      and output don't depend on the choice.
+      payload total (the same scalar giant-query routing reads): an
+      index at or below ``PROBE_EXHAUSTIVE_BUDGET_BYTES`` (8 MiB
+      payload, the measured crossover region) probes with the
+      exhaustive vectorized ``ranked_or`` — 2.6x faster than the
+      pruned kernel at 4.6M postings (scored_frac ~0.87: nothing to
+      prune, pure Python kernel overhead) — while a larger index
+      keeps the block-selective ``maxscore_blockmax``, whose pruning
+      advantage grows with scale (tied at 13.6M postings, 1.27x at
+      36.2M, 2.7x at 144.5M).  Probe results are mode-invariant
+      (rank- and value-identical), so the certificate and output
+      don't depend on the choice.
 
       ``max_probe > K`` opts into a 10×-K escalation ladder for
       failing queries before the exhaustive tail.  MEASURED OFF by
@@ -1546,7 +1559,7 @@ def run_ranked_collapsed(
         probe_mode = "maxscore_blockmax"
         if term_stats_df is not None and (
             _total_payload_bytes(term_stats_df)
-            <= DOCPART_DISPATCH_BUDGET_BYTES
+            <= PROBE_EXHAUSTIVE_BUDGET_BYTES
         ):
             probe_mode = "ranked_or"
     K = max(int(k_probe) if k_probe else 5 * int(k), int(k))
