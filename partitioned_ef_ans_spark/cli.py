@@ -983,7 +983,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "shard index directories (scatter-gather serving "
                         "with global statistics, index/sharded.py)")
     q.add_argument("--mode", default="blockmax",
-                   help="comma-separated run_ranked modes")
+                   help="comma-separated run_ranked modes ('auto' = "
+                        "measured size-crossover dispatch)")
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--runs", type=lambda v: max(1, int(v)), default=1)
     q.add_argument("--print-topk", action="store_true")

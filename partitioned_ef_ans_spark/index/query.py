@@ -1252,10 +1252,14 @@ def run_ranked(
     """All modes are rank-identical; ``blockmax`` (vectorized block-max
     WAND, index/blockmax.py) is the default/production path — 3-4x the
     faithful per-posting ``wand``/``maxscore`` walks, which stay
-    selectable as reference-fidelity modes.  EF-family codecs have no
-    intra-list blocks, so the block-selective modes fall back to the
-    vectorized ``taat`` pruned kernel (same pruning power, whole-list
-    decode).
+    selectable as reference-fidelity modes.  ``mode="auto"`` picks by
+    the measured size crossover: the exhaustive vectorized
+    ``ranked_or`` at or below ``PROBE_EXHAUSTIVE_BUDGET_BYTES`` of
+    compressed payload (nothing to prune on a small index),
+    ``maxscore_blockmax`` past it (pruning power grows with scale).
+    EF-family codecs have no intra-list blocks, so the
+    block-selective modes fall back to the vectorized ``taat`` pruned
+    kernel (same pruning power, whole-list decode).
 
     Giant queries auto-route to the doc-partitioned twin: when the
     frozen term_stats say a query's referenced lists exceed
@@ -1275,6 +1279,19 @@ def run_ranked(
         # (a deleted doc never serves even when the filter selects it)
         tombstones = make_allowlist(allowlist, tombstones)
     tomb_bc = _as_tomb_bc(spark, tombstones)
+    if mode == "auto":
+        # measured crossover dispatch (PROBE_EXHAUSTIVE_BUDGET_BYTES):
+        # a small index has nothing for the pruned kernels to prune
+        # (scored_frac ~0.87 at 4.6M postings) and the exhaustive
+        # vectorized kernel wins 2.6x; past the crossover the
+        # block-selective kernel's advantage grows with scale (2.7x
+        # at 144.5M).  The memoized payload scalar makes this free.
+        mode = "maxscore_blockmax"
+        if term_stats_df is not None and (
+            _total_payload_bytes(term_stats_df)
+            <= PROBE_EXHAUSTIVE_BUDGET_BYTES
+        ):
+            mode = "ranked_or"
     if codec.docs is None and mode in ("blockmax", "maxscore_blockmax"):
         mode = "taat"
     if codec.docs is None and mode == "wand_bmw":
@@ -1556,12 +1573,7 @@ def run_ranked_collapsed(
     from pyspark.sql.window import Window
 
     if probe_mode is None:
-        probe_mode = "maxscore_blockmax"
-        if term_stats_df is not None and (
-            _total_payload_bytes(term_stats_df)
-            <= PROBE_EXHAUSTIVE_BUDGET_BYTES
-        ):
-            probe_mode = "ranked_or"
+        probe_mode = "auto"  # run_ranked's measured-crossover dispatch
     K = max(int(k_probe) if k_probe else 5 * int(k), int(k))
     cap = max(int(max_probe) if max_probe is not None else K, K)
     remaining = queries_df

@@ -50,6 +50,27 @@ from partitioned_ef_ans_spark.index import query as q_mod
 _TOTAL_BYTES_CACHE: dict = {}
 _TOTAL_BYTES_CACHE_CAP = 256
 
+
+def _dir_payload_total(spark, idx_dir: str) -> int:
+    """Whole-index compressed payload total for ``idx_dir``, cached
+    per (dir, term_stats mtime): this path reads a fresh term_stats
+    frame every call, so run_ranked's frame-attached memo would not
+    stick and each serving call would pay a Spark agg job."""
+    try:
+        mt = os.path.getmtime(f"{idx_dir}/term_stats.parquet")
+    except OSError:
+        mt = -1.0
+    key = (idx_dir, mt)  # mtime-keyed: updates rewrite the stats
+    tot = _TOTAL_BYTES_CACHE.get(key)
+    if tot is None:
+        tot = q_mod._total_payload_bytes(
+            spark.read.parquet(f"{idx_dir}/term_stats.parquet")
+        )
+        if len(_TOTAL_BYTES_CACHE) >= _TOTAL_BYTES_CACHE_CAP:
+            _TOTAL_BYTES_CACHE.clear()
+        _TOTAL_BYTES_CACHE[key] = tot
+    return tot
+
 #: queries per serving task (a task fetches the union of its queries'
 #: lists once; more queries per task amortize hot-term reads through
 #: the worker decode cache, fewer bound the per-task fetch)
@@ -241,6 +262,12 @@ def run_ranked_direct(
         tombstones = q_mod.make_allowlist(allowlist, tombstones)
     tomb_bc = q_mod._as_tomb_bc(spark, tombstones)
 
+    if mode == "auto":
+        # run_ranked's measured-crossover dispatch, on the dir-cached
+        # payload scalar (no per-call Spark job)
+        mode = "maxscore_blockmax"
+        if _dir_payload_total(spark, idx_dir) <= q_mod.PROBE_EXHAUSTIVE_BUDGET_BYTES:
+            mode = "ranked_or"
     if codec.docs is None and mode in ("blockmax", "maxscore_blockmax"):
         mode = "taat"  # EF families carry no intra-list blocks
     if codec.docs is None and mode == "wand_bmw":
@@ -251,21 +278,8 @@ def run_ranked_direct(
     if docpart_budget_bytes is not None:
         term_stats_df = spark.read.parquet(f"{idx_dir}/term_stats.parquet")
         # same probe short-circuit as run_ranked: an index whose whole
-        # compressed payload fits the budget cannot host a giant
-        # query.  The scalar is cached per index dir (this path reads
-        # a fresh term_stats frame every call, so the frame-attached
-        # memo would not stick).
-        try:
-            mt = os.path.getmtime(f"{idx_dir}/term_stats.parquet")
-        except OSError:
-            mt = -1.0
-        key = (idx_dir, mt)  # mtime-keyed: updates rewrite the stats
-        tot = _TOTAL_BYTES_CACHE.get(key)
-        if tot is None:
-            tot = q_mod._total_payload_bytes(term_stats_df)
-            if len(_TOTAL_BYTES_CACHE) >= _TOTAL_BYTES_CACHE_CAP:
-                _TOTAL_BYTES_CACHE.clear()
-            _TOTAL_BYTES_CACHE[key] = tot
+        # compressed payload fits the budget cannot host a giant query
+        tot = _dir_payload_total(spark, idx_dir)
         big = (
             q_mod.giant_query_ids(
                 queries_df, term_stats_df, docpart_budget_bytes

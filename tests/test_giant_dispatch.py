@@ -176,3 +176,33 @@ def test_refresh_path_bumps_payload_epoch(spark, tmp_path):
     e0 = q_mod._PAYLOAD_EPOCH
     cp._refresh_path(spark, str(tmp_path))
     assert q_mod._PAYLOAD_EPOCH == e0 + 1
+
+
+def test_auto_mode_crossover_dispatch(spark, sf_small, monkeypatch):
+    """mode='auto' resolves by the measured payload crossover and is
+    rank-identical on both sides of the threshold (probe results are
+    mode-invariant, so only the kernel choice may differ)."""
+    from partitioned_ef_ans_spark import gate
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    ix, qdf = _baseline_and_index(spark, sf_small)
+
+    def run(mode):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"])
+            for r in q_mod.run_ranked(
+                spark, ix["index_df"], qdf, ix["codec"], ix["num_docs"],
+                ix["avg_len"], mode=mode, k=gate.TOP_K, dtype="float64",
+                term_stats_df=ix["term_stats"],
+            ).collect()
+        )
+
+    want = run("ranked_or")
+    # tiny test index sits under the 8 MiB crossover -> ranked_or side
+    assert q_mod._total_payload_bytes(ix["term_stats"]) <= \
+        q_mod.PROBE_EXHAUSTIVE_BUDGET_BYTES
+    assert run("auto") == want
+    # force the over-crossover side: auto -> maxscore_blockmax
+    monkeypatch.setattr(q_mod, "PROBE_EXHAUSTIVE_BUDGET_BYTES", 0)
+    assert run("auto") == want
+    assert run("maxscore_blockmax") == want

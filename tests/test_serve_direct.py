@@ -237,3 +237,18 @@ def test_direct_plan_has_no_index_scan(spark, fresh_idx):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "index.parquet" not in plan
     assert "payload" not in plan
+
+
+def test_direct_auto_mode_crossover(spark, fresh_idx, monkeypatch):
+    """mode='auto' resolves via the dir-cached payload scalar on the
+    storage-direct path too, identical results on both sides of the
+    crossover (and no per-call Spark agg: the scalar is cached)."""
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.index import serve as s_mod
+
+    want = _direct(spark, fresh_idx, "ranked_or")
+    assert _direct(spark, fresh_idx, "auto") == want
+    monkeypatch.setattr(q_mod, "PROBE_EXHAUSTIVE_BUDGET_BYTES", 0)
+    assert _direct(spark, fresh_idx, "auto") == want
+    # the scalar is served from the mtime-keyed dir cache
+    assert any(k[0] == fresh_idx for k in s_mod._TOTAL_BYTES_CACHE)
