@@ -94,6 +94,16 @@ def _spark(args):
     active = SparkSession.getActiveSession()
     if active is not None:
         _SHARED_SESSION = True
+        cur = active.sparkContext.master
+        if args.master and args.master != cur:
+            # a silently-dropped --master poisons any parallelism
+            # measurement (the two-cluster-size scaling evidence runs
+            # through this flag) — reuse the session, but SAY so
+            print(
+                f"warning: reusing active Spark session on {cur!r}; "
+                f"--master {args.master!r} ignored",
+                file=sys.stderr,
+            )
         return active
     _SHARED_SESSION = False
     spark = get_spark(master=args.master)
@@ -438,26 +448,35 @@ def cmd_queries(args) -> int:
                 s["tombstones"] = None
         qdf = queries_to_df(spark, qs).cache()
         qdf.count()
-        for mode in args.mode.split(","):
-            for run in range(args.runs):
-                t0 = time.perf_counter()
-                res = run_ranked_sharded(
-                    spark, sh, qdf, mode=mode, k=args.k, dtype="float32",
-                    fetch=getattr(args, "fetch", "gather"),
-                    allowlist=allow,
-                )
-                nrows = res.count()
-                dt = time.perf_counter() - t0
-                print(json.dumps({
-                    "mode": mode, "run": run, "queries": len(qs),
-                    "results": nrows, "wall_sec": round(dt, 3),
-                    "qps": round(len(qs) / dt, 1),
-                    "shards": len(shard_dirs),
-                }))
-            if args.print_topk:
-                for r in res.orderBy("query_id", "rank").collect():
-                    print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t"
-                          f"{r['score']}")
+        try:
+            for mode in args.mode.split(","):
+                for run in range(args.runs):
+                    t0 = time.perf_counter()
+                    res = run_ranked_sharded(
+                        spark, sh, qdf, mode=mode, k=args.k, dtype="float32",
+                        fetch=getattr(args, "fetch", "gather"),
+                        allowlist=allow,
+                    )
+                    nrows = res.count()
+                    dt = time.perf_counter() - t0
+                    print(json.dumps({
+                        "mode": mode, "run": run, "queries": len(qs),
+                        "results": nrows, "wall_sec": round(dt, 3),
+                        "qps": round(len(qs) / dt, 1),
+                        "shards": len(shard_dirs),
+                    }))
+                if args.print_topk:
+                    for r in res.orderBy("query_id", "rank").collect():
+                        print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t"
+                              f"{r['score']}")
+        finally:
+            # _spark may hand back a long-lived shared session; a
+            # pinned cache surviving _stop (no-op in shared mode)
+            # accumulates across in-process invocations
+            try:
+                qdf.unpersist()
+            except Exception:
+                pass
         _stop(spark)
         return 0
     if args.latency:

@@ -468,16 +468,20 @@ def _locked(fn):
 
     @functools.wraps(fn)
     def wrapper(spark, out_dir, *args, **kwargs):
-        try:
-            with _update_lock(out_dir):
-                _refresh_path(spark, out_dir)
-                out = fn(spark, out_dir, *args, **kwargs)
-        finally:
-            # refresh even when the mutator raises: a partial commit
-            # may have swapped files on disk, and the entry refresh
-            # re-cached the PRE-mutation listing for any caller-cached
-            # frame — readers must not keep serving that view
+        with _update_lock(out_dir):
             _refresh_path(spark, out_dir)
+            try:
+                out = fn(spark, out_dir, *args, **kwargs)
+            finally:
+                # refresh even when the mutator raises: a partial
+                # commit may have swapped files on disk, and the entry
+                # refresh re-cached the PRE-mutation listing for any
+                # caller-cached frame — readers must not keep serving
+                # that view.  INSIDE the with-block on purpose: if the
+                # LOCK acquisition failed (another writer mid-swap),
+                # nothing was mutated here and refreshing would re-pin
+                # a torn in-flight listing for this session's caches.
+                _refresh_path(spark, out_dir)
         return out
 
     return wrapper
@@ -887,15 +891,20 @@ def merge_indexes(
     os.makedirs(out_dir, exist_ok=True)  # lock lives inside out_dir
     with _update_lock(out_dir):
         _refresh_path(spark, out_dir)  # see _locked: stale-cache guard
-        if mode == "concat":
-            out = _merge_concat_locked(spark, out_dir, src_dirs)
-        elif mode != "rebuild":
-            raise ValueError(f"unknown merge mode {mode!r}")
-        else:
-            out = _merge_indexes_locked(
-                spark, out_dir, src_dirs, num_parts, chunk_postings
-            )
-    _refresh_path(spark, out_dir)
+        try:
+            if mode == "concat":
+                out = _merge_concat_locked(spark, out_dir, src_dirs)
+            elif mode != "rebuild":
+                raise ValueError(f"unknown merge mode {mode!r}")
+            else:
+                out = _merge_indexes_locked(
+                    spark, out_dir, src_dirs, num_parts, chunk_postings
+                )
+        finally:
+            # exception-safe like _locked: a merge that raises
+            # mid-commit may have swapped files already — readers
+            # must not keep serving the pre-merge cached listing
+            _refresh_path(spark, out_dir)
     return out
 
 

@@ -222,6 +222,15 @@ _LIST_CACHE: dict = {}
 _WEIGHT_CACHE: dict = {}
 _CACHE_LIMIT = 4096
 
+#: chunk-granularity decode-work counters for the faithful walks,
+#: sampled by the latency harness exactly like blockmax's
+#: DECODE_COUNTERS: referenced = chunks the walk COULD land in,
+#: touched = chunks it actually landed in (decoded or served from the
+#: decode cache).  Before these, the harness reported the faithful
+#: modes as full-decode (scored_frac pinned at 1.0), which overstated
+#: their decode work once the chunk-lazy walks landed.
+LAZY_COUNTERS = {"chunks_referenced": 0, "chunks_touched": 0}
+
 
 class _LazyList:
     """Un-decoded posting list for the faithful DAAT walks: per-chunk
@@ -279,6 +288,7 @@ class _LazyEnum:
         self.loaded = False
         self.block_ends = None
         self.block_ubs = None
+        LAZY_COUNTERS["chunks_referenced"] += self.nch
         self._advance_chunk(0)
 
     # kernels read en.w[en.pos] directly; property forces the decode
@@ -300,6 +310,7 @@ class _LazyEnum:
         )
 
         key, payload, doc_lens, _fd, _ld = self.rows[ci]
+        LAZY_COUNTERS["chunks_touched"] += 1
         pair = _LIST_CACHE.get(key)
         if pair is None:
             pair = decode_lists_segmented(
@@ -310,7 +321,7 @@ class _LazyEnum:
                 _WEIGHT_CACHE.clear()
             _LIST_CACHE[key] = pair
         docs, freqs = pair
-        norms = doc_lens / self.avg_len
+        norms = np.asarray(doc_lens, dtype=np.float64) / self.avg_len
         keep = tomb_keep(docs, self.tomb)
         if keep is not None:
             docs, freqs, norms = docs[keep], freqs[keep], norms[keep]
@@ -422,6 +433,8 @@ def _faithful_lists(pdf, codec, avg_len, tomb, dtype, ttag, lazy_ok=True,
     if min_chunks is None:
         min_chunks = LAZY_MIN_CHUNKS
     if not lazy_ok:
+        LAZY_COUNTERS["chunks_referenced"] += len(pdf)
+        LAZY_COUNTERS["chunks_touched"] += len(pdf)
         lists, norms = _decode_group(pdf, codec, avg_len)
         lists, norms = _apply_tomb(lists, norms, tomb)
         tws = (
@@ -435,6 +448,9 @@ def _faithful_lists(pdf, codec, avg_len, tomb, dtype, ttag, lazy_ok=True,
     tws: dict = {}
     small_pdf = pdf[~pdf["term"].isin(big)] if big else pdf
     if len(small_pdf):
+        # eager (sub-threshold) lists batch-decode every chunk
+        LAZY_COUNTERS["chunks_referenced"] += len(small_pdf)
+        LAZY_COUNTERS["chunks_touched"] += len(small_pdf)
         sl, norms = _decode_group(small_pdf, codec, avg_len)
         sl, norms = _apply_tomb(sl, norms, tomb)
         if sl:
@@ -472,11 +488,12 @@ def _lazy_lists(pdf: pd.DataFrame, codec, avg_len, tomb, dtype, ttag=""):
         if key in seen:
             continue
         seen.add(key)
-        # payload stays the raw Arrow cell — bytes() copies only on a
-        # decode-cache MISS (_decode_chunk); a skipped or cache-hit
-        # chunk never pays the copy
+        # payload AND doc_lens stay the raw Arrow cells — bytes() /
+        # float64 conversion happen only when the walk lands in the
+        # chunk (_decode_chunk); a skipped or cache-hit chunk never
+        # pays either copy
         rows_by_term.setdefault(term, []).append(
-            (key, p, np.asarray(dl, dtype=np.float64), int(fd), int(ld))
+            (key, p, dl, int(fd), int(ld))
         )
     return {
         t: _LazyList(rows, codec, avg_len, tomb, dtype, ttag)

@@ -79,10 +79,20 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
     has_blocks = "block_maxs" in tbl.columns
     stats = {}
     for mode in modes:
+        if mode not in ALL_MODES:
+            # 'auto' resolves only in the run_ranked serving paths; an
+            # unknown name must not silently time the trailing
+            # ranked_and branch under a wrong label
+            raise ValueError(
+                f"kernel latency has no mode {mode!r}; choose from "
+                f"{ALL_MODES}"
+            )
         lat = []
         # pruning instrumentation: blockmax modes bump the module
-        # counters; full-decode modes score every referenced block
+        # counters; the faithful walks bump the chunk-lazy ones;
+        # full-decode modes score every referenced block
         c0 = dict(bmx_mod.DECODE_COUNTERS)
+        l0 = dict(q_mod.LAZY_COUNTERS)
         full_blocks = 0
         for run in range(runs):  # first run untimed (warms caches)
             for qid, terms in qs:
@@ -178,6 +188,20 @@ def kernel_latency_stats(idx_dir: str, qs, modes=ALL_MODES, runs: int = 2,
             c1 = bmx_mod.DECODE_COUNTERS
             ref = (c1["blocks_referenced"] - c0["blocks_referenced"]) // runs
             sco = (c1["blocks_scored"] - c0["blocks_scored"]) // runs
+        elif mode in ("wand", "wand_bmw", "maxscore"):
+            # chunk-lazy walks skip whole chunks without decoding —
+            # report their decode work at chunk granularity instead of
+            # pretending full decode (blocks_* would overstate it)
+            l1 = q_mod.LAZY_COUNTERS
+            cref = (
+                l1["chunks_referenced"] - l0["chunks_referenced"]
+            ) // runs
+            ctou = (l1["chunks_touched"] - l0["chunks_touched"]) // runs
+            if cref:
+                stats[mode]["chunks_referenced"] = int(cref)
+                stats[mode]["chunks_touched"] = int(ctou)
+                stats[mode]["touched_frac"] = round(ctou / cref, 4)
+            ref = sco = 0
         else:
             ref = sco = full_blocks
         if ref:

@@ -154,3 +154,28 @@ def test_wand_bmw_fully_masked_short_term(spark, lazy_idx):
             (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
         )
     assert got["wand_bmw"] == got["wand"] and got["wand_bmw"]
+
+
+def test_latency_rejects_unknown_mode(lazy_idx):
+    """'auto' (and any unknown name) must not silently time the
+    trailing ranked_and branch under a wrong label."""
+    from partitioned_ef_ans_spark.latency import kernel_latency_stats
+
+    with pytest.raises(ValueError, match="no mode 'auto'"):
+        kernel_latency_stats(lazy_idx, [(0, ["w00"])], modes=("auto",))
+
+
+def test_latency_faithful_counters_chunk_granularity(lazy_idx, monkeypatch):
+    """Faithful modes report chunk-lazy decode work (touched_frac),
+    not the old full-decode pretense (scored_frac pinned at 1.0)."""
+    monkeypatch.setenv("PEFA_LAZY_FAITHFUL", "1")
+    from partitioned_ef_ans_spark.latency import kernel_latency_stats
+
+    qs = [(i, q) for i, (q,) in enumerate(zip([t for _, t in QUERIES]))]
+    stats = kernel_latency_stats(lazy_idx, qs, modes=("wand", "taat"))
+    w = stats["wand"]
+    assert "scored_frac" not in w
+    assert w["chunks_referenced"] >= w["chunks_touched"] > 0
+    assert 0 < w["touched_frac"] <= 1.0
+    # full-decode modes keep the block accounting
+    assert stats["taat"].get("scored_frac") == 1.0
