@@ -610,6 +610,69 @@ WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
 QUALIFY "rank" <= {k}"""
 
 
+def sql_ann_ivf_sq8(
+    k: int = 5, n_centroids: int = 8, nprobe: int = 2, rescore_mult: int = 3
+) -> str:
+    """sql_ann_ivf + the int8 first pass: q8 quantizes the normalized
+    vectors exactly as ann.sq8_quantize (same IEEE-double op order,
+    floor(x+0.5)); pre ranks candidates by the exact integer dot; kept
+    cuts to k*rescore_mult per query (qdot DESC, neighbor ASC); the
+    float rescore runs only on the survivors."""
+    return f"""
+WITH {_EMB_NORM_CTE},
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
+csim AS (
+  SELECT e.vec_id, c.cent_id,
+         round(list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+               / (ne.nn * nc.nn), 6) AS csim
+  FROM embeddings e JOIN nrm ne ON e.vec_id = ne.vec_id
+       CROSS JOIN cent c JOIN nrm nc ON c.cent_id = nc.vec_id
+),
+ranked AS (
+  SELECT vec_id, cent_id, csim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank
+  FROM csim
+),
+assign AS (SELECT vec_id, cent_id AS bucket FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id, cent_id AS bucket FROM ranked WHERE crank <= {nprobe}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS vec_id, t.vec_id AS neighbor
+  FROM probes q JOIN assign t ON q.bucket = t.bucket AND q.vec_id <> t.vec_id
+),
+q8 AS (
+  SELECT e.vec_id,
+         list_transform(range(1, len(e.embedding)+1),
+           i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) / n.nn * 127.0 + 0.5) AS BIGINT)) AS qvec
+  FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+),
+pre AS (
+  SELECT c.vec_id, c.neighbor,
+         list_sum(list_transform(range(1, len(a.qvec)+1), i -> a.qvec[i] * b.qvec[i])) AS qdot
+  FROM cand c JOIN q8 a ON a.vec_id = c.vec_id JOIN q8 b ON b.vec_id = c.neighbor
+),
+kept AS (
+  SELECT vec_id, neighbor FROM (
+    SELECT vec_id, neighbor,
+           row_number() OVER (PARTITION BY vec_id ORDER BY qdot DESC, neighbor) AS prerank
+    FROM pre)
+  WHERE prerank <= {int(k) * int(rescore_mult)}
+),
+dots AS (
+  SELECT c.vec_id AS qid, c.neighbor AS neighbor,
+         list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot
+  FROM kept c JOIN embeddings a ON a.vec_id = c.vec_id
+              JOIN embeddings b ON b.vec_id = c.neighbor
+),
+cosv AS (
+  SELECT dots.qid AS vec_id, dots.neighbor AS neighbor, round(dot / (na.nn * nb.nn), 6) AS cos
+  FROM dots JOIN nrm na ON dots.qid = na.vec_id JOIN nrm nb ON dots.neighbor = nb.vec_id
+)
+SELECT vec_id, CAST(row_number() OVER w AS INT) AS "rank", neighbor, cos
+FROM cosv
+WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
+QUALIFY "rank" <= {k}"""
+
+
 # -------------------------------------------------- sha invariant / verify
 
 def q_corpus_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,23 +932,41 @@ SELECT user_id,
 FROM g GROUP BY user_id"""
 
 
+def q_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + signed-int8 scalar quantization first pass
+    (operators/ann.py::sq8_ivf_topk): the candidate pairs of the
+    pinned-centroid IVF are cut to k*rescore_mult per query on the
+    exact integer dot of the quantized normalized vectors, then
+    rescored with the float cosine.  The oracle replays the
+    quantization bit-for-bit (floor(x+0.5) rounds identically in both
+    engines), so this hashes the whole prefilter+rescore pipeline, not
+    just the final ranking."""
+    return ann_mod.sq8_ivf_topk(
+        _embs(spark, sf_dir), n_centroids=8, rescore_mult=3
+    )
+
+
 def q_ann_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two IVF twins (pinned centroids / trained Lloyd k-means)
-    collapsed into one window entry keyed by ``variant`` — same oracle
-    strength as the twins it replaces, one fewer slot (the codec
-    family-union pattern applied to the ANN plane)."""
+    """The IVF twins (pinned centroids / trained Lloyd k-means / int8
+    scalar-quantized first pass) collapsed into one window entry keyed
+    by ``variant`` — same oracle strength as the twins it replaces,
+    fewer slots (the codec family-union pattern applied to the ANN
+    plane)."""
     a = q_ann_ivf(spark, sf_dir).withColumn("variant", F.lit("ivf"))
     b = q_ann_ivf_kmeans(spark, sf_dir).withColumn(
         "variant", F.lit("ivf_kmeans")
     )
-    return a.unionByName(b)
+    c = q_ann_ivf_sq8(spark, sf_dir).withColumn("variant", F.lit("ivf_sq8"))
+    return a.unionByName(b).unionByName(c)
 
 
 def sql_ann_ivf_family() -> str:
     return (
         f"SELECT v.*, 'ivf' AS variant FROM ({sql_ann_ivf()}) v "
         "UNION ALL "
-        f"SELECT v.*, 'ivf_kmeans' AS variant FROM ({sql_ann_ivf_kmeans()}) v"
+        f"SELECT v.*, 'ivf_kmeans' AS variant FROM ({sql_ann_ivf_kmeans()}) v "
+        "UNION ALL "
+        f"SELECT v.*, 'ivf_sq8' AS variant FROM ({sql_ann_ivf_sq8()}) v"
     )
 
 

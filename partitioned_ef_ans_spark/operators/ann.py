@@ -217,6 +217,8 @@ def ivf_dense_topk(
     assignments: DataFrame | None = None,
     salt_target: int | None = None,
     salts: DataFrame | None = None,
+    quant: str | None = None,
+    rescore_mult: int = 3,
 ) -> DataFrame:
     """IVF-probe dense retrieval for EXTERNAL query vectors:
     ``query_vecs`` is ``(query_id, embedding)``, result is
@@ -238,7 +240,15 @@ def ivf_dense_topk(
     payload is re-joined for scoring.  No full-corpus crossJoin
     anywhere.  With ``nprobe >= n_centroids`` the candidate set is the
     whole corpus and the result EQUALS the brute-force baseline
-    (locked in tests)."""
+    (locked in tests).
+
+    ``quant="sq8"`` inserts the int8 first pass between the candidate
+    join and the exact rescore (see :func:`sq8_quantize`): candidates
+    are cut to ``k * rescore_mult`` per query on the quantized dot —
+    at scale the first pass reads 1/4 the vector bytes and the float
+    payload is fetched only for the survivors.  With ``rescore_mult``
+    large enough to keep every candidate the result equals the
+    unquantized path exactly."""
     if centroids is not None:
         cent = centroids.select("cent_id", "cvec")
     else:
@@ -300,6 +310,19 @@ def ivf_dense_topk(
         .select("query_id", F.col("vec_id").alias("doc_id"))
         .distinct()
     )
+    if quant == "sq8":
+        cand = _sq8_prefilter(
+            cand,
+            sq8_quantize(query_vecs, id_col="query_id"),
+            sq8_quantize(embeddings).select(
+                F.col("vec_id").alias("doc_id"), "qvec"
+            ),
+            keep=int(k) * int(rescore_mult),
+            query_col="query_id",
+            target_col="doc_id",
+        )
+    elif quant is not None:
+        raise ValueError(f"unknown quant mode: {quant!r}")
     temb = embeddings.select(
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("temb")
     )
@@ -324,34 +347,36 @@ def ivf_dense_topk(
     )
 
 
-def ivf_topk(
+def _resolve_centroids(
     embeddings: DataFrame,
-    k: int = 5,
-    n_centroids: int | None = None,
-    nprobe: int = 2,
-    centroids: DataFrame | None = None,
-    salt_target: int | None = None,
+    n_centroids: int | None,
+    centroids: DataFrame | None,
 ) -> DataFrame:
-    """IVF-bucketed cosine top-k.
-
-    Default centroids are the embeddings of the n_centroids smallest
-    vec_ids (deterministic); pass ``centroids`` (cent_id, cvec) — e.g. from
-    :func:`kmeans_centroids` — for trained buckets.  Each vector joins
-    its nearest centroid's bucket; each query probes its ``nprobe``
-    closest centroids.  Output shape == cosine_topk (fewer/different
-    neighbors possible — that's the recall tradeoff, measured in tests
-    against the brute-force baseline).
-    """
+    """(cent_id, cvec): explicit centroids if given, else the
+    embeddings of the ``n_centroids`` smallest ACTUAL vec_ids (not a
+    value filter — sparse-id safety, see kmeans_centroids)."""
     if centroids is not None:
-        cent = centroids.select("cent_id", "cvec")
-    else:
-        if n_centroids is None:
-            n_centroids = auto_n_centroids(embeddings.count())
-        # n smallest actual ids, not a value filter (sparse-id safety —
-        # see kmeans_centroids)
-        cent = embeddings.orderBy("vec_id").limit(n_centroids).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
-        )
+        return centroids.select("cent_id", "cvec")
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(embeddings.count())
+    return embeddings.orderBy("vec_id").limit(n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+
+
+def _ivf_candidate_pairs(
+    embeddings: DataFrame,
+    cent: DataFrame,
+    nprobe: int,
+    salt_target: int | None,
+) -> DataFrame:
+    """(vec_id, neighbor) distinct candidate pairs of the IVF
+    self-join: nearest-centroid bucket assignment, each vector probes
+    its ``nprobe`` closest buckets, hot buckets salted (sub-keyed
+    target side, replicated probe side — every pair meets exactly
+    once), self-pairs excluded, dedup on the ID PAIR only (vector
+    payloads are re-joined by the caller AFTER the distinct so the
+    exchange never ships them)."""
     sim = embeddings.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
@@ -401,7 +426,7 @@ def ivf_topk(
     # buckets must score once), then re-join the embeddings: hauling
     # the vector payload through the distinct's exchange would ship
     # dim x 4 bytes per candidate copy for no reason
-    cand = (
+    return (
         q_rep.alias("q")
         .join(t_s.alias("t"), ["bucket", "salt"])
         .where(F.col("q.vec_id") != F.col("t.vec_id"))
@@ -411,6 +436,28 @@ def ivf_topk(
         )
         .distinct()
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int | None = None,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+    salt_target: int | None = None,
+) -> DataFrame:
+    """IVF-bucketed cosine top-k.
+
+    Default centroids are the embeddings of the n_centroids smallest
+    vec_ids (deterministic); pass ``centroids`` (cent_id, cvec) — e.g. from
+    :func:`kmeans_centroids` — for trained buckets.  Each vector joins
+    its nearest centroid's bucket; each query probes its ``nprobe``
+    closest centroids.  Output shape == cosine_topk (fewer/different
+    neighbors possible — that's the recall tradeoff, measured in tests
+    against the brute-force baseline).
+    """
+    cent = _resolve_centroids(embeddings, n_centroids, centroids)
+    cand = _ivf_candidate_pairs(embeddings, cent, nprobe, salt_target)
     temb = embeddings.select(
         F.col("vec_id").alias("neighbor"), F.col("embedding").alias("temb")
     )
@@ -420,6 +467,132 @@ def ivf_topk(
         "neighbor",
         F.round(
             _dot(F.col("qemb"), F.col("temb")) / (_norm(F.col("qemb")) * _norm(F.col("temb"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor", "cos")
+    )
+
+
+# --------------------------------------------- scalar quantization (SQ8)
+
+def sq8_quantize(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """``(id_col, qvec)``: signed-int8 scalar quantization of the
+    L2-NORMALIZED vector — ``q[i] = floor(127 * v[i]/||v|| + 0.5)``,
+    every component in [-127, 127].
+
+    Why this shape: at 100 TB the embedding column dominates scan
+    bytes (float32 x dim per row); the int8 twin is exactly 1/4 the
+    payload, and because the vectors are normalized BEFORE quantizing,
+    the integer dot product ``sum(qa[i]*qb[i]) ~= 127^2 * cosine`` is
+    a monotone-enough proxy to PREFILTER candidates, with the exact
+    float rescore touching only the survivors (the classic IVF+SQ
+    recipe).  In a production layout ``qvec`` persists byte-packed
+    next to the embeddings and is the only column the first pass
+    reads.
+
+    Determinism across engines: the whole expression is IEEE double
+    (cast-first, same op order) and ``floor(x + 0.5)`` rounds
+    identically in Spark and DuckDB (no round-half-even ambiguity), so
+    the oracle reproduces every component exactly.  Zero vectors are
+    undefined here, as in every cosine path in this module."""
+    withn = embeddings.select(
+        F.col(id_col), "embedding", _norm(F.col("embedding")).alias("nn")
+    )
+    return withn.select(
+        F.col(id_col),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") / F.col("nn") * F.lit(127.0) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("qvec"),
+    )
+
+
+def _qdot(a, b):
+    # exact integer dot product (|q| <= 127, so component products and
+    # any realistic-dimension sum fit comfortably in a long)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+
+
+def _sq8_prefilter(
+    cand: DataFrame,
+    q_quant: DataFrame,
+    t_quant: DataFrame,
+    keep: int,
+    query_col: str = "vec_id",
+    target_col: str = "neighbor",
+) -> DataFrame:
+    """Cut ``cand`` (query_col, target_col) to the top-``keep`` rows
+    per query by quantized integer dot (ties by target id — integer
+    scores tie freely and the cut must be engine-identical).
+    ``q_quant``/``t_quant`` are :func:`sq8_quantize` outputs keyed by
+    ``query_col``/``target_col`` (the same frame twice for the
+    self-join case).  Only the int8 payload crosses this join; the
+    float vectors are joined by the caller for the exact rescore of
+    the survivors."""
+    qa = q_quant.select(F.col(query_col), F.col("qvec").alias("qa"))
+    qb = t_quant.select(F.col(target_col), F.col("qvec").alias("qb"))
+    pre = cand.join(qb, target_col).join(qa, query_col).select(
+        query_col, target_col, _qdot(F.col("qa"), F.col("qb")).alias("qdot")
+    )
+    wpre = Window.partitionBy(query_col).orderBy(
+        F.desc("qdot"), F.asc(target_col)
+    )
+    return (
+        pre.withColumn("prerank", F.row_number().over(wpre))
+        .where(F.col("prerank") <= int(keep))
+        .select(query_col, target_col)
+    )
+
+
+def sq8_ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int | None = None,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+    salt_target: int | None = None,
+    rescore_mult: int = 3,
+) -> DataFrame:
+    """IVF top-k with an int8 first pass: same buckets/probes/salting
+    as :func:`ivf_topk`, but the candidate pairs are first scored on
+    the quantized vectors (1/4 the bytes) and only the top
+    ``k * rescore_mult`` per query are rescored with the exact float
+    cosine.  Output shape == :func:`ivf_topk`; with ``rescore_mult``
+    large enough to keep every candidate the result EQUALS ivf_topk
+    exactly (locked in tests).  The recall knob is ``rescore_mult``:
+    the int8 dot on normalized vectors tracks true cosine to ~1%, so
+    small multiples already recover the exact bucketed top-k on real
+    data (measured in tests/test_sq8.py)."""
+    cent = _resolve_centroids(embeddings, n_centroids, centroids)
+    cand = _ivf_candidate_pairs(embeddings, cent, nprobe, salt_target)
+    q8 = sq8_quantize(embeddings)
+    kept = _sq8_prefilter(
+        cand,
+        q8,
+        q8.select(F.col("vec_id").alias("neighbor"), "qvec"),
+        keep=int(k) * int(rescore_mult),
+    )
+    temb = embeddings.select(
+        F.col("vec_id").alias("neighbor"), F.col("embedding").alias("temb")
+    )
+    qemb = embeddings.select(F.col("vec_id"), F.col("embedding").alias("qemb"))
+    scored = kept.join(temb, "neighbor").join(qemb, "vec_id").select(
+        "vec_id",
+        "neighbor",
+        F.round(
+            _dot(F.col("qemb"), F.col("temb"))
+            / (_norm(F.col("qemb")) * _norm(F.col("temb"))),
             6,
         ).alias("cos"),
     )

@@ -1,0 +1,114 @@
+"""Signed-int8 scalar quantization ANN (operators/ann.py sq8_*).
+
+The SQ8 plane is the 100 TB embedding-IO lever: the int8 twin of the
+normalized vector is 1/4 the bytes, the candidate prefilter runs on
+exact integer dots, and the float rescore touches only survivors.
+Correctness contract: with a keep-everything rescore_mult the output
+EQUALS the unquantized path bit-for-bit (the prefilter is then a
+no-op), and the quantization itself is engine-deterministic (hashed in
+the ann_ivf_family gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from partitioned_ef_ans_spark.operators import ann
+
+
+def _embs(spark, sf_med):
+    return spark.read.parquet(f"{sf_med}/embeddings.parquet")
+
+
+def test_sq8_quantize_range_and_python_replay(spark, sf_med):
+    """Every component in [-127, 127]; values replay exactly from a
+    python float walk (floor(127*v/||v|| + 0.5) in double)."""
+    import math
+
+    embs = _embs(spark, sf_med).limit(20)
+    got = {r["vec_id"]: r["qvec"] for r in ann.sq8_quantize(embs).collect()}
+    for r in embs.collect():
+        v = [float(x) for x in r["embedding"]]
+        nn = math.sqrt(sum(x * x for x in v))
+        want = [math.floor(x / nn * 127.0 + 0.5) for x in v]
+        assert got[r["vec_id"]] == want
+        assert all(-127 <= q <= 127 for q in want)
+
+
+def test_sq8_keep_all_equals_ivf_exactly(spark, sf_med):
+    """rescore_mult large enough to keep every candidate -> the int8
+    first pass filters nothing and the result must equal ivf_topk
+    row-for-row INCLUDING scores (same candidates, same rescore)."""
+    embs = _embs(spark, sf_med)
+    base = sorted(
+        map(tuple, ann.ivf_topk(embs, k=5, n_centroids=8, nprobe=2).collect())
+    )
+    sq = sorted(
+        map(
+            tuple,
+            ann.sq8_ivf_topk(
+                embs, k=5, n_centroids=8, nprobe=2, rescore_mult=10_000
+            ).collect(),
+        )
+    )
+    assert sq == base and len(base) > 0
+
+
+def test_sq8_recall_vs_ivf_at_small_mult(spark, sf_med):
+    """The int8 dot on normalized vectors tracks cosine tightly: at
+    rescore_mult=3 the bucketed top-5 should be recovered almost
+    perfectly (measured 1.0 on this table; assert a safe floor)."""
+    embs = _embs(spark, sf_med)
+    base = {
+        (r["vec_id"], r["neighbor"])
+        for r in ann.ivf_topk(embs, k=5, n_centroids=8, nprobe=2).collect()
+    }
+    sq = {
+        (r["vec_id"], r["neighbor"])
+        for r in ann.sq8_ivf_topk(
+            embs, k=5, n_centroids=8, nprobe=2, rescore_mult=3
+        ).collect()
+    }
+    assert len(sq & base) / len(base) >= 0.95
+
+
+def test_sq8_dense_external_queries_keep_all_equals_unquantized(spark, sf_med):
+    """ivf_dense_topk(quant='sq8') with a keep-everything mult equals
+    the unquantized dense probe exactly; a small mult keeps the
+    contract shape (k rows per query, exact cosines on survivors)."""
+    embs = _embs(spark, sf_med)
+    qv = (
+        embs.orderBy("vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    base = sorted(
+        map(
+            tuple,
+            ann.ivf_dense_topk(
+                qv, embs, k=5, n_centroids=8, nprobe=2
+            ).collect(),
+        )
+    )
+    sq = sorted(
+        map(
+            tuple,
+            ann.ivf_dense_topk(
+                qv, embs, k=5, n_centroids=8, nprobe=2,
+                quant="sq8", rescore_mult=10_000,
+            ).collect(),
+        )
+    )
+    assert sq == base and len(base) == 50
+    small = ann.ivf_dense_topk(
+        qv, embs, k=5, n_centroids=8, nprobe=2, quant="sq8", rescore_mult=2
+    )
+    per_q = small.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per_q) and len(per_q) == 10
+
+
+def test_sq8_unknown_quant_mode_raises(spark, sf_med):
+    embs = _embs(spark, sf_med).limit(5)
+    qv = embs.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="quant"):
+        ann.ivf_dense_topk(qv, embs, k=2, n_centroids=2, quant="pq")
