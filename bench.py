@@ -1314,7 +1314,149 @@ def codecs_mode():
     print(json.dumps(out))
 
 
+def ann_mode():
+    """Embedding-plane bench: dense retrieval kernels over a
+    deterministic synthetic embedding table (PEFA_ANN_VECS vectors,
+    dim 64, values hash-derived in [-1, 1]; Q external queries drawn
+    from the corpus).  Legs (interleaved reps, min per leg):
+
+      - brute_hof     dense_topk_for_queries: crossJoin + interpreted
+                      HOF fold (the exactness oracle shape)
+      - brute_np      dense_topk_np: Arrow mapInPandas + BLAS matmul,
+                      per-batch partial top-k (the production brute)
+      - brute_np_sq8  + int8 in-batch prefilter, exact rescore
+      - ivf           ivf_dense_topk with centroids/assignment/salts
+                      precomputed (amortized; assign timed separately)
+      - ivf_sq8       + int8 candidate prefilter
+
+    Recalls are vs brute_np (exact).  One JSON line ->
+    BENCH_ANN.json."""
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark.operators import ann as ann_mod
+    from partitioned_ef_ans_spark.operators import hybrid as h_mod
+    from partitioned_ef_ans_spark.operators.dedup import bucket_salts
+    from partitioned_ef_ans_spark.session import get_spark
+
+    n_vecs = int(os.environ.get("PEFA_ANN_VECS", "50000"))
+    n_q = int(os.environ.get("PEFA_ANN_QUERIES", "100"))
+    dim = int(os.environ.get("PEFA_ANN_DIM", "64"))
+    k = 10
+    nprobe = int(os.environ.get("PEFA_ANN_NPROBE", "8"))
+    reps = int(os.environ.get("PEFA_ANN_REPS", "2"))
+    cpus = int(os.environ.get("PEFA_ANN_CPUS", "8"))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=4 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = f"/dev/shm/pefa_ann_vecs_{n_vecs}_{dim}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        # deterministic synthetic embeddings: component = signed
+        # fraction of xxhash64(vec_id:i) — no RNG, identical across
+        # runs and parallelism levels
+        spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    (
+                        F.pmod(
+                            F.xxhash64(F.concat_ws(":", F.col("id"), i)),
+                            F.lit(2000001),
+                        )
+                        - F.lit(1000000)
+                    )
+                    / F.lit(1000000.0)
+                ).cast("float"),
+            ).alias("embedding"),
+        ).repartition(2 * cpus).write.mode("overwrite").parquet(path)
+    embs = spark.read.parquet(path).cache()
+    embs.count()
+    qv = (
+        embs.where(F.col("vec_id") % (n_vecs // n_q) == 0)
+        .limit(n_q)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .cache()
+    )
+    qv.count()
+
+    # amortized IVF prep (persisted alongside the embeddings at scale):
+    # centroid resolve + corpus assignment + hot-bucket salts
+    t0 = time.perf_counter()
+    n_cent = ann_mod.auto_n_centroids(n_vecs)
+    cent = spark.createDataFrame(
+        embs.orderBy("vec_id").limit(n_cent).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cvec"),
+        ).collect()
+    )
+    assignments = ann_mod.assign_buckets(embs, cent).cache()
+    assignments.count()
+    salts = spark.createDataFrame(
+        bucket_salts(assignments.groupBy("bucket").count(), 1 << 14).collect()
+    )
+    t_assign = time.perf_counter() - t0
+
+    legs = {
+        "brute_hof": lambda: h_mod.dense_topk_for_queries(qv, embs, k=k),
+        "brute_np": lambda: ann_mod.dense_topk_np(qv, embs, k=k),
+        "brute_np_sq8": lambda: ann_mod.dense_topk_np(
+            qv, embs, k=k, quant="sq8", rescore_mult=4
+        ),
+        "ivf": lambda: ann_mod.ivf_dense_topk(
+            qv, embs, k=k, centroids=cent, nprobe=nprobe,
+            assignments=assignments, salts=salts,
+        ),
+        "ivf_sq8": lambda: ann_mod.ivf_dense_topk(
+            qv, embs, k=k, centroids=cent, nprobe=nprobe,
+            assignments=assignments, salts=salts,
+            quant="sq8", rescore_mult=4,
+        ),
+    }
+    times = {name: [] for name in legs}
+    results = {}
+    for _ in range(reps):
+        for name, fn in legs.items():
+            t0 = time.perf_counter()
+            rows = fn().collect()
+            times[name].append(time.perf_counter() - t0)
+            results[name] = rows
+    base = {(r["query_id"], r["doc_id"]) for r in results["brute_np"]}
+
+    def recall(name):
+        got = {(r["query_id"], r["doc_id"]) for r in results[name]}
+        return round(len(got & base) / len(base), 4)
+
+    rec = {
+        "metric": "ann_dense_serving",
+        "value": round(min(times["brute_np"]), 3),
+        "unit": "sec",
+        "n_vecs": n_vecs,
+        "dim": dim,
+        "n_queries": n_q,
+        "k": k,
+        "n_centroids": n_cent,
+        "nprobe": nprobe,
+        "cpus": cpus,
+        "t_ivf_prep_sec": round(t_assign, 3),
+        "queries": {n: round(min(t), 3) for n, t in times.items()},
+        "qps": {
+            n: round(n_q / min(t), 1) for n, t in times.items()
+        },
+        "recall_vs_brute": {
+            n: recall(n) for n in ("brute_hof", "brute_np_sq8", "ivf", "ivf_sq8")
+        },
+    }
+    print(json.dumps(rec))
+    with open(Path(__file__).resolve().parent / "BENCH_ANN.json", "w") as fh:
+        json.dump(rec, fh, indent=1)
+    spark.stop()
+
+
+
 def main():
+    if "--ann" in sys.argv:
+        ann_mode()
+        return
     if "--latency" in sys.argv:
         latency_mode()
         return

@@ -602,3 +602,119 @@ def sq8_ivf_topk(
         .where(F.col("rank") <= k)
         .select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor", "cos")
     )
+
+
+def dense_topk_np(
+    query_vecs: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    quant: str | None = None,
+    rescore_mult: int = 4,
+) -> DataFrame:
+    """Vectorized brute-force dense retrieval: the PRODUCTION twin of
+    :func:`..operators.hybrid.dense_topk_for_queries` (same contract:
+    ``(query_id, rank, doc_id, cos)`` top-k by rounded cosine, doc_id
+    tie-break) built as one Arrow-batched ``mapInPandas`` pass over
+    the corpus instead of a row-exploding crossJoin + interpreted-HOF
+    fold:
+
+    * the query matrix (Q x dim, L2-normalized float64) broadcasts to
+      every task — queries are the small relation;
+    * each corpus batch scores ALL queries with one numpy matmul
+      (BLAS) and emits only its LOCAL top-k per query by
+      (rounded cos DESC, doc_id ASC) — the per-(partition, query)
+      partial top-k makes the exchanged rows O(Q * k * n_batches),
+      never O(Q * corpus);
+    * a final window keeps the global top-k (top-k of a union of
+      per-batch top-ks under one total order IS the global top-k).
+
+    Scores are rounded to 6 decimals BEFORE every selection with
+    ``floor(x*1e6 + 0.5)/1e6`` (half-up, matching F.round / DuckDB;
+    numpy's own ``round`` is half-even and would diverge), so ranked
+    output is engine-identical to the HOF path (parity locked in
+    tests).
+
+    ``quant="sq8"`` adds the int8 first pass INSIDE the batch: the
+    normalized batch quantizes exactly like :func:`sq8_quantize`, the
+    approximate scores come from a float32 matmul of the quantized
+    matrices (every partial sum is an integer <= dim * 127^2 — exact
+    in f32 up to ~1000 dims), and only the top ``k * rescore_mult``
+    batch-local candidates per query get the exact float64 rescore.
+    At scale the quantized corpus twin is the only column the first
+    pass needs — 1/4 the scan bytes."""
+    import numpy as np
+
+    out_schema = "query_id long, rank int, doc_id long, cos double"
+    if quant not in (None, "sq8"):
+        raise ValueError(f"unknown quant mode: {quant!r}")
+    spark = embeddings.sparkSession
+    qrows = query_vecs.select("query_id", "embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qids = np.asarray([r["query_id"] for r in qrows], dtype=np.int64)
+    qm = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in qrows]
+    )
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    if quant == "sq8" and qm.shape[1] > 1000:
+        raise ValueError(
+            "sq8 f32 accumulation is exact only up to ~1000 dims"
+        )
+    qq = np.floor(qm * 127.0 + 0.5).astype(np.float32) if quant == "sq8" else None
+    kk, mult = int(k), int(rescore_mult)
+    bc = spark.sparkContext.broadcast((qids, qm, qq))
+
+    def _score_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids_, qm_, qq_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            docs = pdf["vec_id"].to_numpy(dtype=np.int64)
+            emb = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            out_q, out_d, out_c = [], [], []
+            if qq_ is not None:
+                eq = np.floor(emb * 127.0 + 0.5).astype(np.float32)
+                approx = qq_ @ eq.T
+                keep = min(kk * mult, docs.size)
+                for qi in range(qids_.size):
+                    cut = np.lexsort((docs, -approx[qi]))[:keep]
+                    sims = emb[cut] @ qm_[qi]
+                    r = np.floor(sims * 1e6 + 0.5) / 1e6
+                    o = np.lexsort((docs[cut], -r))[:kk]
+                    out_q.append(np.full(o.size, qids_[qi], dtype=np.int64))
+                    out_d.append(docs[cut][o])
+                    out_c.append(r[o])
+            else:
+                sims = qm_ @ emb.T
+                r = np.floor(sims * 1e6 + 0.5) / 1e6
+                for qi in range(qids_.size):
+                    o = np.lexsort((docs, -r[qi]))[:kk]
+                    out_q.append(np.full(o.size, qids_[qi], dtype=np.int64))
+                    out_d.append(docs[o])
+                    out_c.append(r[qi][o])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "doc_id": np.concatenate(out_d),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    partial = embeddings.select("vec_id", "embedding").mapInPandas(
+        _score_partition, "query_id long, doc_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select(
+            "query_id", F.col("rank").cast("int").alias("rank"),
+            "doc_id", "cos",
+        )
+    )

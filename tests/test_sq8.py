@@ -112,3 +112,74 @@ def test_sq8_unknown_quant_mode_raises(spark, sf_med):
     qv = embs.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="quant"):
         ann.ivf_dense_topk(qv, embs, k=2, n_centroids=2, quant="pq")
+
+
+def test_dense_topk_np_parity_with_hof_path(spark, sf_med):
+    """The Arrow/numpy kernel must reproduce the crossJoin+HOF brute
+    path EXACTLY (ids, ranks, and round-6 scores): rounding happens
+    half-up before every selection on both paths, tie-break by doc_id
+    — any divergence here is a rounding-discipline bug, not noise."""
+    from partitioned_ef_ans_spark.operators import hybrid as h_mod
+
+    embs = _embs(spark, sf_med)
+    qv = (
+        embs.orderBy("vec_id")
+        .limit(15)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    want = sorted(map(tuple, h_mod.dense_topk_for_queries(qv, embs, k=10).collect()))
+    got = sorted(map(tuple, ann.dense_topk_np(qv, embs, k=10).collect()))
+    assert len(want) == 150
+    assert [t[:3] for t in got] == [t[:3] for t in want]
+    assert all(abs(g[3] - w[3]) < 1e-9 for g, w in zip(got, want))
+
+
+def test_dense_topk_np_parity_across_partitionings(spark, sf_med):
+    """Per-batch partial top-k must be invariant to how the corpus is
+    partitioned (the merge of per-batch top-ks is a total-order
+    top-k)."""
+    embs = _embs(spark, sf_med)
+    qv = (
+        embs.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    one = sorted(map(tuple, ann.dense_topk_np(qv, embs.coalesce(1), k=7).collect()))
+    many = sorted(map(tuple, ann.dense_topk_np(qv, embs.repartition(13), k=7).collect()))
+    assert one == many and len(one) == 35
+
+
+def test_dense_topk_np_sq8_keep_all_and_contract(spark, sf_med):
+    """sq8 with a keep-everything mult equals the unquantized kernel;
+    a small mult still returns k exact-scored rows per query."""
+    embs = _embs(spark, sf_med)
+    qv = (
+        embs.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    base = sorted(map(tuple, ann.dense_topk_np(qv, embs, k=5).collect()))
+    keep_all = sorted(
+        map(
+            tuple,
+            ann.dense_topk_np(qv, embs, k=5, quant="sq8", rescore_mult=10_000).collect(),
+        )
+    )
+    assert keep_all == base
+    small = ann.dense_topk_np(qv, embs, k=5, quant="sq8", rescore_mult=3)
+    rows = small.collect()
+    assert len(rows) == 40
+    # survivors are exact-rescored: every emitted cos matches the true
+    # rounded cosine for that (query, doc) pair
+    base_map = {(t[0], t[2]): t[3] for t in base}
+    hits = [r for r in rows if (r["query_id"], r["doc_id"]) in base_map]
+    assert all(abs(base_map[(r["query_id"], r["doc_id"])] - r["cos"]) < 1e-9 for r in hits)
+    assert len(hits) / len(rows) >= 0.9  # recall floor at mult=3
+
+
+def test_dense_topk_np_empty_queries(spark, sf_med):
+    embs = _embs(spark, sf_med)
+    qv = embs.select(F.col("vec_id").alias("query_id"), "embedding").where(F.lit(False))
+    out = ann.dense_topk_np(qv, embs, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "rank", "doc_id", "cos"]
