@@ -1373,6 +1373,7 @@ def ann_mode():
     embs.count()
     qv = (
         embs.where(F.col("vec_id") % (n_vecs // n_q) == 0)
+        .orderBy("vec_id")
         .limit(n_q)
         .select(F.col("vec_id").alias("query_id"), "embedding")
         .cache()
@@ -1389,11 +1390,13 @@ def ann_mode():
             F.col("embedding").alias("cvec"),
         ).collect()
     )
-    assignments = ann_mod.assign_buckets(embs, cent).cache()
+    assignments = ann_mod.assign_buckets(embs, cent, engine="np").cache()
     assignments.count()
     salts = spark.createDataFrame(
         bucket_salts(assignments.groupBy("bucket").count(), 1 << 14).collect()
     )
+    quantized = ann_mod.sq8_quantize(embs).cache()
+    quantized.count()
     t_assign = time.perf_counter() - t0
 
     legs = {
@@ -1409,7 +1412,16 @@ def ann_mode():
         "ivf_sq8": lambda: ann_mod.ivf_dense_topk(
             qv, embs, k=k, centroids=cent, nprobe=nprobe,
             assignments=assignments, salts=salts,
-            quant="sq8", rescore_mult=4,
+            quant="sq8", rescore_mult=4, quantized=quantized,
+        ),
+        "ivf_np": lambda: ann_mod.ivf_dense_topk(
+            qv, embs, k=k, centroids=cent, nprobe=nprobe,
+            assignments=assignments, salts=salts, engine="np",
+        ),
+        "ivf_sq8_np": lambda: ann_mod.ivf_dense_topk(
+            qv, embs, k=k, centroids=cent, nprobe=nprobe,
+            assignments=assignments, salts=salts,
+            quant="sq8", rescore_mult=4, engine="np",
         ),
     }
     times = {name: [] for name in legs}
@@ -1443,7 +1455,11 @@ def ann_mode():
             n: round(n_q / min(t), 1) for n, t in times.items()
         },
         "recall_vs_brute": {
-            n: recall(n) for n in ("brute_hof", "brute_np_sq8", "ivf", "ivf_sq8")
+            n: recall(n)
+            for n in (
+                "brute_hof", "brute_np_sq8", "ivf", "ivf_sq8",
+                "ivf_np", "ivf_sq8_np",
+            )
         },
     }
     print(json.dumps(rec))

@@ -179,14 +179,26 @@ def kmeans_centroids(
 
 
 def assign_buckets(
-    embeddings: DataFrame, centroids: DataFrame
+    embeddings: DataFrame, centroids: DataFrame, engine: str = "hof"
 ) -> DataFrame:
     """(vec_id, bucket): nearest-centroid assignment of every corpus
     vector (rounded cosine, cent_id tie-break).  Split out of
     :func:`ivf_topk` so external-query serving can assign the corpus
     ONCE and reuse the assignment across query batches — at 100 TB the
     assignment is a one-off broadcast-join pass you persist alongside
-    the embeddings, not per-batch work."""
+    the embeddings, not per-batch work.
+
+    ``engine="np"`` scores each Arrow batch against the broadcast
+    normalized centroid matrix with one numpy matmul instead of the
+    interpreted HOF fold per (vector, centroid) pair — the assignment
+    pass is corpus x n_centroids dots, the single hottest stage of
+    IVF prep (measured 35 s -> ~2 s at 50k x 223 on 8 cores,
+    BENCH_ANN.json).  Same rounded-cosine argmax with cent_id
+    tie-break; parity locked in tests."""
+    if engine == "np":
+        return _assign_buckets_np(embeddings, centroids)
+    if engine != "hof":
+        raise ValueError(f"unknown engine: {engine!r}")
     sim = embeddings.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "cent_id",
@@ -206,6 +218,52 @@ def assign_buckets(
     )
 
 
+def _assign_buckets_np(
+    embeddings: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """numpy twin of the HOF assignment: centroids (tiny) collect to
+    the driver sorted by cent_id, normalize in float64, broadcast; each
+    corpus batch computes every cosine with one BLAS matmul, rounds
+    half-up to 6 (matching F.round), and argmaxes along the
+    cent_id-ascending axis — numpy argmax returns the FIRST max, which
+    IS the smallest-cent_id tie-break."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    crows = sorted(
+        centroids.select("cent_id", "cvec").collect(),
+        key=lambda r: r["cent_id"],
+    )
+    cids = np.asarray([int(r["cent_id"]) for r in crows], dtype=np.int64)
+    cm = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in crows])
+    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((cids, cm))
+
+    def _assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids_, cm_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = np.floor((emb @ cm_.T) * 1e6 + 0.5)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "bucket": cids_[np.argmax(sims, axis=1)],
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        _assign, "vec_id long, bucket long"
+    )
+
+
 def ivf_dense_topk(
     query_vecs: DataFrame,
     embeddings: DataFrame,
@@ -219,6 +277,8 @@ def ivf_dense_topk(
     salts: DataFrame | None = None,
     quant: str | None = None,
     rescore_mult: int = 3,
+    quantized: DataFrame | None = None,
+    engine: str = "hof",
 ) -> DataFrame:
     """IVF-probe dense retrieval for EXTERNAL query vectors:
     ``query_vecs`` is ``(query_id, embedding)``, result is
@@ -248,7 +308,16 @@ def ivf_dense_topk(
     at scale the first pass reads 1/4 the vector bytes and the float
     payload is fetched only for the survivors.  With ``rescore_mult``
     large enough to keep every candidate the result equals the
-    unquantized path exactly."""
+    unquantized path exactly.  Like ``assignments``/``salts``, a
+    persisted corpus ``quantized`` twin (:func:`sq8_quantize` output)
+    can be passed in so the first pass reads only the int8 column.
+
+    ``engine="np"`` swaps the per-pair interpreted HOF fold for a
+    numpy einsum per Arrow batch (:func:`_np_score_pairs`) on both the
+    sq8 prefilter and the exact rescore — same rounded values
+    (parity locked in tests), 20x+ on the scoring stage
+    (BENCH_ANN.json).  The np prefilter quantizes in-task from the
+    float column (``quantized`` is unused there)."""
     if centroids is not None:
         cent = centroids.select("cent_id", "cvec")
     else:
@@ -310,32 +379,55 @@ def ivf_dense_topk(
         .select("query_id", F.col("vec_id").alias("doc_id"))
         .distinct()
     )
-    if quant == "sq8":
-        cand = _sq8_prefilter(
-            cand,
-            sq8_quantize(query_vecs, id_col="query_id"),
-            sq8_quantize(embeddings).select(
-                F.col("vec_id").alias("doc_id"), "qvec"
-            ),
-            keep=int(k) * int(rescore_mult),
-            query_col="query_id",
-            target_col="doc_id",
-        )
-    elif quant is not None:
+    if quant not in (None, "sq8"):
         raise ValueError(f"unknown quant mode: {quant!r}")
-    temb = embeddings.select(
-        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("temb")
-    )
-    qemb = query_vecs.select("query_id", F.col("embedding").alias("qemb"))
-    scored = cand.join(temb, "doc_id").join(qemb, "query_id").select(
-        "query_id",
-        "doc_id",
-        F.round(
-            _dot(F.col("qemb"), F.col("temb"))
-            / (_norm(F.col("qemb")) * _norm(F.col("temb"))),
-            6,
-        ).alias("cos"),
-    )
+    if engine not in ("hof", "np"):
+        raise ValueError(f"unknown engine: {engine!r}")
+    if engine == "np":
+        # vectorized scoring of the candidate join: one numpy einsum
+        # per Arrow batch instead of an interpreted HOF fold per pair
+        # (measured 20x+ on the pair-scoring stage, BENCH_ANN.json);
+        # same rounded values, parity locked in tests
+        temb_f = embeddings.select(F.col("vec_id").alias("doc_id"), "embedding")
+        if quant == "sq8":
+            pre = _np_score_pairs(
+                cand.join(temb_f, "doc_id"), query_vecs, quant=True
+            )
+            wpre = Window.partitionBy("query_id").orderBy(
+                F.desc("qdot"), F.asc("doc_id")
+            )
+            cand = (
+                pre.withColumn("prerank", F.row_number().over(wpre))
+                .where(F.col("prerank") <= int(k) * int(rescore_mult))
+                .select("query_id", "doc_id")
+            )
+        scored = _np_score_pairs(
+            cand.join(temb_f, "doc_id"), query_vecs, quant=False
+        )
+    else:
+        if quant == "sq8":
+            corpus_q8 = quantized if quantized is not None else sq8_quantize(embeddings)
+            cand = _sq8_prefilter(
+                cand,
+                sq8_quantize(query_vecs, id_col="query_id"),
+                corpus_q8.select(F.col("vec_id").alias("doc_id"), "qvec"),
+                keep=int(k) * int(rescore_mult),
+                query_col="query_id",
+                target_col="doc_id",
+            )
+        temb = embeddings.select(
+            F.col("vec_id").alias("doc_id"), F.col("embedding").alias("temb")
+        )
+        qemb = query_vecs.select("query_id", F.col("embedding").alias("qemb"))
+        scored = cand.join(temb, "doc_id").join(qemb, "query_id").select(
+            "query_id",
+            "doc_id",
+            F.round(
+                _dot(F.col("qemb"), F.col("temb"))
+                / (_norm(F.col("qemb")) * _norm(F.col("temb"))),
+                6,
+            ).alias("cos"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -563,6 +655,7 @@ def sq8_ivf_topk(
     centroids: DataFrame | None = None,
     salt_target: int | None = None,
     rescore_mult: int = 3,
+    quantized: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k with an int8 first pass: same buckets/probes/salting
     as :func:`ivf_topk`, but the candidate pairs are first scored on
@@ -573,10 +666,15 @@ def sq8_ivf_topk(
     exactly (locked in tests).  The recall knob is ``rescore_mult``:
     the int8 dot on normalized vectors tracks true cosine to ~1%, so
     small multiples already recover the exact bucketed top-k on real
-    data (measured in tests/test_sq8.py)."""
+    data (measured in tests/test_sq8.py).
+
+    Pass ``quantized`` (a persisted :func:`sq8_quantize` output) to
+    skip re-deriving the int8 twin from the float column — at scale
+    the quantized table lives next to the embeddings and the first
+    pass never touches the float payload."""
     cent = _resolve_centroids(embeddings, n_centroids, centroids)
     cand = _ivf_candidate_pairs(embeddings, cent, nprobe, salt_target)
-    q8 = sq8_quantize(embeddings)
+    q8 = quantized if quantized is not None else sq8_quantize(embeddings)
     kept = _sq8_prefilter(
         cand,
         q8,
@@ -717,4 +815,74 @@ def dense_topk_np(
             "query_id", F.col("rank").cast("int").alias("rank"),
             "doc_id", "cos",
         )
+    )
+
+
+def _np_score_pairs(
+    pairs: DataFrame,
+    query_vecs: DataFrame,
+    quant: bool,
+    query_col: str = "query_id",
+    target_col: str = "doc_id",
+) -> DataFrame:
+    """Score candidate ``(query_col, target_col, embedding)`` rows
+    against the broadcast normalized query matrix with one numpy pass
+    per Arrow batch — the vectorized twin of the interpreted per-row
+    HOF fold (same values: IEEE-double op order mirrors the HOF
+    expressions; quantized dots are exact integers).
+
+    quant=False -> (query_col, target_col, cos double), cos rounded
+    half-up to 6 like every cosine in this module.
+    quant=True  -> (query_col, target_col, qdot long), the exact
+    integer dot of the sq8-quantized normalized vectors (in-task
+    quantization, identical to :func:`sq8_quantize`)."""
+    import numpy as np
+
+    spark = pairs.sparkSession
+    qrows = query_vecs.select("query_id", "embedding").collect()
+    qids = [int(r["query_id"]) for r in qrows]
+    qm = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in qrows]
+    )
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    if quant:
+        qm = np.floor(qm * 127.0 + 0.5)
+    idx = {q: i for i, q in enumerate(qids)}
+    bc = spark.sparkContext.broadcast((idx, qm))
+    out_field = "qdot long" if quant else "cos double"
+    schema = f"{query_col} long, {target_col} long, {out_field}"
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        idx_, m = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            qi = np.fromiter(
+                (idx_[int(q)] for q in pdf[query_col]), np.int64, len(pdf)
+            )
+            if quant:
+                eq = np.floor(emb * 127.0 + 0.5)
+                vals = np.einsum("ij,ij->i", m[qi], eq).astype(np.int64)
+                col = "qdot"
+            else:
+                s = np.einsum("ij,ij->i", m[qi], emb)
+                vals = np.floor(s * 1e6 + 0.5) / 1e6
+                col = "cos"
+            yield pd.DataFrame(
+                {
+                    query_col: pdf[query_col].to_numpy(dtype=np.int64),
+                    target_col: pdf[target_col].to_numpy(dtype=np.int64),
+                    col: vals,
+                }
+            )
+
+    return pairs.select(query_col, target_col, "embedding").mapInPandas(
+        _score, schema
     )

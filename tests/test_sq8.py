@@ -183,3 +183,87 @@ def test_dense_topk_np_empty_queries(spark, sf_med):
     out = ann.dense_topk_np(qv, embs, k=5)
     assert out.count() == 0
     assert out.columns == ["query_id", "rank", "doc_id", "cos"]
+
+
+def test_sq8_precomputed_quantized_invariance(spark, sf_med):
+    """Passing a persisted sq8_quantize twin must not change results
+    (self-join and external-query paths)."""
+    embs = _embs(spark, sf_med)
+    q8 = ann.sq8_quantize(embs)
+    a = sorted(map(tuple, ann.sq8_ivf_topk(embs, k=5, n_centroids=8).collect()))
+    b = sorted(
+        map(tuple, ann.sq8_ivf_topk(embs, k=5, n_centroids=8, quantized=q8).collect())
+    )
+    assert a == b
+    qv = (
+        embs.orderBy("vec_id")
+        .limit(6)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    c = sorted(
+        map(
+            tuple,
+            ann.ivf_dense_topk(
+                qv, embs, k=5, n_centroids=8, quant="sq8", rescore_mult=4
+            ).collect(),
+        )
+    )
+    d = sorted(
+        map(
+            tuple,
+            ann.ivf_dense_topk(
+                qv, embs, k=5, n_centroids=8, quant="sq8", rescore_mult=4,
+                quantized=q8,
+            ).collect(),
+        )
+    )
+    assert c == d and len(c) == 30
+
+
+def test_ivf_dense_np_engine_parity(spark, sf_med):
+    """engine='np' must reproduce the HOF scoring path exactly (ids,
+    ranks, round-6 scores) for both the plain and the sq8-prefiltered
+    shapes."""
+    embs = _embs(spark, sf_med)
+    qv = (
+        embs.orderBy("vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    for kw in ({}, {"quant": "sq8", "rescore_mult": 3}):
+        hof = sorted(
+            map(
+                tuple,
+                ann.ivf_dense_topk(
+                    qv, embs, k=5, n_centroids=8, nprobe=2, **kw
+                ).collect(),
+            )
+        )
+        np_ = sorted(
+            map(
+                tuple,
+                ann.ivf_dense_topk(
+                    qv, embs, k=5, n_centroids=8, nprobe=2, engine="np", **kw
+                ).collect(),
+            )
+        )
+        assert [t[:3] for t in np_] == [t[:3] for t in hof]
+        assert all(abs(a[3] - b[3]) < 1e-9 for a, b in zip(np_, hof))
+    with pytest.raises(ValueError, match="engine"):
+        ann.ivf_dense_topk(qv, embs, k=2, n_centroids=2, engine="blas")
+
+
+def test_assign_buckets_np_engine_parity(spark, sf_med):
+    """numpy assignment must equal the HOF assignment exactly
+    (rounded-cosine argmax, cent_id tie-break)."""
+    embs = _embs(spark, sf_med)
+    cent = (
+        embs.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+    hof = sorted(map(tuple, ann.assign_buckets(embs, cent).collect()))
+    np_ = sorted(map(tuple, ann.assign_buckets(embs, cent, engine="np").collect()))
+    assert np_ == hof and len(hof) == 500
+    with pytest.raises(ValueError, match="engine"):
+        ann.assign_buckets(embs, cent, engine="blas")
