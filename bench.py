@@ -1397,6 +1397,11 @@ def ann_mode():
     )
     quantized = ann_mod.sq8_quantize(embs).cache()
     quantized.count()
+    pq_cb = spark.createDataFrame(
+        ann_mod.pq_codebooks(embs, m=8, ks=16).collect()
+    )
+    pq_codes = ann_mod.pq_encode(embs, pq_cb, m=8).cache()
+    pq_codes.count()
     t_assign = time.perf_counter() - t0
 
     legs = {
@@ -1422,6 +1427,12 @@ def ann_mode():
             qv, embs, k=k, centroids=cent, nprobe=nprobe,
             assignments=assignments, salts=salts,
             quant="sq8", rescore_mult=4, engine="np",
+        ),
+        "ivf_pq": lambda: ann_mod.ivf_dense_topk(
+            qv, embs, k=k, centroids=cent, nprobe=nprobe,
+            assignments=assignments, salts=salts,
+            quant="pq", rescore_mult=4,
+            pq_codebooks_df=pq_cb, pq_codes_df=pq_codes,
         ),
     }
     times = {name: [] for name in legs}
@@ -1458,7 +1469,7 @@ def ann_mode():
             n: recall(n)
             for n in (
                 "brute_hof", "brute_np_sq8", "ivf", "ivf_sq8",
-                "ivf_np", "ivf_sq8_np",
+                "ivf_np", "ivf_sq8_np", "ivf_pq",
             )
         },
     }

@@ -673,6 +673,97 @@ WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
 QUALIFY "rank" <= {k}"""
 
 
+def sql_ann_ivf_pq(
+    k: int = 5, n_centroids: int = 8, nprobe: int = 2,
+    m: int = 8, d: int = 8, ks: int = 16, rescore_mult: int = 3,
+) -> str:
+    """sql_ann_ivf + the PQ-ADC first pass: per-subspace codebooks are
+    the normalized slices of the ks smallest vec_ids; codes = argmin
+    of round-6 squared-L2 (code_id tie-break); the ADC table is an
+    INTEGER LUT (round(dot*1e6) as BIGINT) so the per-pair sum over m
+    subspaces is order-free in both engines; the float rescore runs
+    only on the kept candidates."""
+    rng = f"range(1, {d + 1})"
+    return f"""
+WITH {_EMB_NORM_CTE},
+nv AS (
+  SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE) / n.nn) AS nv
+  FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+),
+subs AS (
+  SELECT vec_id, s, nv[s*{d}+1 : s*{d}+{d}] AS vsub
+  FROM nv, UNNEST(range({m})) t(s)
+),
+cb AS (
+  SELECT s, vec_id AS code_id, vsub AS csub FROM subs
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ks})
+),
+dists AS (
+  SELECT sub.vec_id, sub.s, cb.code_id,
+         round(list_sum(list_transform({rng}, i -> (sub.vsub[i]-cb.csub[i])*(sub.vsub[i]-cb.csub[i]))), 6) AS dist
+  FROM subs sub JOIN cb ON sub.s = cb.s
+),
+codes AS (
+  SELECT vec_id, s, code_id AS code FROM (
+    SELECT vec_id, s, code_id,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code_id) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+lut AS (
+  SELECT sub.vec_id, sub.s, cb.code_id,
+         CAST(round(list_sum(list_transform({rng}, i -> sub.vsub[i]*cb.csub[i])) * 1e6) AS BIGINT) AS lut_i
+  FROM subs sub JOIN cb ON sub.s = cb.s
+),
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
+csim AS (
+  SELECT e.vec_id, c.cent_id,
+         round(list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+               / (ne.nn * nc.nn), 6) AS csim
+  FROM embeddings e JOIN nrm ne ON e.vec_id = ne.vec_id
+       CROSS JOIN cent c JOIN nrm nc ON c.cent_id = nc.vec_id
+),
+ranked AS (
+  SELECT vec_id, cent_id, csim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank
+  FROM csim
+),
+assign AS (SELECT vec_id, cent_id AS bucket FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id, cent_id AS bucket FROM ranked WHERE crank <= {nprobe}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS vec_id, t.vec_id AS neighbor
+  FROM probes q JOIN assign t ON q.bucket = t.bucket AND q.vec_id <> t.vec_id
+),
+adc AS (
+  SELECT c.vec_id, c.neighbor, SUM(l.lut_i) AS adc
+  FROM cand c
+       JOIN codes t ON t.vec_id = c.neighbor
+       JOIN lut l ON l.vec_id = c.vec_id AND l.s = t.s AND l.code_id = t.code
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT vec_id, neighbor FROM (
+    SELECT vec_id, neighbor,
+           row_number() OVER (PARTITION BY vec_id ORDER BY adc DESC, neighbor) AS prerank
+    FROM adc)
+  WHERE prerank <= {int(k) * int(rescore_mult)}
+),
+dots AS (
+  SELECT c.vec_id AS qid, c.neighbor AS neighbor,
+         list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot
+  FROM kept c JOIN embeddings a ON a.vec_id = c.vec_id
+              JOIN embeddings b ON b.vec_id = c.neighbor
+),
+cosv AS (
+  SELECT dots.qid AS vec_id, dots.neighbor AS neighbor, round(dot / (na.nn * nb.nn), 6) AS cos
+  FROM dots JOIN nrm na ON dots.qid = na.vec_id JOIN nrm nb ON dots.neighbor = nb.vec_id
+)
+SELECT vec_id, CAST(row_number() OVER w AS INT) AS "rank", neighbor, cos
+FROM cosv
+WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
+QUALIFY "rank" <= {k}"""
+
+
 # -------------------------------------------------- sha invariant / verify
 
 def q_corpus_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -946,6 +1037,18 @@ def q_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + product-quantization ADC first pass
+    (operators/ann.py::pq_ivf_topk): pinned per-subspace codebooks
+    (slices of the 16 smallest vec_ids, m=8 x d=8), round-6-argmin
+    codes, integer ADC LUT sum (order-free on both engines), float
+    rescore of the kept candidates.  The oracle replays codebooks,
+    codes, LUT, ADC, and rescore end-to-end."""
+    return ann_mod.pq_ivf_topk(
+        _embs(spark, sf_dir), n_centroids=8, m=8, ks=16, rescore_mult=3
+    )
+
+
 def q_ann_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF twins (pinned centroids / trained Lloyd k-means / int8
     scalar-quantized first pass) collapsed into one window entry keyed
@@ -957,7 +1060,8 @@ def q_ann_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant", F.lit("ivf_kmeans")
     )
     c = q_ann_ivf_sq8(spark, sf_dir).withColumn("variant", F.lit("ivf_sq8"))
-    return a.unionByName(b).unionByName(c)
+    d = q_ann_ivf_pq(spark, sf_dir).withColumn("variant", F.lit("ivf_pq"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def sql_ann_ivf_family() -> str:
@@ -966,7 +1070,9 @@ def sql_ann_ivf_family() -> str:
         "UNION ALL "
         f"SELECT v.*, 'ivf_kmeans' AS variant FROM ({sql_ann_ivf_kmeans()}) v "
         "UNION ALL "
-        f"SELECT v.*, 'ivf_sq8' AS variant FROM ({sql_ann_ivf_sq8()}) v"
+        f"SELECT v.*, 'ivf_sq8' AS variant FROM ({sql_ann_ivf_sq8()}) v "
+        "UNION ALL "
+        f"SELECT v.*, 'ivf_pq' AS variant FROM ({sql_ann_ivf_pq()}) v"
     )
 
 

@@ -279,6 +279,10 @@ def ivf_dense_topk(
     rescore_mult: int = 3,
     quantized: DataFrame | None = None,
     engine: str = "hof",
+    pq_m: int = 8,
+    pq_ks: int = 16,
+    pq_codebooks_df: DataFrame | None = None,
+    pq_codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-probe dense retrieval for EXTERNAL query vectors:
     ``query_vecs`` is ``(query_id, embedding)``, result is
@@ -311,6 +315,11 @@ def ivf_dense_topk(
     unquantized path exactly.  Like ``assignments``/``salts``, a
     persisted corpus ``quantized`` twin (:func:`sq8_quantize` output)
     can be passed in so the first pass reads only the int8 column.
+
+    ``quant="pq"`` uses the product-quantization ADC first pass
+    instead (see :func:`pq_ivf_topk`): the corpus side is its m-byte
+    code twin, the query side an integer LUT — pass
+    ``pq_codebooks_df`` / ``pq_codes_df`` to amortize encoding.
 
     ``engine="np"`` swaps the per-pair interpreted HOF fold for a
     numpy einsum per Arrow batch (:func:`_np_score_pairs`) on both the
@@ -379,10 +388,34 @@ def ivf_dense_topk(
         .select("query_id", F.col("vec_id").alias("doc_id"))
         .distinct()
     )
-    if quant not in (None, "sq8"):
+    if quant not in (None, "sq8", "pq"):
         raise ValueError(f"unknown quant mode: {quant!r}")
     if engine not in ("hof", "np"):
         raise ValueError(f"unknown engine: {engine!r}")
+    if quant == "pq":
+        # PQ-ADC first pass for external queries: the corpus side is
+        # its m-byte code twin (pass pq_codebooks_df/pq_codes_df to
+        # amortize encoding), the query side builds an integer LUT per
+        # (subspace, codeword); identical semantics to pq_ivf_topk
+        cb = (
+            pq_codebooks_df
+            if pq_codebooks_df is not None
+            else pq_codebooks(embeddings, pq_m, pq_ks)
+        )
+        cds = (
+            pq_codes_df
+            if pq_codes_df is not None
+            else pq_encode(embeddings, cb, pq_m)
+        )
+        lut = pq_adc_lut(query_vecs, cb, pq_m, id_col="query_id")
+        cand = _pq_adc_prefilter(
+            cand.select("query_id", F.col("doc_id")),
+            lut,
+            cds,
+            keep=int(k) * int(rescore_mult),
+            query_col="query_id",
+            target_col="doc_id",
+        )
     if engine == "np":
         # vectorized scoring of the candidate join: one numpy einsum
         # per Arrow batch instead of an interpreted HOF fold per pair
@@ -885,4 +918,207 @@ def _np_score_pairs(
 
     return pairs.select(query_col, target_col, "embedding").mapInPandas(
         _score, schema
+    )
+
+
+# ------------------------------------------- product quantization (PQ)
+
+def _pq_dim(embeddings: DataFrame) -> int:
+    row = embeddings.select("embedding").first()
+    if row is None:
+        raise ValueError("empty embeddings table")
+    return len(row["embedding"])
+
+
+def _norm_subvectors(embeddings: DataFrame, m: int, d: int) -> DataFrame:
+    """(vec_id, s, vsub): the m contiguous d-dim slices of the
+    L2-normalized vector — the shared front half of PQ encoding and
+    ADC table building."""
+    withn = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nn")
+    )
+    nv = withn.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.col("nn")
+        ).alias("nv"),
+    )
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice("nv", s * d + 1, d).alias("vsub"),
+            )
+            for s in range(m)
+        ]
+    )
+    return nv.select("vec_id", F.explode(slices).alias("e")).select(
+        "vec_id", F.col("e.s").alias("s"), F.col("e.vsub").alias("vsub")
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = 8, ks: int = 16
+) -> DataFrame:
+    """(s, code_id, csub): deterministic per-subspace codebooks — the
+    d-dim slices of the normalized vectors of the ``ks`` smallest
+    ACTUAL vec_ids (the pinned-centroid pattern: reproducible on both
+    engines with no training loop; swap in trained codebooks the same
+    way trained k-means centroids slot into IVF)."""
+    dim = _pq_dim(embeddings)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    src = embeddings.orderBy("vec_id").limit(ks)
+    return _norm_subvectors(src, m, dim // m).select(
+        "s", F.col("vec_id").alias("code_id"), F.col("vsub").alias("csub")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: DataFrame, m: int = 8
+) -> DataFrame:
+    """(vec_id, s, code): nearest-codeword assignment of every
+    subvector — squared-L2 on the normalized slices, rounded to 6
+    BEFORE the argmin (engine-identical cut), ties to the smallest
+    code_id.  The PQ code is m small ints per vector (m bytes with
+    ks<=256) vs 4*dim bytes of float — a 32x-compressed corpus twin at
+    dim=64/m=8 that the ADC first pass reads INSTEAD of the float
+    column."""
+    dim = _pq_dim(embeddings)
+    subs = _norm_subvectors(embeddings, m, dim // m)
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("vsub", "csub", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    j = subs.join(F.broadcast(codebooks), "s").select(
+        "vec_id", "s", "code_id", dist.alias("dist")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(
+        F.asc("dist"), F.asc("code_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("code_id").alias("code"))
+    )
+
+
+def pq_adc_lut(
+    query_vecs: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_col, s, code_id, lut_i): the ADC lookup table — the dot of
+    every query subvector with every codeword, SCALED TO AN INTEGER
+    (round(dot * 1e6) as long).  The integer form is the point: the
+    per-pair ADC score is a SUM over m LUT rows in a hash aggregate,
+    and a float sum there would accumulate in partition order
+    (nondeterministic run-to-run and vs DuckDB); integer sums are
+    order-free and both engines compute identical values — the same
+    trick as the k-means centroid means."""
+    dim = _pq_dim(query_vecs.select(F.col(id_col).alias("vec_id"), "embedding"))
+    subs = _norm_subvectors(
+        query_vecs.select(F.col(id_col).alias("vec_id"), "embedding"),
+        m,
+        dim // m,
+    )
+    lut = F.round(
+        F.aggregate(
+            F.zip_with("vsub", "csub", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    return subs.join(F.broadcast(codebooks), "s").select(
+        F.col("vec_id").alias(id_col), "s", "code_id", lut.alias("lut_i")
+    )
+
+
+def _pq_adc_prefilter(
+    cand: DataFrame,
+    lut: DataFrame,
+    codes: DataFrame,
+    keep: int,
+    query_col: str = "vec_id",
+    target_col: str = "neighbor",
+) -> DataFrame:
+    """Cut ``cand`` (query_col, target_col) to the top-``keep`` per
+    query by the integer ADC score: join the target's m codes, join
+    the query's LUT rows on (s, code), SUM the integer LUT hits
+    (order-free), window cut with target-id tie-break."""
+    tcodes = codes.select(
+        F.col("vec_id").alias(target_col), "s", F.col("code").alias("code_id")
+    )
+    adc = (
+        cand.join(tcodes, target_col)
+        .join(lut, [query_col, "s", "code_id"])
+        .groupBy(query_col, target_col)
+        .agg(F.sum("lut_i").alias("adc"))
+    )
+    wpre = Window.partitionBy(query_col).orderBy(
+        F.desc("adc"), F.asc(target_col)
+    )
+    return (
+        adc.withColumn("prerank", F.row_number().over(wpre))
+        .where(F.col("prerank") <= int(keep))
+        .select(query_col, target_col)
+    )
+
+
+def pq_ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int | None = None,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+    salt_target: int | None = None,
+    m: int = 8,
+    ks: int = 16,
+    rescore_mult: int = 3,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF top-k with a product-quantization ADC first pass: same
+    buckets/probes/salting as :func:`ivf_topk`; candidate pairs are
+    scored by asymmetric distance computation — the query side builds
+    an integer LUT per (subspace, codeword), the target side is its
+    m-byte PQ code, approx = order-free integer sum of m LUT hits —
+    then only the top ``k * rescore_mult`` per query get the exact
+    float cosine.  Like ``sq8_ivf_topk`` but with a 32x (not 4x)
+    compressed first-pass corpus twin; pass persisted ``codebooks`` /
+    ``codes`` to amortize encoding across batches.  Every stage is
+    engine-deterministic (rounded-before-argmin codes, integer ADC),
+    so the whole pipeline is DuckDB-oracle-hashable."""
+    cent = _resolve_centroids(embeddings, n_centroids, centroids)
+    cand = _ivf_candidate_pairs(embeddings, cent, nprobe, salt_target)
+    cb = codebooks if codebooks is not None else pq_codebooks(embeddings, m, ks)
+    cds = codes if codes is not None else pq_encode(embeddings, cb, m)
+    lut = pq_adc_lut(embeddings, cb, m)
+    kept = _pq_adc_prefilter(
+        cand, lut, cds, keep=int(k) * int(rescore_mult)
+    )
+    temb = embeddings.select(
+        F.col("vec_id").alias("neighbor"), F.col("embedding").alias("temb")
+    )
+    qemb = embeddings.select(F.col("vec_id"), F.col("embedding").alias("qemb"))
+    scored = kept.join(temb, "neighbor").join(qemb, "vec_id").select(
+        "vec_id",
+        "neighbor",
+        F.round(
+            _dot(F.col("qemb"), F.col("temb"))
+            / (_norm(F.col("qemb")) * _norm(F.col("temb"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor", "cos")
     )
