@@ -673,17 +673,70 @@ WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
 QUALIFY "rank" <= {k}"""
 
 
+def _sql_pq_iter(cb_in: str, asg: str, cb_out: str, d: int) -> str:
+    """One Lloyd iteration over all m subspaces at once (matches
+    ann.pq_codebooks_trained): round-6 squared-L2 argmin with code_id
+    tie-break, then a per-(s, code_id, pos) scaled-integer mean."""
+    rng = f"range(1, {d + 1})"
+    return f"""
+dists_{asg} AS (
+  SELECT sub.vec_id, sub.s, cb.code_id, sub.vsub,
+         round(list_sum(list_transform({rng}, i -> (sub.vsub[i]-cb.csub[i])*(sub.vsub[i]-cb.csub[i]))), 6) AS dist
+  FROM subs sub JOIN {cb_in} cb ON sub.s = cb.s
+),
+{asg} AS (
+  SELECT s, code_id, vsub FROM (
+    SELECT s, code_id, vsub,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code_id) AS rn
+    FROM dists_{asg}
+  ) WHERE rn = 1
+),
+{cb_out} AS (
+  -- scaled-integer mean (matches ann.kmeans_centroids / trained PQ):
+  -- exact, summation-order-free, identical across engines
+  SELECT s, code_id, list(mu ORDER BY pos) AS csub FROM (
+    SELECT s, code_id, pos,
+           round(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000.0, 6) AS mu
+    FROM (
+      SELECT s, code_id, unnest(vsub) AS v,
+             unnest(range(len(vsub))) AS pos
+      FROM {asg}
+    )
+    GROUP BY s, code_id, pos
+  ) GROUP BY s, code_id
+)"""
+
+
 def sql_ann_ivf_pq(
     k: int = 5, n_centroids: int = 8, nprobe: int = 2,
     m: int = 8, d: int = 8, ks: int = 16, rescore_mult: int = 3,
+    trained_iters: int = 0,
 ) -> str:
     """sql_ann_ivf + the PQ-ADC first pass: per-subspace codebooks are
-    the normalized slices of the ks smallest vec_ids; codes = argmin
-    of round-6 squared-L2 (code_id tie-break); the ADC table is an
-    INTEGER LUT (round(dot*1e6) as BIGINT) so the per-pair sum over m
-    subspaces is order-free in both engines; the float rescore runs
-    only on the kept candidates."""
+    the normalized slices of the ks smallest vec_ids (or, with
+    ``trained_iters`` > 0, that init rounded to 6 then Lloyd-refined
+    via :func:`_sql_pq_iter` — replaying ann.pq_codebooks_trained);
+    codes = argmin of round-6 squared-L2 (code_id tie-break); the ADC
+    table is an INTEGER LUT (round(dot*1e6) as BIGINT) so the per-pair
+    sum over m subspaces is order-free in both engines; the float
+    rescore runs only on the kept candidates."""
     rng = f"range(1, {d + 1})"
+    cb_pinned = f"""cb0 AS (
+  SELECT s, vec_id AS code_id, vsub AS csub FROM subs
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ks})
+),"""
+    if trained_iters:
+        chain = f"""cb0r AS (
+  SELECT s, code_id, list_transform(csub, x -> round(x, 6)) AS csub FROM cb0
+),"""
+        prev = "cb0r"
+        for it in range(1, trained_iters + 1):
+            chain += _sql_pq_iter(prev, f"pqasg{it}", f"cb{it}", d) + ","
+            prev = f"cb{it}"
+        cb_cte = cb_pinned + chain + f"cb AS (SELECT * FROM {prev}),"
+    else:
+        cb_cte = cb_pinned + "cb AS (SELECT * FROM cb0),"
     return f"""
 WITH {_EMB_NORM_CTE},
 nv AS (
@@ -694,10 +747,7 @@ subs AS (
   SELECT vec_id, s, nv[s*{d}+1 : s*{d}+{d}] AS vsub
   FROM nv, UNNEST(range({m})) t(s)
 ),
-cb AS (
-  SELECT s, vec_id AS code_id, vsub AS csub FROM subs
-  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ks})
-),
+{cb_cte}
 dists AS (
   SELECT sub.vec_id, sub.s, cb.code_id,
          round(list_sum(list_transform({rng}, i -> (sub.vsub[i]-cb.csub[i])*(sub.vsub[i]-cb.csub[i]))), 6) AS dist
@@ -1049,6 +1099,20 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ-ADC with Lloyd-TRAINED per-subspace codebooks
+    (operators/ann.py::pq_codebooks_trained, 2 iterations): init =
+    pinned codebooks rounded to 6, round-6 squared-L2 argmin
+    assignment, scaled-integer means.  The oracle replays the whole
+    training loop (same _sql_pq_iter pattern as trained k-means) plus
+    codes, LUT, ADC, and rescore."""
+    embs = _embs(spark, sf_dir)
+    cb = ann_mod.pq_codebooks_trained(embs, m=8, ks=16, iters=2)
+    return ann_mod.pq_ivf_topk(
+        embs, n_centroids=8, m=8, ks=16, rescore_mult=3, codebooks=cb
+    )
+
+
 def q_ann_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF twins (pinned centroids / trained Lloyd k-means / int8
     scalar-quantized first pass) collapsed into one window entry keyed
@@ -1061,7 +1125,10 @@ def q_ann_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = q_ann_ivf_sq8(spark, sf_dir).withColumn("variant", F.lit("ivf_sq8"))
     d = q_ann_ivf_pq(spark, sf_dir).withColumn("variant", F.lit("ivf_pq"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    e = q_ann_ivf_pq_trained(spark, sf_dir).withColumn(
+        "variant", F.lit("ivf_pq_trained")
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def sql_ann_ivf_family() -> str:
@@ -1072,7 +1139,10 @@ def sql_ann_ivf_family() -> str:
         "UNION ALL "
         f"SELECT v.*, 'ivf_sq8' AS variant FROM ({sql_ann_ivf_sq8()}) v "
         "UNION ALL "
-        f"SELECT v.*, 'ivf_pq' AS variant FROM ({sql_ann_ivf_pq()}) v"
+        f"SELECT v.*, 'ivf_pq' AS variant FROM ({sql_ann_ivf_pq()}) v "
+        "UNION ALL "
+        "SELECT v.*, 'ivf_pq_trained' AS variant "
+        f"FROM ({sql_ann_ivf_pq(trained_iters=2)}) v"
     )
 
 

@@ -974,6 +974,85 @@ def pq_codebooks(
     )
 
 
+def pq_codebooks_trained(
+    embeddings: DataFrame, m: int = 8, ks: int = 16, iters: int = 2
+) -> DataFrame:
+    """(s, code_id, csub): Lloyd-trained per-subspace codebooks — the
+    PQ analogue of :func:`kmeans_centroids`, run over ALL m subspaces
+    in one DataFrame (keyed by ``s``) so training is m-way parallel
+    with no per-subspace jobs.  Init = the pinned codebooks rounded to
+    6; assignment = round-6 squared-L2 argmin with code_id tie-break
+    (the same cut :func:`pq_encode` uses); update = element-wise mean
+    via SCALED-INTEGER sums rounded to 6 (order-free, identical on
+    both engines — the kmeans_centroids trick).  Empty codewords drop
+    on both sides.  Codebooks materialize to literal rows every
+    iteration (<= m*ks rows) so downstream plans don't replay the
+    training lineage."""
+    dim = _pq_dim(embeddings)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    subs = _norm_subvectors(embeddings, m, d)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
+    cb = _materialize(
+        pq_codebooks(embeddings, m, ks).select(
+            "s",
+            "code_id",
+            F.transform("csub", lambda x: F.round(x, 6)).alias("csub"),
+        )
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("vsub", "csub", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    wassign = Window.partitionBy("vec_id", "s").orderBy(
+        F.asc("dist"), F.asc("code_id")
+    )
+    for _ in range(iters):
+        j = subs.join(F.broadcast(cb), "s").select(
+            "vec_id", "s", "code_id", "vsub", dist.alias("dist")
+        )
+        assign = (
+            j.withColumn("rn", F.row_number().over(wassign))
+            .where(F.col("rn") == 1)
+            .select("s", "code_id", "vsub")
+        )
+        dims = assign.select(
+            "s", "code_id", F.posexplode("vsub").alias("pos", "v")
+        )
+        cb = _materialize(
+            dims.select(
+                "s", "code_id", "pos",
+                F.round(F.col("v").cast("double") * F.lit(1e6))
+                .cast("long").alias("vi"),
+            )
+            .groupBy("s", "code_id", "pos")
+            .agg(
+                F.round(
+                    F.sum("vi").cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(1e6),
+                    6,
+                ).alias("mu")
+            )
+            .groupBy("s", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda st: st["mu"],
+                ).alias("csub")
+            )
+        )
+    return cb
+
+
 def pq_encode(
     embeddings: DataFrame, codebooks: DataFrame, m: int = 8
 ) -> DataFrame:

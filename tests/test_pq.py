@@ -175,3 +175,64 @@ def test_pq_dense_external_queries_keep_all_equals_unquantized(spark, sf_med):
         )
     )
     assert small_a == small_b and len(small_a) == 50
+
+
+def test_pq_trained_codebooks_deterministic_and_shaped(spark, sf_med):
+    embs = _embs(spark, sf_med)
+    a = sorted(
+        (r["s"], r["code_id"], tuple(r["csub"]))
+        for r in ann.pq_codebooks_trained(embs, m=M, ks=KS, iters=2).collect()
+    )
+    b = sorted(
+        (r["s"], r["code_id"], tuple(r["csub"]))
+        for r in ann.pq_codebooks_trained(embs, m=M, ks=KS, iters=2).collect()
+    )
+    assert a == b
+    assert 0 < len(a) <= M * KS  # empty codewords may drop
+    assert all(len(c) == 64 // M for _, _, c in a)
+    # training moved the init (rounded pinned) codebooks
+    pinned = sorted(
+        (r["s"], r["code_id"], tuple(round(x, 6) for x in r["csub"]))
+        for r in ann.pq_codebooks(embs, m=M, ks=KS).collect()
+    )
+    assert a != pinned
+
+
+def test_pq_trained_keep_all_equals_ivf_exactly(spark, sf_med):
+    """Codebook choice cannot change the keep-everything result: the
+    rescore is exact, so trained-codebook PQ with a huge rescore_mult
+    equals the unquantized IVF path bit-for-bit too."""
+    embs = _embs(spark, sf_med)
+    base = sorted(
+        map(tuple, ann.ivf_topk(embs, k=5, n_centroids=8, nprobe=2).collect())
+    )
+    cb = ann.pq_codebooks_trained(embs, m=M, ks=KS, iters=2)
+    pq = sorted(
+        map(
+            tuple,
+            ann.pq_ivf_topk(
+                embs, k=5, n_centroids=8, nprobe=2, m=M, ks=KS,
+                rescore_mult=10_000, codebooks=cb,
+            ).collect(),
+        )
+    )
+    assert pq == base and len(base) > 0
+
+
+def test_pq_trained_gate_matches_duckdb_oracle(spark, sf_med):
+    duckdb = pytest.importorskip("duckdb")
+    from partitioned_ef_ans_spark import gate_training as gt
+
+    got = sorted(
+        (r["vec_id"], r["rank"], r["neighbor"], r["cos"])
+        for r in gt.q_ann_ivf_pq_trained(spark, sf_med).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"parquet_scan('{sf_med}/embeddings.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(gt.sql_ann_ivf_pq(trained_iters=2)).fetchall())
+    )
+    assert got == want and len(got) == 2500
