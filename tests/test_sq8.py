@@ -111,7 +111,7 @@ def test_sq8_unknown_quant_mode_raises(spark, sf_med):
     embs = _embs(spark, sf_med).limit(5)
     qv = embs.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="quant"):
-        ann.ivf_dense_topk(qv, embs, k=2, n_centroids=2, quant="pq")
+        ann.ivf_dense_topk(qv, embs, k=2, n_centroids=2, quant="int4")
 
 
 def test_dense_topk_np_parity_with_hof_path(spark, sf_med):
