@@ -899,6 +899,96 @@ def cmd_transform_queries(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """Persisted ANN index lifecycle (index/ann_store.py): ``build``
+    trains/pins IVF centroids over an embeddings table and freezes the
+    assignment + quantized twins next to it; ``query`` serves external
+    query vectors from the store (zero per-batch prep); ``add``
+    appends new vectors in O(batch) under the frozen models; ``verify``
+    checks the artifact row-accounting invariants."""
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark.index import ann_store
+
+    # assignment passes default to the vectorized numpy engine; the
+    # query default stays the HOF path (oracle-shaped, no driver
+    # collect of the query table beyond the broadcast)
+    engine = args.engine or ("hof" if args.action == "query" else "np")
+    if args.action in ("build", "add") and not args.embeddings:
+        print("--embeddings is required for build/add", file=sys.stderr)
+        return 2
+    if args.action == "query" and not args.queries:
+        print("--queries is required for query", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    try:
+        if args.action == "build":
+            embs = spark.read.parquet(args.embeddings)
+            man = ann_store.build_ann_index(
+                spark,
+                embs,
+                args.index,
+                n_centroids=args.n_centroids,
+                trained=not args.pinned,
+                kmeans_iters=args.kmeans_iters,
+                sq8=not args.no_sq8,
+                pq=args.pq,
+                pq_m=args.pq_m,
+                pq_ks=args.pq_ks,
+                pq_trained=args.pq_trained,
+                engine=engine,
+                source=args.embeddings,
+            )
+            print(json.dumps(man))
+            return 0
+        if args.action == "add":
+            man = ann_store.add_vectors(
+                spark,
+                args.index,
+                spark.read.parquet(args.embeddings),
+                engine=engine,
+            )
+            print(json.dumps(man))
+            return 0
+        if args.action == "verify":
+            res = ann_store.verify_ann_index(spark, args.index)
+            print(json.dumps(res))
+            return 0 if res["ok"] else 1
+        # query
+        idx = ann_store.load_ann_index(spark, args.index)
+        emb_path = args.embeddings or idx.manifest.get("source")
+        if not emb_path:
+            print(
+                "--embeddings required (store manifest carries no source)",
+                file=sys.stderr,
+            )
+            return 2
+        embs = spark.read.parquet(emb_path)
+        qv = spark.read.parquet(args.queries)
+        if "query_id" not in qv.columns and "vec_id" in qv.columns:
+            qv = qv.withColumnRenamed("vec_id", "query_id")
+        res = idx.query(
+            qv.select("query_id", "embedding"),
+            embs,
+            k=args.k,
+            nprobe=args.nprobe,
+            quant=args.quant,
+            rescore_mult=args.rescore_mult,
+            engine=engine,
+        )
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            for r in res.orderBy("query_id", "rank").collect():
+                print(
+                    f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t{r['cos']}"
+                )
+        return 0
+    finally:
+        _stop(spark)
+
+
 def cmd_package(args) -> int:
     import zipfile
 
@@ -1129,6 +1219,47 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_sample)
+
+    an = sub.add_parser(
+        "ann",
+        help="persisted ANN index: build / query / add / verify",
+    )
+    an.add_argument("action", choices=["build", "query", "add", "verify"])
+    an.add_argument("--index", required=True,
+                    help="store directory (index/ann_store.py layout)")
+    an.add_argument("--embeddings", default=None,
+                    help="embeddings parquet (vec_id, embedding); query "
+                         "defaults to the path recorded at build time")
+    an.add_argument("--queries", default=None,
+                    help="query-vector parquet (query_id|vec_id, embedding)")
+    an.add_argument("--n-centroids", type=int, default=None,
+                    dest="n_centroids",
+                    help="IVF centroid count (default: data-driven ~sqrt(n))")
+    an.add_argument("--pinned", action="store_true",
+                    help="pin centroids to the smallest vec_ids instead of "
+                         "training Lloyd k-means")
+    an.add_argument("--kmeans-iters", type=int, default=2,
+                    dest="kmeans_iters")
+    an.add_argument("--no-sq8", action="store_true", dest="no_sq8",
+                    help="skip the int8 first-pass twin")
+    an.add_argument("--pq", action="store_true",
+                    help="also build the product-quantization twin")
+    an.add_argument("--pq-m", type=int, default=8, dest="pq_m")
+    an.add_argument("--pq-ks", type=int, default=16, dest="pq_ks")
+    an.add_argument("--pq-trained", action="store_true", dest="pq_trained",
+                    help="Lloyd-train the PQ codebooks")
+    an.add_argument("-k", type=int, default=10)
+    an.add_argument("--nprobe", type=int, default=2)
+    an.add_argument("--quant", choices=["sq8", "pq"], default=None,
+                    help="first-pass quantization for query")
+    an.add_argument("--rescore-mult", type=int, default=3,
+                    dest="rescore_mult")
+    an.add_argument("--engine", choices=["hof", "np"], default=None,
+                    help="pair-scoring engine (default: np for build/add, "
+                         "hof for query)")
+    an.add_argument("--out", default=None,
+                    help="write query results to parquet instead of stdout")
+    an.set_defaults(fn=cmd_ann)
 
     t = sub.add_parser("transform_queries")
     t.add_argument("corpus")

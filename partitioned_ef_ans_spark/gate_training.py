@@ -1113,12 +1113,122 @@ def q_ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_STORE_CACHE: dict = {}
+
+
+def q_ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-store serving (index/ann_store.py): build the IVF
+    store once per sf_dir (pinned centroids so the textual oracle
+    replays the bucketing), round-trip every artifact through parquet,
+    then serve the 5 smallest vec_ids as EXTERNAL query vectors from
+    the loaded store — ``ivf_dense_topk`` with persisted centroids,
+    assignments and salt counts, zero per-batch prep.  Hash-equality
+    with the from-scratch SQL replay certifies that the persisted
+    artifacts are lossless and the store-served plan computes the
+    identical relation."""
+    import hashlib
+    import os
+
+    from partitioned_ef_ans_spark.index import ann_store
+
+    if sf_dir not in _ANN_STORE_CACHE:
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        out_dir = f"/dev/shm/pefa_annstore_{os.getpid()}_{tag}"
+        ann_store.build_ann_index(
+            spark,
+            _embs(spark, sf_dir),
+            out_dir,
+            n_centroids=8,
+            trained=False,
+            sq8=False,
+            pq=False,
+            engine="np",
+        )
+        _ANN_STORE_CACHE[sf_dir] = out_dir
+    idx = ann_store.load_ann_index(spark, _ANN_STORE_CACHE[sf_dir])
+    embs = _embs(spark, sf_dir)
+    qv = (
+        embs.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    res = idx.query(qv, embs, k=5, nprobe=2)
+    return res.select(
+        F.col("query_id").alias("vec_id"),
+        "rank",
+        F.col("doc_id").alias("neighbor"),
+        "cos",
+    )
+
+
+def sql_ann_ivf_store(
+    k: int = 5, n_centroids: int = 8, nprobe: int = 2, nq: int = 5
+) -> str:
+    """From-scratch replay of the store-served dense probe: pinned
+    centroids, corpus assignment, the ``nq`` smallest vec_ids as
+    external queries probing their ``nprobe`` closest buckets, exact
+    rescore.  No self-exclusion — external-query retrieval returns the
+    query's own row when it is in the corpus (deterministically, cos
+    1.0 ranks first)."""
+    return f"""
+WITH {_EMB_NORM_CTE},
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
+qv AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nq}),
+csim AS (
+  SELECT e.vec_id, c.cent_id,
+         round(list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+               / (ne.nn * nc.nn), 6) AS csim
+  FROM embeddings e JOIN nrm ne ON e.vec_id = ne.vec_id
+       CROSS JOIN cent c JOIN nrm nc ON c.cent_id = nc.vec_id
+),
+assign AS (
+  SELECT vec_id, cent_id AS bucket FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank
+    FROM csim
+  ) WHERE crank = 1
+),
+qsim AS (
+  SELECT q.query_id, c.cent_id,
+         round(list_sum(list_transform(range(1, len(q.embedding)+1), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
+               / (nq.nn * nc.nn), 6) AS csim
+  FROM qv q JOIN nrm nq ON q.query_id = nq.vec_id
+       CROSS JOIN cent c JOIN nrm nc ON c.cent_id = nc.vec_id
+),
+probes AS (
+  SELECT query_id, cent_id AS bucket FROM (
+    SELECT query_id, cent_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cent_id) AS crank
+    FROM qsim
+  ) WHERE crank <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS doc_id
+  FROM probes p JOIN assign a ON p.bucket = a.bucket
+),
+dots AS (
+  SELECT c.query_id, c.doc_id,
+         list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot
+  FROM cand c JOIN embeddings a ON a.vec_id = c.query_id
+              JOIN embeddings b ON b.vec_id = c.doc_id
+),
+cosv AS (
+  SELECT d.query_id, d.doc_id, round(d.dot / (na.nn * nb.nn), 6) AS cos
+  FROM dots d JOIN nrm na ON d.query_id = na.vec_id
+              JOIN nrm nb ON d.doc_id = nb.vec_id
+)
+SELECT query_id AS vec_id, CAST(row_number() OVER w AS INT) AS "rank", doc_id AS neighbor, cos
+FROM cosv
+WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, doc_id)
+QUALIFY "rank" <= {k}"""
+
+
 def q_ann_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF twins (pinned centroids / trained Lloyd k-means / int8
-    scalar-quantized first pass) collapsed into one window entry keyed
-    by ``variant`` — same oracle strength as the twins it replaces,
-    fewer slots (the codec family-union pattern applied to the ANN
-    plane)."""
+    scalar-quantized first pass / PQ-ADC / persisted-store serving)
+    collapsed into one window entry keyed by ``variant`` — same oracle
+    strength as the twins it replaces, fewer slots (the codec
+    family-union pattern applied to the ANN plane)."""
     a = q_ann_ivf(spark, sf_dir).withColumn("variant", F.lit("ivf"))
     b = q_ann_ivf_kmeans(spark, sf_dir).withColumn(
         "variant", F.lit("ivf_kmeans")
@@ -1128,7 +1238,16 @@ def q_ann_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = q_ann_ivf_pq_trained(spark, sf_dir).withColumn(
         "variant", F.lit("ivf_pq_trained")
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    f = q_ann_ivf_store(spark, sf_dir).withColumn(
+        "variant", F.lit("ivf_store")
+    )
+    return (
+        a.unionByName(b)
+        .unionByName(c)
+        .unionByName(d)
+        .unionByName(e)
+        .unionByName(f)
+    )
 
 
 def sql_ann_ivf_family() -> str:
@@ -1142,7 +1261,9 @@ def sql_ann_ivf_family() -> str:
         f"SELECT v.*, 'ivf_pq' AS variant FROM ({sql_ann_ivf_pq()}) v "
         "UNION ALL "
         "SELECT v.*, 'ivf_pq_trained' AS variant "
-        f"FROM ({sql_ann_ivf_pq(trained_iters=2)}) v"
+        f"FROM ({sql_ann_ivf_pq(trained_iters=2)}) v "
+        "UNION ALL "
+        f"SELECT v.*, 'ivf_store' AS variant FROM ({sql_ann_ivf_store()}) v"
     )
 
 

@@ -1,0 +1,238 @@
+"""Persisted ANN index (index/ann_store.py).
+
+Contract: a store-served query is bit-identical to the same query
+computed from scratch (artifacts round-trip parquet exactly), appends
+under frozen centroids serve exactly as a build that had the vectors
+from the start WITH THE SAME frozen models, and mutators are immune to
+the CacheManager path-aliasing (a caller-cached artifact scan must not
+feed a stale listing back into the append)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from partitioned_ef_ans_spark.index import ann_store
+from partitioned_ef_ans_spark.operators import ann
+
+
+def _embs(spark, sf_med):
+    return spark.read.parquet(f"{sf_med}/embeddings.parquet")
+
+
+def _qv(embs, n=5):
+    return (
+        embs.orderBy("vec_id")
+        .limit(n)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def store_dir(tmp_path):
+    return str(tmp_path / "annstore")
+
+
+def test_store_serving_equals_from_scratch_pinned(spark, sf_med, store_dir):
+    """build -> load -> query == direct ivf_dense_topk with the same
+    pinned centroids (parquet round-trip is lossless; the persisted
+    assignments/salts change nothing)."""
+    embs = _embs(spark, sf_med)
+    man = ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=True,
+        pq=True, pq_m=8, pq_ks=16, engine="np",
+    )
+    assert man["n_vectors"] == embs.count()
+    idx = ann_store.load_ann_index(spark, store_dir)
+    got = idx.query(_qv(embs), embs, k=5, nprobe=2)
+    want = ann.ivf_dense_topk(
+        _qv(embs), embs, k=5, n_centroids=8, nprobe=2
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_store_serving_equals_from_scratch_trained(spark, sf_med, store_dir):
+    """Trained-centroid store == direct query with kmeans_centroids
+    computed in-session (the deterministic Lloyd loop round-trips)."""
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=True,
+        kmeans_iters=2, sq8=False, engine="np",
+    )
+    idx = ann_store.load_ann_index(spark, store_dir)
+    got = idx.query(_qv(embs), embs, k=5, nprobe=2)
+    cent = ann.kmeans_centroids(embs, n_centroids=8, iters=2)
+    want = ann.ivf_dense_topk(_qv(embs), embs, k=5, centroids=cent, nprobe=2)
+    assert _rows(got) == _rows(want)
+
+
+def test_store_sq8_and_pq_twins_serve(spark, sf_med, store_dir):
+    """quant='sq8' from the PERSISTED twin == quant='sq8' with the twin
+    re-derived in-session (sq8_quantize is deterministic), and the
+    keep-all mult equals the unquantized store query; quant='pq'
+    serves from the persisted codebooks/codes."""
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=True,
+        pq=True, pq_m=8, pq_ks=16, engine="np",
+    )
+    idx = ann_store.load_ann_index(spark, store_dir)
+    got = idx.query(_qv(embs), embs, k=5, nprobe=2, quant="sq8",
+                    rescore_mult=10_000)
+    plain = idx.query(_qv(embs), embs, k=5, nprobe=2)
+    assert _rows(got) == _rows(plain)
+    rederived = ann.ivf_dense_topk(
+        _qv(embs), embs, k=5, n_centroids=8, nprobe=2, quant="sq8",
+        rescore_mult=3,
+    )
+    stored = idx.query(_qv(embs), embs, k=5, nprobe=2, quant="sq8",
+                       rescore_mult=3)
+    assert _rows(stored) == _rows(rederived)
+    pq_served = idx.query(_qv(embs), embs, k=5, nprobe=2, quant="pq",
+                          rescore_mult=3)
+    pq_direct = ann.ivf_dense_topk(
+        _qv(embs), embs, k=5, n_centroids=8, nprobe=2, quant="pq",
+        rescore_mult=3,
+    )
+    assert _rows(pq_served) == _rows(pq_direct)
+
+
+def test_store_missing_twin_raises(spark, sf_med, store_dir):
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
+        pq=False, engine="np",
+    )
+    idx = ann_store.load_ann_index(spark, store_dir)
+    with pytest.raises(ValueError, match="sq8"):
+        idx.query(_qv(embs), embs, quant="sq8")
+    with pytest.raises(ValueError, match="pq"):
+        idx.query(_qv(embs), embs, quant="pq")
+
+
+def test_append_serves_like_frozen_build(spark, sf_med, store_dir):
+    """Build on the low half of the ids, append the high half: queries
+    against the grown store must EQUAL a from-scratch query over the
+    full table under the SAME frozen centroids (the 8 smallest ids of
+    the low half == of the full table, so the pinned sets agree)."""
+    embs = _embs(spark, sf_med)
+    ids = sorted(r["vec_id"] for r in embs.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    low = embs.where(F.col("vec_id") <= cut)
+    high = embs.where(F.col("vec_id") > cut)
+    assert low.count() > 8 and high.count() > 0
+    ann_store.build_ann_index(
+        spark, low, store_dir, n_centroids=8, trained=False, sq8=True,
+        pq=True, pq_m=8, pq_ks=16, engine="np",
+    )
+    man = ann_store.add_vectors(spark, store_dir, high, engine="np")
+    assert man["n_vectors"] == embs.count()
+    assert man["max_vec_id"] == ids[-1]
+    idx = ann_store.load_ann_index(spark, store_dir)
+    got = idx.query(_qv(embs), embs, k=5, nprobe=2)
+    want = ann.ivf_dense_topk(
+        _qv(embs), embs, k=5, n_centroids=8, nprobe=2
+    )
+    assert _rows(got) == _rows(want)
+    # the quantized twins grew with the append too
+    got_q = idx.query(_qv(embs), embs, k=5, nprobe=2, quant="sq8",
+                      rescore_mult=10_000)
+    assert _rows(got_q) == _rows(want)
+    ver = ann_store.verify_ann_index(spark, store_dir)
+    assert ver["ok"], ver
+
+
+def test_append_rejects_id_collisions_and_dim_mismatch(
+    spark, sf_med, store_dir
+):
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+    with pytest.raises(ValueError, match="already present"):
+        ann_store.add_vectors(spark, store_dir, embs.limit(3), engine="np")
+    bad = embs.limit(1).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.slice("embedding", 1, 4).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="dim mismatch"):
+        ann_store.add_vectors(spark, store_dir, bad, engine="np")
+
+
+def test_append_refreshes_stale_cached_artifact_scans(
+    spark, sf_med, store_dir
+):
+    """The CacheManager aliasing regression, ANN edition: cache a scan
+    of assignments.parquet BEFORE the append; the post-append query
+    must still see the appended vectors (the mutator refreshes the
+    path on entry/exit, so neither its own reads nor later serving go
+    through the stale cached listing)."""
+    embs = _embs(spark, sf_med)
+    ids = sorted(r["vec_id"] for r in embs.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    low = embs.where(F.col("vec_id") <= cut)
+    high = embs.where(F.col("vec_id") > cut)
+    ann_store.build_ann_index(
+        spark, low, store_dir, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+    pinned = spark.read.parquet(f"{store_dir}/assignments.parquet").cache()
+    n_before = pinned.count()  # materialize the trap
+    try:
+        ann_store.add_vectors(spark, store_dir, high, engine="np")
+        idx = ann_store.load_ann_index(spark, store_dir)
+        assert idx.assignments.count() == n_before + high.count()
+        # an appended vector is servable: its own row scores cos 1.0
+        # (top-1 may be an identical-embedding dup twin with a smaller
+        # id — assert the self-hit, not the winner)
+        probe_id = ids[-1]
+        assert idx.assignments.where(
+            F.col("vec_id") == probe_id
+        ).count() == 1
+        qv = (
+            embs.where(F.col("vec_id") == probe_id)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        got = idx.query(qv, embs, k=5, nprobe=8)
+        self_hit = got.where(F.col("doc_id") == probe_id).collect()
+        assert self_hit and self_hit[0]["cos"] == 1.0
+    finally:
+        pinned.unpersist()
+
+
+def test_counts_self_heal_and_not_an_index(spark, sf_med, store_dir, tmp_path):
+    """bucket_counts is derivable: deleting it must not break loading
+    (self-heal recomputes); opening a non-store dir raises."""
+    import shutil
+
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+    shutil.rmtree(f"{store_dir}/bucket_counts.parquet")
+    idx = ann_store.load_ann_index(spark, store_dir)
+    assert idx.bucket_counts.count() > 0
+    assert os.path.isdir(f"{store_dir}/bucket_counts.parquet")
+    other = str(tmp_path / "not_a_store")
+    os.makedirs(other)
+    with pytest.raises(FileNotFoundError):
+        ann_store.load_ann_index(spark, other)
+
+
+def test_gate_ivf_store_variant_nonempty(spark, sf_med):
+    """The gate family's ivf_store variant runs end-to-end and carries
+    the family shape (driver hashes it against the from-scratch SQL)."""
+    from partitioned_ef_ans_spark import gate_training as gt
+
+    df = gt.q_ann_ivf_store(spark, sf_med)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["vec_id", "rank", "neighbor", "cos"]

@@ -1,0 +1,92 @@
+"""CLI surface for the persisted ANN index (``ann build / query /
+add / verify``): the full lifecycle driven through cli.main() must
+produce exactly the library results (the CLI is dispatch, not logic)."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_cli import run_cli_inproc as run_cli
+
+#: the CLI ANN tests use the sf0.01 embeddings (500 x 64) — sf0.001 has
+#: no embeddings table small enough to exercise multi-bucket probing
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def query_parquet(tmp_path_factory):
+    import pyarrow as pa
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    sl = tbl.slice(0, 5)
+    out = str(tmp_path_factory.mktemp("annq") / "queries.parquet")
+    pq.write_table(
+        pa.table({"query_id": sl["vec_id"], "embedding": sl["embedding"]}),
+        out,
+    )
+    return out
+
+
+def test_cli_ann_lifecycle(spark, tmp_path, query_parquet):
+    from partitioned_ef_ans_spark.index import ann_store
+    from partitioned_ef_ans_spark.operators import ann
+
+    store = str(tmp_path / "annstore")
+    man_line = run_cli(
+        "ann", "build", "--index", store,
+        "--embeddings", f"{SF}/embeddings.parquet",
+        "--n-centroids", "8", "--pinned",
+    )
+    man = json.loads(man_line)
+    assert man["n_vectors"] == 500 and man["trained"] is False
+
+    ver = json.loads(run_cli("ann", "verify", "--index", store))
+    assert ver["ok"], ver
+
+    out = run_cli(
+        "ann", "query", "--index", store, "--queries", query_parquet,
+        "-k", "5", "--nprobe", "2",
+    )
+    lines = [ln.split("\t") for ln in out.strip().splitlines()]
+    assert len(lines) == 25  # 5 queries x top-5
+
+    # CLI output == library result, row for row
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = spark.read.parquet(query_parquet)
+    want = ann.ivf_dense_topk(qv, embs, k=5, n_centroids=8, nprobe=2)
+    want_rows = [
+        (str(r["query_id"]), str(r["rank"]), str(r["doc_id"]), str(r["cos"]))
+        for r in want.orderBy("query_id", "rank").collect()
+    ]
+    assert [tuple(ln) for ln in lines] == want_rows
+
+    # append a shifted copy of 10 vectors (fresh ids), re-verify, and
+    # the appended ids become servable
+    new = (
+        embs.orderBy("vec_id").limit(10)
+        .select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+                "embedding")
+    )
+    new_path = str(tmp_path / "new_embs.parquet")
+    new.write.parquet(new_path)
+    man2 = json.loads(run_cli(
+        "ann", "add", "--index", store, "--embeddings", new_path,
+    ))
+    assert man2["n_vectors"] == 510
+    ver2 = json.loads(run_cli("ann", "verify", "--index", store))
+    assert ver2["ok"], ver2
+    idx = ann_store.load_ann_index(spark, store)
+    assert idx.assignments.where(F.col("vec_id") >= 1_000_000).count() == 10
+
+
+def test_cli_ann_arg_validation(tmp_path):
+    from partitioned_ef_ans_spark import cli
+
+    rc = cli.main(["ann", "build", "--index", str(tmp_path / "x")])
+    assert rc == 2
+    rc = cli.main(["ann", "query", "--index", str(tmp_path / "x")])
+    assert rc == 2
