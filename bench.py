@@ -1328,6 +1328,8 @@ def ann_mode():
       - ivf           ivf_dense_topk with centroids/assignment/salts
                       precomputed (amortized; assign timed separately)
       - ivf_sq8       + int8 candidate prefilter
+      - ivf_store     served from the PERSISTED store (ann_store.py;
+                      build timed separately; must equal ivf exactly)
 
     Recalls are vs brute_np (exact).  One JSON line ->
     BENCH_ANN.json."""
@@ -1404,6 +1406,25 @@ def ann_mode():
     pq_codes.count()
     t_assign = time.perf_counter() - t0
 
+    # persisted-store twin of the same prep: everything above frozen
+    # to parquet once (index/ann_store.py), then served cold from disk
+    # — the shape a real deployment uses (prep survives the session)
+    from partitioned_ef_ans_spark.index import ann_store
+
+    store_dir = f"/dev/shm/pefa_ann_store_{n_vecs}_{dim}"
+    if not os.path.exists(f"{store_dir}/manifest.json"):
+        t0 = time.perf_counter()
+        ann_store.build_ann_index(
+            spark, embs, store_dir, n_centroids=n_cent, trained=False,
+            sq8=True, pq=False, engine="np", source=path,
+        )
+        t_store_build = time.perf_counter() - t0
+    else:
+        # a store from an earlier run survives on shm — recording ~0 s
+        # would pass off a cache hit as a measured build cost
+        t_store_build = None
+    store_idx = ann_store.load_ann_index(spark, store_dir)
+
     legs = {
         "brute_hof": lambda: h_mod.dense_topk_for_queries(qv, embs, k=k),
         "brute_np": lambda: ann_mod.dense_topk_np(qv, embs, k=k),
@@ -1434,6 +1455,9 @@ def ann_mode():
             quant="pq", rescore_mult=4,
             pq_codebooks_df=pq_cb, pq_codes_df=pq_codes,
         ),
+        "ivf_store": lambda: store_idx.query(
+            qv, embs, k=k, nprobe=nprobe, engine="np",
+        ),
     }
     times = {name: [] for name in legs}
     results = {}
@@ -1461,6 +1485,9 @@ def ann_mode():
         "nprobe": nprobe,
         "cpus": cpus,
         "t_ivf_prep_sec": round(t_assign, 3),
+        "t_store_build_sec": (
+            round(t_store_build, 3) if t_store_build is not None else None
+        ),
         "queries": {n: round(min(t), 3) for n, t in times.items()},
         "qps": {
             n: round(n_q / min(t), 1) for n, t in times.items()
@@ -1469,9 +1496,13 @@ def ann_mode():
             n: recall(n)
             for n in (
                 "brute_hof", "brute_np_sq8", "ivf", "ivf_sq8",
-                "ivf_np", "ivf_sq8_np", "ivf_pq",
+                "ivf_np", "ivf_sq8_np", "ivf_pq", "ivf_store",
             )
         },
+        # persisted-store serving must reproduce the in-session IVF
+        # exactly (same pinned centroids; artifacts round-trip parquet)
+        "store_equals_ivf": sorted(map(tuple, results["ivf_store"]))
+        == sorted(map(tuple, results["ivf_np"])),
     }
     print(json.dumps(rec))
     with open(Path(__file__).resolve().parent / "BENCH_ANN.json", "w") as fh:

@@ -572,10 +572,14 @@ WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
 QUALIFY "rank" <= {k}"""
 
 
-def sql_ann_ivf(k: int = 5, n_centroids: int = 8, nprobe: int = 2) -> str:
-    return f"""
-WITH {_EMB_NORM_CTE},
-cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
+
+def _sql_ivf_bucketing(n_centroids: int, nprobe: int) -> str:
+    """The pinned-centroid IVF bucketing replay shared by every
+    self-join ANN oracle (cent -> csim -> ranked -> assign -> probes ->
+    cand with self-exclusion): ONE copy, so a change to the bucketing
+    discipline (rounding, tie-break) cannot hash-diverge a single
+    variant while the others move."""
+    return f"""cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
 csim AS (
   SELECT e.vec_id, c.cent_id,
          round(list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
@@ -593,7 +597,13 @@ probes AS (SELECT vec_id, cent_id AS bucket FROM ranked WHERE crank <= {nprobe})
 cand AS (
   SELECT DISTINCT q.vec_id AS vec_id, t.vec_id AS neighbor
   FROM probes q JOIN assign t ON q.bucket = t.bucket AND q.vec_id <> t.vec_id
-),
+)"""
+
+
+def sql_ann_ivf(k: int = 5, n_centroids: int = 8, nprobe: int = 2) -> str:
+    return f"""
+WITH {_EMB_NORM_CTE},
+{_sql_ivf_bucketing(n_centroids, nprobe)},
 dots AS (
   SELECT c.vec_id AS qid, c.neighbor AS neighbor,
          list_sum(list_transform(range(1, len(a.embedding)+1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot
@@ -620,25 +630,7 @@ def sql_ann_ivf_sq8(
     float rescore runs only on the survivors."""
     return f"""
 WITH {_EMB_NORM_CTE},
-cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
-csim AS (
-  SELECT e.vec_id, c.cent_id,
-         round(list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
-               / (ne.nn * nc.nn), 6) AS csim
-  FROM embeddings e JOIN nrm ne ON e.vec_id = ne.vec_id
-       CROSS JOIN cent c JOIN nrm nc ON c.cent_id = nc.vec_id
-),
-ranked AS (
-  SELECT vec_id, cent_id, csim,
-         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank
-  FROM csim
-),
-assign AS (SELECT vec_id, cent_id AS bucket FROM ranked WHERE crank = 1),
-probes AS (SELECT vec_id, cent_id AS bucket FROM ranked WHERE crank <= {nprobe}),
-cand AS (
-  SELECT DISTINCT q.vec_id AS vec_id, t.vec_id AS neighbor
-  FROM probes q JOIN assign t ON q.bucket = t.bucket AND q.vec_id <> t.vec_id
-),
+{_sql_ivf_bucketing(n_centroids, nprobe)},
 q8 AS (
   SELECT e.vec_id,
          list_transform(range(1, len(e.embedding)+1),
@@ -765,25 +757,7 @@ lut AS (
          CAST(round(list_sum(list_transform({rng}, i -> sub.vsub[i]*cb.csub[i])) * 1e6) AS BIGINT) AS lut_i
   FROM subs sub JOIN cb ON sub.s = cb.s
 ),
-cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
-csim AS (
-  SELECT e.vec_id, c.cent_id,
-         round(list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
-               / (ne.nn * nc.nn), 6) AS csim
-  FROM embeddings e JOIN nrm ne ON e.vec_id = ne.vec_id
-       CROSS JOIN cent c JOIN nrm nc ON c.cent_id = nc.vec_id
-),
-ranked AS (
-  SELECT vec_id, cent_id, csim,
-         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crank
-  FROM csim
-),
-assign AS (SELECT vec_id, cent_id AS bucket FROM ranked WHERE crank = 1),
-probes AS (SELECT vec_id, cent_id AS bucket FROM ranked WHERE crank <= {nprobe}),
-cand AS (
-  SELECT DISTINCT q.vec_id AS vec_id, t.vec_id AS neighbor
-  FROM probes q JOIN assign t ON q.bucket = t.bucket AND q.vec_id <> t.vec_id
-),
+{_sql_ivf_bucketing(n_centroids, nprobe)},
 adc AS (
   SELECT c.vec_id, c.neighbor, SUM(l.lut_i) AS adc
   FROM cand c

@@ -123,7 +123,45 @@ def build_ann_index(
     if salt_target is None:
         salt_target = BUCKET_SALT_TARGET
     os.makedirs(out_dir, exist_ok=True)
+    # a REBUILD over an existing store is a mutation like any other:
+    # take the writer lock and refresh on entry (the internal
+    # read-backs below would otherwise be served from a caller's
+    # cached scans of the OLD artifacts — the CacheManager aliasing)
+    # and on exit (so post-build readers see the new files)
+    with _update_lock(out_dir):
+        _refresh_path(spark, out_dir)
+        try:
+            return _build_ann_index_locked(
+                spark, embeddings, out_dir, n_vec=n_vec, dim=dim,
+                n_centroids=n_centroids, trained=trained,
+                kmeans_iters=kmeans_iters, sq8=sq8, pq=pq, pq_m=pq_m,
+                pq_ks=pq_ks, pq_trained=pq_trained, pq_iters=pq_iters,
+                engine=engine, salt_target=salt_target, source=source,
+            )
+        finally:
+            _refresh_path(spark, out_dir)
 
+
+def _build_ann_index_locked(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    out_dir: str,
+    *,
+    n_vec: int,
+    dim: int,
+    n_centroids: int,
+    trained: bool,
+    kmeans_iters: int,
+    sq8: bool,
+    pq: bool,
+    pq_m: int,
+    pq_ks: int,
+    pq_trained: bool,
+    pq_iters: int,
+    engine: str,
+    salt_target: int,
+    source: str | None,
+) -> dict:
     if trained:
         cent = ann_mod.kmeans_centroids(
             embeddings, n_centroids=n_centroids, iters=kmeans_iters
@@ -255,6 +293,8 @@ class AnnIndex:
             pq_ks=int(pq_params.get("ks", 16)),
             pq_codebooks_df=self.pq_codebooks,
             pq_codes_df=self.pq_codes,
+            # manifest scalar: no per-call .first() job to derive dim
+            pq_dim=int(man["dim"]),
         )
 
 
@@ -305,12 +345,15 @@ def add_vectors(
     Runs under the directory's single-writer lease lock with cache
     refreshes on entry/exit (a caller-cached scan of any artifact
     would otherwise keep serving the pre-append listing — the
-    CacheManager aliasing found in round 5).  Crash safety: twin
-    appends are Spark-atomic per table; the counts table and manifest
-    trail them, and both are performance/informational only — a
-    torn append is detected by :func:`verify_ann_index` and never
-    changes the correctness of served results for vectors it did not
-    touch."""
+    CacheManager aliasing found in round 5).  Crash safety: the twin
+    tables (sq8, pq codes) append FIRST and the assignments table
+    LAST — candidate generation is driven by assignments, so a crash
+    between writes leaves at worst orphan twin rows that never join
+    as candidates, never a vector that is a candidate but missing
+    from a twin (which would silently drop it from quantized serving
+    only).  Counts and manifest trail everything and are
+    performance/informational only; :func:`verify_ann_index` detects
+    any torn state."""
     with _update_lock(out_dir):
         _refresh_path(spark, out_dir)
         try:
@@ -336,10 +379,7 @@ def add_vectors(
                     "(appends must be id-disjoint, like index merges)"
                 )
             cent = spark.read.parquet(f"{out_dir}/centroids.parquet")
-            new_assigns = ann_mod.assign_buckets(
-                new_embeddings, cent, engine=engine
-            )
-            new_assigns.write.mode("append").parquet(assigns_path)
+            # twins first, assignments LAST (see docstring crash order)
             if man.get("sq8"):
                 ann_mod.sq8_quantize(new_embeddings).write.mode(
                     "append"
@@ -349,6 +389,10 @@ def add_vectors(
                 ann_mod.pq_encode(
                     new_embeddings, cb, m=int(man["pq"]["m"])
                 ).write.mode("append").parquet(f"{out_dir}/pq_codes.parquet")
+            new_assigns = ann_mod.assign_buckets(
+                new_embeddings, cent, engine=engine
+            )
+            new_assigns.write.mode("append").parquet(assigns_path)
             # counts: recompute from the appended assignments table
             # (one narrow 2-column scan) into a staging dir, then swap —
             # readers see old or new counts, never a torn write, and

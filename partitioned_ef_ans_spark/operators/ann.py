@@ -283,6 +283,7 @@ def ivf_dense_topk(
     pq_ks: int = 16,
     pq_codebooks_df: DataFrame | None = None,
     pq_codes_df: DataFrame | None = None,
+    pq_dim: int | None = None,
 ) -> DataFrame:
     """IVF-probe dense retrieval for EXTERNAL query vectors:
     ``query_vecs`` is ``(query_id, embedding)``, result is
@@ -407,7 +408,7 @@ def ivf_dense_topk(
             if pq_codes_df is not None
             else pq_encode(embeddings, cb, pq_m)
         )
-        lut = pq_adc_lut(query_vecs, cb, pq_m, id_col="query_id")
+        lut = pq_adc_lut(query_vecs, cb, pq_m, id_col="query_id", dim=pq_dim)
         cand = _pq_adc_prefilter(
             cand.select("query_id", F.col("doc_id")),
             lut,
@@ -422,9 +423,14 @@ def ivf_dense_topk(
         # (measured 20x+ on the pair-scoring stage, BENCH_ANN.json);
         # same rounded values, parity locked in tests
         temb_f = embeddings.select(F.col("vec_id").alias("doc_id"), "embedding")
+        # one query-matrix collect for the whole call (the prefilter
+        # and the rescore would otherwise each run a driver collect —
+        # a per-call Spark job, the CLAUDE.md serving-wrapper rule)
+        prep = _np_query_prep(query_vecs)
         if quant == "sq8":
             pre = _np_score_pairs(
-                cand.join(temb_f, "doc_id"), query_vecs, quant=True
+                cand.join(temb_f, "doc_id"), query_vecs, quant=True,
+                prep=prep,
             )
             wpre = Window.partitionBy("query_id").orderBy(
                 F.desc("qdot"), F.asc("doc_id")
@@ -435,40 +441,33 @@ def ivf_dense_topk(
                 .select("query_id", "doc_id")
             )
         scored = _np_score_pairs(
-            cand.join(temb_f, "doc_id"), query_vecs, quant=False
+            cand.join(temb_f, "doc_id"), query_vecs, quant=False,
+            prep=prep,
         )
-    else:
-        if quant == "sq8":
-            corpus_q8 = quantized if quantized is not None else sq8_quantize(embeddings)
-            cand = _sq8_prefilter(
-                cand,
-                sq8_quantize(query_vecs, id_col="query_id"),
-                corpus_q8.select(F.col("vec_id").alias("doc_id"), "qvec"),
-                keep=int(k) * int(rescore_mult),
-                query_col="query_id",
-                target_col="doc_id",
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select(
+                "query_id", F.col("rank").cast("int").alias("rank"),
+                "doc_id", "cos",
             )
-        temb = embeddings.select(
-            F.col("vec_id").alias("doc_id"), F.col("embedding").alias("temb")
         )
-        qemb = query_vecs.select("query_id", F.col("embedding").alias("qemb"))
-        scored = cand.join(temb, "doc_id").join(qemb, "query_id").select(
-            "query_id",
-            "doc_id",
-            F.round(
-                _dot(F.col("qemb"), F.col("temb"))
-                / (_norm(F.col("qemb")) * _norm(F.col("temb"))),
-                6,
-            ).alias("cos"),
+    if quant == "sq8":
+        corpus_q8 = quantized if quantized is not None else sq8_quantize(embeddings)
+        cand = _sq8_prefilter(
+            cand,
+            sq8_quantize(query_vecs, id_col="query_id"),
+            corpus_q8.select(F.col("vec_id").alias("doc_id"), "qvec"),
+            keep=int(k) * int(rescore_mult),
+            query_col="query_id",
+            target_col="doc_id",
         )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= int(k))
-        .select(
-            "query_id", F.col("rank").cast("int").alias("rank"),
-            "doc_id", "cos",
-        )
+    return _exact_rescore_topk(
+        cand, embeddings, query_vecs, k,
+        query_col="query_id", target_col="doc_id",
     )
 
 
@@ -563,6 +562,47 @@ def _ivf_candidate_pairs(
     )
 
 
+def _exact_rescore_topk(
+    cand: DataFrame,
+    embeddings: DataFrame,
+    query_vecs: DataFrame,
+    k: int,
+    query_col: str = "vec_id",
+    target_col: str = "neighbor",
+) -> DataFrame:
+    """(query_col, rank, target_col, cos): the exact rounded-cosine
+    rescore of candidate ID pairs plus the top-k window — the shared
+    tail of EVERY IVF serving shape (plain / sq8 / pq, self-join and
+    external-query).  The rounding and tie-break discipline the oracle
+    hashes (cast-first double dot, round half-up to 6 BEFORE the
+    window, ties by target id) lives HERE and nowhere else, so a fix
+    to it cannot silently miss one variant."""
+    temb = embeddings.select(
+        F.col("vec_id").alias(target_col), F.col("embedding").alias("temb")
+    )
+    qemb = query_vecs.select(
+        F.col(query_col), F.col("embedding").alias("qemb")
+    )
+    scored = cand.join(temb, target_col).join(qemb, query_col).select(
+        query_col,
+        target_col,
+        F.round(
+            _dot(F.col("qemb"), F.col("temb"))
+            / (_norm(F.col("qemb")) * _norm(F.col("temb"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("cos"), F.asc(target_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            query_col, F.col("rank").cast("int").alias("rank"),
+            target_col, "cos",
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -583,24 +623,7 @@ def ivf_topk(
     """
     cent = _resolve_centroids(embeddings, n_centroids, centroids)
     cand = _ivf_candidate_pairs(embeddings, cent, nprobe, salt_target)
-    temb = embeddings.select(
-        F.col("vec_id").alias("neighbor"), F.col("embedding").alias("temb")
-    )
-    qemb = embeddings.select(F.col("vec_id"), F.col("embedding").alias("qemb"))
-    scored = cand.join(temb, "neighbor").join(qemb, "vec_id").select(
-        "vec_id",
-        "neighbor",
-        F.round(
-            _dot(F.col("qemb"), F.col("temb")) / (_norm(F.col("qemb")) * _norm(F.col("temb"))),
-            6,
-        ).alias("cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor", "cos")
-    )
+    return _exact_rescore_topk(cand, embeddings, embeddings, k)
 
 
 # --------------------------------------------- scalar quantization (SQ8)
@@ -714,25 +737,7 @@ def sq8_ivf_topk(
         q8.select(F.col("vec_id").alias("neighbor"), "qvec"),
         keep=int(k) * int(rescore_mult),
     )
-    temb = embeddings.select(
-        F.col("vec_id").alias("neighbor"), F.col("embedding").alias("temb")
-    )
-    qemb = embeddings.select(F.col("vec_id"), F.col("embedding").alias("qemb"))
-    scored = kept.join(temb, "neighbor").join(qemb, "vec_id").select(
-        "vec_id",
-        "neighbor",
-        F.round(
-            _dot(F.col("qemb"), F.col("temb"))
-            / (_norm(F.col("qemb")) * _norm(F.col("temb"))),
-            6,
-        ).alias("cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor", "cos")
-    )
+    return _exact_rescore_topk(kept, embeddings, embeddings, k)
 
 
 def dense_topk_np(
@@ -851,12 +856,29 @@ def dense_topk_np(
     )
 
 
+def _np_query_prep(query_vecs: DataFrame) -> tuple:
+    """Collect + L2-normalize the query matrix (float64) ONCE per
+    serving call: the quantized prefilter and the exact rescore both
+    derive from it (the int8 floor is applied at use), so a
+    prefilter+rescore plan pays one driver collect, not two."""
+    import numpy as np
+
+    qrows = query_vecs.select("query_id", "embedding").collect()
+    qids = [int(r["query_id"]) for r in qrows]
+    qm = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in qrows]
+    )
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    return {q: i for i, q in enumerate(qids)}, qm
+
+
 def _np_score_pairs(
     pairs: DataFrame,
     query_vecs: DataFrame,
     quant: bool,
     query_col: str = "query_id",
     target_col: str = "doc_id",
+    prep: tuple | None = None,
 ) -> DataFrame:
     """Score candidate ``(query_col, target_col, embedding)`` rows
     against the broadcast normalized query matrix with one numpy pass
@@ -868,19 +890,16 @@ def _np_score_pairs(
     half-up to 6 like every cosine in this module.
     quant=True  -> (query_col, target_col, qdot long), the exact
     integer dot of the sq8-quantized normalized vectors (in-task
-    quantization, identical to :func:`sq8_quantize`)."""
+    quantization, identical to :func:`sq8_quantize`).
+
+    Pass ``prep`` (a :func:`_np_query_prep` result) to amortize the
+    query-matrix collect across a prefilter+rescore pair."""
     import numpy as np
 
     spark = pairs.sparkSession
-    qrows = query_vecs.select("query_id", "embedding").collect()
-    qids = [int(r["query_id"]) for r in qrows]
-    qm = np.stack(
-        [np.asarray(r["embedding"], dtype=np.float64) for r in qrows]
-    )
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    idx, qm = prep if prep is not None else _np_query_prep(query_vecs)
     if quant:
         qm = np.floor(qm * 127.0 + 0.5)
-    idx = {q: i for i, q in enumerate(qids)}
     bc = spark.sparkContext.broadcast((idx, qm))
     out_field = "qdot long" if quant else "cos double"
     schema = f"{query_col} long, {target_col} long, {out_field}"
@@ -1091,6 +1110,7 @@ def pq_adc_lut(
     codebooks: DataFrame,
     m: int = 8,
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id_col, s, code_id, lut_i): the ADC lookup table — the dot of
     every query subvector with every codeword, SCALED TO AN INTEGER
@@ -1099,8 +1119,16 @@ def pq_adc_lut(
     and a float sum there would accumulate in partition order
     (nondeterministic run-to-run and vs DuckDB); integer sums are
     order-free and both engines compute identical values — the same
-    trick as the k-means centroid means."""
-    dim = _pq_dim(query_vecs.select(F.col(id_col).alias("vec_id"), "embedding"))
+    trick as the k-means centroid means.
+
+    Pass ``dim`` on serving paths: deriving it costs a ``.first()``
+    Spark job per call, and the CLAUDE.md serving-wrapper rule is to
+    collect per-index scalars once (AnnIndex passes its manifest
+    dim)."""
+    if dim is None:
+        dim = _pq_dim(
+            query_vecs.select(F.col(id_col).alias("vec_id"), "embedding")
+        )
     subs = _norm_subvectors(
         query_vecs.select(F.col(id_col).alias("vec_id"), "embedding"),
         m,
@@ -1182,22 +1210,4 @@ def pq_ivf_topk(
     kept = _pq_adc_prefilter(
         cand, lut, cds, keep=int(k) * int(rescore_mult)
     )
-    temb = embeddings.select(
-        F.col("vec_id").alias("neighbor"), F.col("embedding").alias("temb")
-    )
-    qemb = embeddings.select(F.col("vec_id"), F.col("embedding").alias("qemb"))
-    scored = kept.join(temb, "neighbor").join(qemb, "vec_id").select(
-        "vec_id",
-        "neighbor",
-        F.round(
-            _dot(F.col("qemb"), F.col("temb"))
-            / (_norm(F.col("qemb")) * _norm(F.col("temb"))),
-            6,
-        ).alias("cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor", "cos")
-    )
+    return _exact_rescore_topk(kept, embeddings, embeddings, k)

@@ -207,6 +207,34 @@ def test_append_refreshes_stale_cached_artifact_scans(
         pinned.unpersist()
 
 
+def test_rebuild_over_cached_store_serves_fresh(spark, sf_med, store_dir):
+    """Rebuild a store over an existing dir while the session holds a
+    CACHED scan of its centroids: the rebuild (different n_centroids)
+    must serve from the NEW artifacts, not the cached pre-rebuild
+    listing (build takes the writer lock + refreshes like add_vectors)."""
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=4, trained=False, sq8=False,
+        engine="np",
+    )
+    trap = spark.read.parquet(f"{store_dir}/centroids.parquet").cache()
+    assert trap.count() == 4  # materialize the stale-cache trap
+    try:
+        ann_store.build_ann_index(
+            spark, embs, store_dir, n_centroids=8, trained=False,
+            sq8=False, engine="np",
+        )
+        idx = ann_store.load_ann_index(spark, store_dir)
+        assert idx.centroids.count() == 8
+        got = idx.query(_qv(embs), embs, k=5, nprobe=2)
+        want = ann.ivf_dense_topk(
+            _qv(embs), embs, k=5, n_centroids=8, nprobe=2
+        )
+        assert _rows(got) == _rows(want)
+    finally:
+        trap.unpersist()
+
+
 def test_counts_self_heal_and_not_an_index(spark, sf_med, store_dir, tmp_path):
     """bucket_counts is derivable: deleting it must not break loading
     (self-heal recomputes); opening a non-store dir raises."""
