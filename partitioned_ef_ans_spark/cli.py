@@ -904,8 +904,10 @@ def cmd_ann(args) -> int:
     trains/pins IVF centroids over an embeddings table and freezes the
     assignment + quantized twins next to it; ``query`` serves external
     query vectors from the store (zero per-batch prep); ``add``
-    appends new vectors in O(batch) under the frozen models; ``verify``
-    checks the artifact row-accounting invariants."""
+    appends new vectors in O(batch) under the frozen models; ``delete``
+    tombstones ids (masked from serving immediately); ``compact`` folds
+    the tombstones physically; ``verify`` checks the artifact
+    row-accounting invariants."""
     from pyspark.sql import functions as F
 
     from partitioned_ef_ans_spark.index import ann_store
@@ -920,8 +922,24 @@ def cmd_ann(args) -> int:
     if args.action == "query" and not args.queries:
         print("--queries is required for query", file=sys.stderr)
         return 2
+    if args.action == "delete":
+        ids: list[int] = []
+        if args.ids:
+            ids += [int(x) for x in args.ids.replace(",", " ").split()]
+        if args.ids_file:
+            with open(args.ids_file) as fh:
+                ids += [int(x) for x in fh.read().split()]
+        if not ids:
+            print("no ids given (--ids / --ids-file)", file=sys.stderr)
+            return 2
     spark = _spark(args)
     try:
+        if args.action == "delete":
+            print(json.dumps(ann_store.delete_vectors(spark, args.index, ids)))
+            return 0
+        if args.action == "compact":
+            print(json.dumps(ann_store.compact_ann_index(spark, args.index)))
+            return 0
         if args.action == "build":
             embs = spark.read.parquet(args.embeddings)
             man = ann_store.build_ann_index(
@@ -1222,9 +1240,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     an = sub.add_parser(
         "ann",
-        help="persisted ANN index: build / query / add / verify",
+        help="persisted ANN index: build / query / add / delete / "
+             "compact / verify",
     )
-    an.add_argument("action", choices=["build", "query", "add", "verify"])
+    an.add_argument("action", choices=["build", "query", "add", "delete",
+                                       "compact", "verify"])
+    an.add_argument("--ids", default=None,
+                    help="comma/space-separated vec ids to tombstone")
+    an.add_argument("--ids-file", default=None,
+                    help="file of whitespace-separated vec ids")
     an.add_argument("--index", required=True,
                     help="store directory (index/ann_store.py layout)")
     an.add_argument("--embeddings", default=None,

@@ -1136,14 +1136,29 @@ def q_ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_ann_ivf_store(
-    k: int = 5, n_centroids: int = 8, nprobe: int = 2, nq: int = 5
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    nq: int = 5,
+    deleted_mod: tuple[int, int] | None = None,
 ) -> str:
     """From-scratch replay of the store-served dense probe: pinned
     centroids, corpus assignment, the ``nq`` smallest vec_ids as
     external queries probing their ``nprobe`` closest buckets, exact
     rescore.  No self-exclusion — external-query retrieval returns the
     query's own row when it is in the corpus (deterministically, cos
-    1.0 ranks first)."""
+    1.0 ranks first).
+
+    ``deleted_mod=(m, r)`` replays the store's tombstone masking:
+    corpus vectors with ``vec_id % m == r`` are excluded from the
+    ASSIGNMENT relation only — centroids stay pinned over the full
+    table (deletion never retrains models) and the query set is
+    untouched (external queries are not corpus rows)."""
+    mask = (
+        f" WHERE e.vec_id % {deleted_mod[0]} <> {deleted_mod[1]}"
+        if deleted_mod
+        else ""
+    )
     return f"""
 WITH {_EMB_NORM_CTE},
 cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
@@ -1153,7 +1168,7 @@ csim AS (
          round(list_sum(list_transform(range(1, len(e.embedding)+1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))
                / (ne.nn * nc.nn), 6) AS csim
   FROM embeddings e JOIN nrm ne ON e.vec_id = ne.vec_id
-       CROSS JOIN cent c JOIN nrm nc ON c.cent_id = nc.vec_id
+       CROSS JOIN cent c JOIN nrm nc ON c.cent_id = nc.vec_id{mask}
 ),
 assign AS (
   SELECT vec_id, cent_id AS bucket FROM (
@@ -1197,6 +1212,55 @@ WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, doc_id)
 QUALIFY "rank" <= {k}"""
 
 
+_ANN_STORE_DEL_CACHE: dict = {}
+
+#: gate tombstone rule — corpus vectors with vec_id % 7 == 3 deleted
+_ANN_DEL_MOD = (7, 3)
+
+
+def q_ann_ivf_store_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstoned-store serving (ann_store.delete_vectors): a second
+    store (same pinned centroids) with every ``vec_id % 7 == 3`` corpus
+    vector deleted, served without compaction — the sidecar mask alone
+    must make the deleted ids unreachable as candidates while models
+    stay frozen.  The oracle replays the masked assignment relation in
+    SQL, so the hash certifies the masking semantics end-to-end."""
+    import hashlib
+    import os
+
+    from partitioned_ef_ans_spark.index import ann_store
+
+    embs = _embs(spark, sf_dir)
+    if sf_dir not in _ANN_STORE_DEL_CACHE:
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        out_dir = f"/dev/shm/pefa_annstore_del_{os.getpid()}_{tag}"
+        ann_store.build_ann_index(
+            spark, embs, out_dir, n_centroids=8, trained=False,
+            sq8=False, pq=False, engine="np",
+        )
+        m, r = _ANN_DEL_MOD
+        dead = [
+            row["vec_id"]
+            for row in embs.select("vec_id").collect()
+            if row["vec_id"] % m == r
+        ]
+        ann_store.delete_vectors(spark, out_dir, dead)
+        _ANN_STORE_DEL_CACHE[sf_dir] = out_dir
+    idx = ann_store.load_ann_index(spark, _ANN_STORE_DEL_CACHE[sf_dir])
+    qv = (
+        embs.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    res = idx.query(qv, embs, k=5, nprobe=2)
+    return res.select(
+        F.col("query_id").alias("vec_id"),
+        "rank",
+        F.col("doc_id").alias("neighbor"),
+        "cos",
+    )
+
+
 def q_ann_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF twins (pinned centroids / trained Lloyd k-means / int8
     scalar-quantized first pass / PQ-ADC / persisted-store serving)
@@ -1215,12 +1279,16 @@ def q_ann_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = q_ann_ivf_store(spark, sf_dir).withColumn(
         "variant", F.lit("ivf_store")
     )
+    g = q_ann_ivf_store_deleted(spark, sf_dir).withColumn(
+        "variant", F.lit("ivf_store_deleted")
+    )
     return (
         a.unionByName(b)
         .unionByName(c)
         .unionByName(d)
         .unionByName(e)
         .unionByName(f)
+        .unionByName(g)
     )
 
 
@@ -1237,7 +1305,10 @@ def sql_ann_ivf_family() -> str:
         "SELECT v.*, 'ivf_pq_trained' AS variant "
         f"FROM ({sql_ann_ivf_pq(trained_iters=2)}) v "
         "UNION ALL "
-        f"SELECT v.*, 'ivf_store' AS variant FROM ({sql_ann_ivf_store()}) v"
+        f"SELECT v.*, 'ivf_store' AS variant FROM ({sql_ann_ivf_store()}) v "
+        "UNION ALL "
+        "SELECT v.*, 'ivf_store_deleted' AS variant "
+        f"FROM ({sql_ann_ivf_store(deleted_mod=_ANN_DEL_MOD)}) v"
     )
 
 

@@ -19,6 +19,14 @@ module gives those artifacts the same lifecycle the text index has:
   to the FROZEN centroids and their twin rows appended in O(batch),
   exactly like delta segments keep the text index's models frozen
   (retraining is a rebuild, by design);
+* :func:`delete_vectors` / :func:`compact_ann_index` — Lucene-style
+  liveness: deletion writes a ``tombstones.parquet`` sidecar in
+  O(tombstones) and every served query masks the assignment scan with
+  a broadcast anti-join (deleted vectors can never become candidates);
+  compaction folds the tombstones physically (twin + assignment rows
+  dropped, counts/manifest recomputed, sidecar retired) — the same
+  sidecar-mask / physical-fold split the text index uses
+  (checkpoint.delete_docs / compact_index);
 * :func:`verify_ann_index` — row-accounting invariants across the
   artifact tables.
 
@@ -66,6 +74,25 @@ def _read_manifest(out_dir: str) -> dict:
     if man.get("kind") != MANIFEST_KIND:
         raise ValueError(f"{out_dir}: not an ANN index (kind={man.get('kind')!r})")
     return man
+
+
+def _replace_dir(path: str, staging: str) -> None:
+    """Swap ``staging`` into ``path`` with directory renames: readers
+    racing the swap see the old table or the new one, never a torn
+    write (the bucket-counts pattern, shared by every table rewrite)."""
+    import shutil
+
+    old = f"{path}.old.{os.getpid()}"
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def _load_tombstones(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = f"{out_dir}/tombstones.parquet"
+    return spark.read.parquet(path) if os.path.isdir(path) else None
 
 
 def build_ann_index(
@@ -239,6 +266,21 @@ class AnnIndex:
     sq8: DataFrame | None
     pq_codebooks: DataFrame | None
     pq_codes: DataFrame | None
+    tombstones: DataFrame | None = None
+
+    def live_assignments(self) -> DataFrame:
+        """The assignment scan with tombstoned vectors masked out by a
+        broadcast anti-join — candidates are generated ONLY from this
+        relation, so a deleted vector can never reach scoring through
+        any serving shape (plain / sq8 / pq).  Counts stay unmasked:
+        salting granularity is performance-only."""
+        if self.tombstones is None:
+            return self.assignments
+        return self.assignments.join(
+            F.broadcast(self.tombstones.select("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
 
     def salts(self) -> DataFrame:
         """(bucket, nsalt) from the persisted counts — centroid-count
@@ -282,7 +324,7 @@ class AnnIndex:
             k=k,
             nprobe=nprobe,
             centroids=self.centroids,
-            assignments=self.assignments,
+            assignments=self.live_assignments(),
             salts=self.salts(),
             salt_target=int(man["salt_target"]),
             quant=quant,
@@ -324,6 +366,7 @@ def load_ann_index(spark: SparkSession, out_dir: str) -> AnnIndex:
         sq8=_opt("sq8.parquet"),
         pq_codebooks=_opt("pq_codebooks.parquet"),
         pq_codes=_opt("pq_codes.parquet"),
+        tombstones=_load_tombstones(spark, out_dir),
     )
 
 
@@ -403,19 +446,147 @@ def add_vectors(
             spark.read.parquet(assigns_path).groupBy("bucket").count().write.mode(
                 "overwrite"
             ).parquet(staging)
-            old = f"{counts_path}.old.{os.getpid()}"
-            if os.path.isdir(counts_path):
-                os.rename(counts_path, old)
-            os.rename(staging, counts_path)
-            if os.path.isdir(old):
-                import shutil
-
-                shutil.rmtree(old, ignore_errors=True)
+            _replace_dir(counts_path, staging)
             row = new_embeddings.agg(F.max("vec_id").alias("mx")).first()
             man["n_vectors"] = int(man["n_vectors"]) + int(n_new)
             man["max_vec_id"] = max(int(man["max_vec_id"]), int(row["mx"]))
             _write_manifest_atomic(out_dir, man)
             return man
+        finally:
+            _refresh_path(spark, out_dir)
+
+
+def delete_vectors(spark: SparkSession, out_dir: str, vec_ids) -> dict:
+    """Tombstone ``vec_ids`` in the store at ``out_dir`` — O(tombstones),
+    no artifact rewrite: queries mask the assignment scan from the
+    sidecar immediately (:meth:`AnnIndex.live_assignments`), exactly the
+    text index's deletion contract (checkpoint.delete_docs).  Ids not
+    present in the store are ignored (they cannot become candidates);
+    re-deleting is a no-op union.  A tombstoned id stays physically
+    present until :func:`compact_ann_index`, so re-adding it is rejected
+    by :func:`add_vectors` until then (same as the text index).
+
+    Single-writer locked with cache refreshes on entry/exit (the
+    CacheManager path-aliasing rule); the sidecar is replaced by an
+    atomic directory swap, so readers see the old or new tombstone set,
+    never a torn one.  Manifest (``n_tombstones``) trails as the
+    accounting :func:`verify_ann_index` cross-checks."""
+    with _update_lock(out_dir):
+        _refresh_path(spark, out_dir)
+        try:
+            man = _read_manifest(out_dir)
+            req = sorted({int(v) for v in vec_ids})
+            prev = _load_tombstones(spark, out_dir)
+            n_prev = 0 if prev is None else prev.count()
+            if not req:
+                return {
+                    "requested": 0,
+                    "ignored_absent": 0,
+                    "tombstones_total": n_prev,
+                    "previously": n_prev,
+                }
+            req_df = spark.createDataFrame(
+                [(v,) for v in req], "vec_id long"
+            )
+            assigns = spark.read.parquet(f"{out_dir}/assignments.parquet")
+            present = req_df.join(assigns.select("vec_id"), "vec_id")
+            merged = (
+                present
+                if prev is None
+                else prev.select("vec_id").unionByName(present).distinct()
+            )
+            tomb_path = f"{out_dir}/tombstones.parquet"
+            staging = f"{tomb_path}.staging.{os.getpid()}"
+            merged.write.mode("overwrite").parquet(staging)
+            _replace_dir(tomb_path, staging)
+            _refresh_path(spark, tomb_path)
+            n_total = spark.read.parquet(tomb_path).count()
+            man["n_tombstones"] = int(n_total)
+            _write_manifest_atomic(out_dir, man)
+            return {
+                "requested": len(req),
+                "ignored_absent": len(req) - present.count(),
+                "tombstones_total": int(n_total),
+                "previously": int(n_prev),
+            }
+        finally:
+            _refresh_path(spark, out_dir)
+
+
+def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
+    """Fold the tombstones physically: drop the deleted rows from the
+    twin tables and the assignments, recompute the salting counts and
+    the manifest accounting over the survivors, retire the sidecar —
+    after which the deleted ids may be re-added.  Centroids and PQ
+    codebooks stay FROZEN (models are retrained only by a rebuild), so
+    a compacted store serves bit-identically to the masked store it
+    replaces — the same guarantee the text index's compact_index gives
+    and the invariant the tests pin.
+
+    Crash safety mirrors the append: twins rewrite first, assignments
+    last, each by atomic directory swap; the sidecar keeps masking
+    throughout (masking an already-removed id is a no-op), the manifest
+    is the commit marker, and the sidecar retires after it.  A crash in
+    any window leaves serving exact and is healed by re-running
+    compaction (:func:`verify_ann_index` flags the torn accounting)."""
+    with _update_lock(out_dir):
+        _refresh_path(spark, out_dir)
+        try:
+            man = _read_manifest(out_dir)
+            tomb = _load_tombstones(spark, out_dir)
+            if tomb is None:
+                return {"removed": 0, "n_vectors": int(man["n_vectors"])}
+            tomb_ids = F.broadcast(tomb.select("vec_id"))
+            assigns_path = f"{out_dir}/assignments.parquet"
+            n_before = spark.read.parquet(assigns_path).count()
+            n_dead = (
+                spark.read.parquet(assigns_path)
+                .join(tomb_ids, "vec_id")
+                .count()
+            )
+            if n_dead == n_before:
+                raise ValueError(
+                    f"{out_dir}: compaction would remove every vector; "
+                    "rebuild instead"
+                )
+
+            def _rewrite(name: str) -> None:
+                path = f"{out_dir}/{name}"
+                if not os.path.isdir(path):
+                    return
+                staging = f"{path}.staging.{os.getpid()}"
+                spark.read.parquet(path).join(
+                    tomb_ids, "vec_id", "left_anti"
+                ).write.mode("overwrite").parquet(staging)
+                _replace_dir(path, staging)
+                _refresh_path(spark, path)
+
+            _rewrite("sq8.parquet")
+            _rewrite("pq_codes.parquet")
+            _rewrite("assignments.parquet")
+            survivors = spark.read.parquet(assigns_path)
+            counts_path = f"{out_dir}/bucket_counts.parquet"
+            staging = f"{counts_path}.staging.{os.getpid()}"
+            survivors.groupBy("bucket").count().write.mode(
+                "overwrite"
+            ).parquet(staging)
+            _replace_dir(counts_path, staging)
+            row = survivors.agg(
+                F.count("*").alias("n"), F.max("vec_id").alias("mx")
+            ).first()
+            man["n_vectors"] = int(row["n"])
+            man["max_vec_id"] = int(row["mx"])
+            man.pop("n_tombstones", None)
+            _write_manifest_atomic(out_dir, man)
+            # retire the sidecar: atomic rename out of the readers'
+            # path, then best-effort removal of the renamed dir
+            import shutil
+
+            tomb_path = f"{out_dir}/tombstones.parquet"
+            gone = f"{tomb_path}.gone.{os.getpid()}"
+            os.rename(tomb_path, gone)
+            shutil.rmtree(gone, ignore_errors=True)
+            return {"removed": int(n_dead), "n_vectors": int(row["n"])}
         finally:
             _refresh_path(spark, out_dir)
 
@@ -448,5 +619,17 @@ def verify_ann_index(spark: SparkSession, out_dir: str) -> dict:
         checks["pq_code_rows"] = codes.count() == n_rows * m
         checks["pq_ids"] = (
             codes.select("vec_id").distinct().count() == n_rows
+        )
+    tomb = _load_tombstones(spark, out_dir)
+    if tomb is not None or man.get("n_tombstones"):
+        n_tomb = 0 if tomb is None else tomb.count()
+        checks["tombstones_distinct"] = tomb is None or (
+            tomb.select("vec_id").distinct().count() == n_tomb
+        )
+        # manifest/sidecar accounting agrees (a mismatch marks the
+        # crash window of a delete or compaction — serving stays exact
+        # either way; re-running compaction heals it)
+        checks["tombstones_accounted"] = n_tomb == int(
+            man.get("n_tombstones", 0)
         )
     return {"ok": all(checks.values()), "checks": checks}

@@ -207,6 +207,125 @@ def test_append_refreshes_stale_cached_artifact_scans(
         pinned.unpersist()
 
 
+def test_delete_masks_and_compact_serves_bit_identically(
+    spark, sf_med, store_dir
+):
+    """Deletion contract (the text index's, ANN edition): tombstoned
+    ids vanish from served results immediately (mask-only), the masked
+    relation equals an independent derivation over survivor assignments
+    under the SAME frozen centroids, and physical compaction changes
+    nothing a query can see (bit-identical rows before/after)."""
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=True,
+        engine="np",
+    )
+    dead = [
+        r["vec_id"]
+        for r in embs.select("vec_id").collect()
+        if r["vec_id"] % 5 == 2
+    ]
+    assert dead
+    info = ann_store.delete_vectors(spark, store_dir, dead)
+    assert info["tombstones_total"] == len(dead)
+    idx = ann_store.load_ann_index(spark, store_dir)
+    masked = idx.query(_qv(embs), embs, k=5, nprobe=2)
+    got = _rows(masked)
+    assert got and not any(t[2] % 5 == 2 for t in got)
+    # independent derivation: survivor-only assignments under the same
+    # pinned centroids (pinned over the FULL table — deletion does not
+    # retrain models, like frozen BM25 stats under text tombstones)
+    cent = ann._resolve_centroids(embs, 8, None)
+    surv = embs.where(F.col("vec_id") % 5 != 2)
+    want = ann.ivf_dense_topk(
+        _qv(embs), embs, k=5, nprobe=2, centroids=cent,
+        assignments=ann.assign_buckets(surv, cent, engine="np"),
+    )
+    assert got == _rows(want)
+    # quantized serving masks identically (keep-all mult == plain)
+    q8 = idx.query(_qv(embs), embs, k=5, nprobe=2, quant="sq8",
+                   rescore_mult=10_000)
+    assert _rows(q8) == got
+    assert ann_store.verify_ann_index(spark, store_dir)["ok"]
+    # a tombstoned id is still physically present -> re-add rejected
+    back = embs.where(F.col("vec_id") == dead[0])
+    with pytest.raises(ValueError, match="already present"):
+        ann_store.add_vectors(spark, store_dir, back, engine="np")
+    n_before = idx.manifest["n_vectors"]
+    res = ann_store.compact_ann_index(spark, store_dir)
+    assert res["removed"] == len(dead)
+    assert not os.path.isdir(f"{store_dir}/tombstones.parquet")
+    idx2 = ann_store.load_ann_index(spark, store_dir)
+    assert idx2.manifest["n_vectors"] == n_before - len(dead)
+    assert idx2.tombstones is None
+    assert _rows(idx2.query(_qv(embs), embs, k=5, nprobe=2)) == got
+    assert ann_store.verify_ann_index(spark, store_dir)["ok"]
+    # after the fold the id range is free again
+    man = ann_store.add_vectors(spark, store_dir, back, engine="np")
+    assert man["n_vectors"] == n_before - len(dead) + 1
+
+
+def test_delete_is_idempotent_and_ignores_absent_ids(
+    spark, sf_med, store_dir
+):
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=4, trained=False, sq8=False,
+        engine="np",
+    )
+    ids = [r["vec_id"] for r in embs.select("vec_id").limit(3).collect()]
+    info = ann_store.delete_vectors(
+        spark, store_dir, ids + [99_999_999]
+    )
+    assert info["requested"] == 4
+    assert info["ignored_absent"] == 1
+    assert info["tombstones_total"] == 3
+    again = ann_store.delete_vectors(spark, store_dir, ids)
+    assert again["tombstones_total"] == 3 and again["previously"] == 3
+    assert ann_store.compact_ann_index(spark, store_dir)["removed"] == 3
+    # compacting a store with no sidecar is a no-op
+    assert ann_store.compact_ann_index(spark, store_dir)["removed"] == 0
+
+
+def test_compact_refuses_to_remove_every_vector(spark, sf_med, store_dir):
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=4, trained=False, sq8=False,
+        engine="np",
+    )
+    all_ids = [r["vec_id"] for r in embs.select("vec_id").collect()]
+    ann_store.delete_vectors(spark, store_dir, all_ids)
+    with pytest.raises(ValueError, match="every vector"):
+        ann_store.compact_ann_index(spark, store_dir)
+
+
+def test_compact_refreshes_stale_cached_scans(spark, sf_med, store_dir):
+    """CacheManager aliasing, compaction edition: a caller-cached scan
+    of assignments must not feed the pre-compaction listing into
+    post-compaction serving."""
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+    dead = [
+        r["vec_id"]
+        for r in embs.select("vec_id").collect()
+        if r["vec_id"] % 7 == 0
+    ]
+    ann_store.delete_vectors(spark, store_dir, dead)
+    pinned = spark.read.parquet(f"{store_dir}/assignments.parquet").cache()
+    n_physical = pinned.count()  # materialize the trap (pre-fold rows)
+    try:
+        ann_store.compact_ann_index(spark, store_dir)
+        idx = ann_store.load_ann_index(spark, store_dir)
+        assert idx.assignments.count() == n_physical - len(dead)
+        got = _rows(idx.query(_qv(embs), embs, k=5, nprobe=8))
+        assert got and not any(t[2] % 7 == 0 for t in got)
+    finally:
+        pinned.unpersist()
+
+
 def test_rebuild_over_cached_store_serves_fresh(spark, sf_med, store_dir):
     """Rebuild a store over an existing dir while the session holds a
     CACHED scan of its centroids: the rebuild (different n_centroids)

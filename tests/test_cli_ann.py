@@ -82,6 +82,28 @@ def test_cli_ann_lifecycle(spark, tmp_path, query_parquet):
     idx = ann_store.load_ann_index(spark, store)
     assert idx.assignments.where(F.col("vec_id") >= 1_000_000).count() == 10
 
+    # delete the appended ids -> masked from serving immediately;
+    # compact folds them physically and frees the id range
+    dead = " ".join(str(1_000_000 + i) for i in range(10))
+    dinfo = json.loads(run_cli(
+        "ann", "delete", "--index", store, "--ids", dead,
+    ))
+    assert dinfo["tombstones_total"] == 10
+    ver3 = json.loads(run_cli("ann", "verify", "--index", store))
+    assert ver3["ok"], ver3
+    out2 = run_cli(
+        "ann", "query", "--index", store, "--queries", query_parquet,
+        "-k", "5", "--nprobe", "8",
+    )
+    assert not any(
+        int(ln.split("\t")[2]) >= 1_000_000
+        for ln in out2.strip().splitlines()
+    )
+    cinfo = json.loads(run_cli("ann", "compact", "--index", store))
+    assert cinfo["removed"] == 10 and cinfo["n_vectors"] == 500
+    ver4 = json.loads(run_cli("ann", "verify", "--index", store))
+    assert ver4["ok"], ver4
+
 
 def test_cli_ann_arg_validation(tmp_path):
     from partitioned_ef_ans_spark import cli
@@ -89,4 +111,6 @@ def test_cli_ann_arg_validation(tmp_path):
     rc = cli.main(["ann", "build", "--index", str(tmp_path / "x")])
     assert rc == 2
     rc = cli.main(["ann", "query", "--index", str(tmp_path / "x")])
+    assert rc == 2
+    rc = cli.main(["ann", "delete", "--index", str(tmp_path / "x")])
     assert rc == 2
