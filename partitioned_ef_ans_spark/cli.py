@@ -906,7 +906,8 @@ def cmd_ann(args) -> int:
     query vectors from the store (zero per-batch prep); ``add``
     appends new vectors in O(batch) under the frozen models; ``delete``
     tombstones ids (masked from serving immediately); ``compact`` folds
-    the tombstones physically; ``verify`` checks the artifact
+    the tombstones physically; ``repair`` re-derives all derivable
+    accounting after a mutation crash; ``verify`` checks the artifact
     row-accounting invariants."""
     from pyspark.sql import functions as F
 
@@ -939,6 +940,9 @@ def cmd_ann(args) -> int:
             return 0
         if args.action == "compact":
             print(json.dumps(ann_store.compact_ann_index(spark, args.index)))
+            return 0
+        if args.action == "repair":
+            print(json.dumps(ann_store.repair_ann_index(spark, args.index)))
             return 0
         if args.action == "build":
             embs = spark.read.parquet(args.embeddings)
@@ -1244,7 +1248,7 @@ def build_parser() -> argparse.ArgumentParser:
              "compact / verify",
     )
     an.add_argument("action", choices=["build", "query", "add", "delete",
-                                       "compact", "verify"])
+                                       "compact", "repair", "verify"])
     an.add_argument("--ids", default=None,
                     help="comma/space-separated vec ids to tombstone")
     an.add_argument("--ids-file", default=None,

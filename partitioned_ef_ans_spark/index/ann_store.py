@@ -422,6 +422,16 @@ def add_vectors(
                     "(appends must be id-disjoint, like index merges)"
                 )
             cent = spark.read.parquet(f"{out_dir}/centroids.parquet")
+            # a retry of a crashed append would re-append twin rows the
+            # crashed attempt already wrote (the id-disjoint check only
+            # sees ASSIGNMENTS, which append last) — duplicate twin rows
+            # would duplicate candidates in quantized serving.  Any twin
+            # row whose id is in the incoming batch is necessarily such
+            # an orphan (the ids are proven absent from assignments), so
+            # heal by dropping them before appending fresh.
+            _drop_twin_orphans(
+                spark, out_dir, man, scope=new_embeddings.select("vec_id")
+            )
             # twins first, assignments LAST (see docstring crash order)
             if man.get("sq8"):
                 ann_mod.sq8_quantize(new_embeddings).write.mode(
@@ -452,6 +462,119 @@ def add_vectors(
             man["max_vec_id"] = max(int(man["max_vec_id"]), int(row["mx"]))
             _write_manifest_atomic(out_dir, man)
             return man
+        finally:
+            _refresh_path(spark, out_dir)
+
+
+def _drop_twin_orphans(
+    spark: SparkSession,
+    out_dir: str,
+    man: dict,
+    scope: DataFrame | None = None,
+) -> dict:
+    """Drop twin rows (sq8 / pq codes) whose vec_id has no assignment
+    row — the leftovers of an append that crashed between its twin
+    writes and its assignments write.  Orphans are unreachable in
+    serving (candidates come only from assignments) but would collide
+    with a retry of the same batch.  ``scope`` narrows the check to a
+    set of ids (the retry batch — a broadcast semi-join instead of a
+    full anti-join against assignments); rewrites happen only when
+    orphans exist, by atomic directory swap.  Caller holds the writer
+    lock."""
+    dropped = {}
+    assigns = spark.read.parquet(f"{out_dir}/assignments.parquet")
+    for flag, name in (("sq8", "sq8.parquet"), ("pq", "pq_codes.parquet")):
+        if not man.get(flag):
+            continue
+        path = f"{out_dir}/{name}"
+        if not os.path.isdir(path):
+            continue
+        tw = spark.read.parquet(path)
+        if scope is not None:
+            orphan_ids = tw.select("vec_id").join(
+                F.broadcast(scope.select("vec_id").distinct()), "vec_id"
+            )
+        else:
+            orphan_ids = (
+                tw.select("vec_id")
+                .distinct()
+                .join(assigns.select("vec_id"), "vec_id", "left_anti")
+            )
+        n = orphan_ids.distinct().count()
+        if n == 0:
+            continue
+        keep = tw.join(
+            F.broadcast(orphan_ids.distinct()), "vec_id", "left_anti"
+        )
+        staging = f"{path}.staging.{os.getpid()}"
+        keep.write.mode("overwrite").parquet(staging)
+        _replace_dir(path, staging)
+        _refresh_path(spark, path)
+        dropped[flag] = int(n)
+    return dropped
+
+
+def repair_ann_index(spark: SparkSession, out_dir: str) -> dict:
+    """Re-derive every derivable artifact from the tables of record —
+    the universal healer for any mutation crash window
+    (:func:`verify_ann_index` flags them; this clears them).  Drops
+    twin rows with no assignment row (crashed-append orphans), prunes
+    tombstones that no longer reference an assignment row (crashed
+    compaction), recomputes ``bucket_counts`` and the manifest
+    accounting (``n_vectors``, ``max_vec_id``, ``n_tombstones``) from
+    the assignments table.  Centroids / codebooks / layout params are
+    NEVER touched — they are models, not accounting.  Serving is exact
+    before and after (every torn state this repairs is already
+    exactness-safe); the point is restoring the invariants so appends
+    and verify behave."""
+    with _update_lock(out_dir):
+        _refresh_path(spark, out_dir)
+        try:
+            man = _read_manifest(out_dir)
+            dropped = _drop_twin_orphans(spark, out_dir, man)
+            assigns = spark.read.parquet(f"{out_dir}/assignments.parquet")
+            tomb = _load_tombstones(spark, out_dir)
+            n_tomb = 0
+            if tomb is not None:
+                live = tomb.select("vec_id").distinct().join(
+                    assigns.select("vec_id"), "vec_id"
+                )
+                n_tomb = live.count()
+                tomb_path = f"{out_dir}/tombstones.parquet"
+                if n_tomb == 0:
+                    # every tombstone references a removed row (crashed
+                    # compaction tail) — retire the sidecar outright
+                    import shutil
+
+                    gone = f"{tomb_path}.gone.{os.getpid()}"
+                    os.rename(tomb_path, gone)
+                    shutil.rmtree(gone, ignore_errors=True)
+                elif n_tomb != tomb.count():
+                    staging = f"{tomb_path}.staging.{os.getpid()}"
+                    live.write.mode("overwrite").parquet(staging)
+                    _replace_dir(tomb_path, staging)
+                    _refresh_path(spark, tomb_path)
+            counts_path = f"{out_dir}/bucket_counts.parquet"
+            staging = f"{counts_path}.staging.{os.getpid()}"
+            assigns.groupBy("bucket").count().write.mode(
+                "overwrite"
+            ).parquet(staging)
+            _replace_dir(counts_path, staging)
+            row = assigns.agg(
+                F.count("*").alias("n"), F.max("vec_id").alias("mx")
+            ).first()
+            man["n_vectors"] = int(row["n"])
+            man["max_vec_id"] = int(row["mx"])
+            if n_tomb:
+                man["n_tombstones"] = int(n_tomb)
+            else:
+                man.pop("n_tombstones", None)
+            _write_manifest_atomic(out_dir, man)
+            return {
+                "orphan_twin_ids_dropped": dropped,
+                "n_vectors": int(row["n"]),
+                "n_tombstones": int(n_tomb),
+            }
         finally:
             _refresh_path(spark, out_dir)
 
@@ -589,6 +712,23 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
             return {"removed": int(n_dead), "n_vectors": int(row["n"])}
         finally:
             _refresh_path(spark, out_dir)
+
+
+def snapshot_ann_index(
+    out_dir: str, dest: str | None = None, timeout: float = 120.0
+) -> str:
+    """Reader-pinned snapshot of an ANN store (hardlink tree), served
+    exactly like the live dir by :func:`load_ann_index`.  Delegates to
+    checkpoint.snapshot_index — its consistency protocol (no writer
+    lease on either side of the walk + manifest file identity
+    unchanged) transfers verbatim because every store mutator holds
+    the SAME lease for its whole duration and commits via the same
+    manifest-last atomic replace.  Release with
+    checkpoint.release_snapshot."""
+    from partitioned_ef_ans_spark.index.checkpoint import snapshot_index
+
+    _read_manifest(out_dir)  # fail fast on a non-ANN directory
+    return snapshot_index(out_dir, dest, timeout)
 
 
 def verify_ann_index(spark: SparkSession, out_dir: str) -> dict:

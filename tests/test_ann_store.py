@@ -326,6 +326,90 @@ def test_compact_refreshes_stale_cached_scans(spark, sf_med, store_dir):
         pinned.unpersist()
 
 
+def test_append_retry_after_twin_crash_heals_orphans(
+    spark, sf_med, store_dir
+):
+    """Crash replay: an append that died after writing its sq8 twin
+    rows but BEFORE the assignments write leaves orphan twin rows; a
+    retry of the same batch must heal them (drop + re-append once) —
+    without the heal the twin would hold the batch twice and quantized
+    serving would duplicate candidates."""
+    embs = _embs(spark, sf_med)
+    ids = sorted(r["vec_id"] for r in embs.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    low = embs.where(F.col("vec_id") <= cut)
+    high = embs.where(F.col("vec_id") > cut)
+    ann_store.build_ann_index(
+        spark, low, store_dir, n_centroids=8, trained=False, sq8=True,
+        engine="np",
+    )
+    # simulate the crash window: twin rows appended, assignments not
+    ann.sq8_quantize(high).write.mode("append").parquet(
+        f"{store_dir}/sq8.parquet"
+    )
+    ver = ann_store.verify_ann_index(spark, store_dir)
+    assert not ver["ok"] and not ver["checks"]["sq8_rows"]
+    man = ann_store.add_vectors(spark, store_dir, high, engine="np")
+    assert man["n_vectors"] == embs.count()
+    ver2 = ann_store.verify_ann_index(spark, store_dir)
+    assert ver2["ok"], ver2
+    idx = ann_store.load_ann_index(spark, store_dir)
+    # exactly once in the twin, and quantized serving has no dup rows
+    n_high = high.count()
+    assert idx.sq8.where(F.col("vec_id") > cut).count() == n_high
+    got = idx.query(_qv(embs), embs, k=5, nprobe=2, quant="sq8",
+                    rescore_mult=10_000)
+    rows = got.collect()
+    assert len({(r["query_id"], r["doc_id"]) for r in rows}) == len(rows)
+    want = ann.ivf_dense_topk(_qv(embs), embs, k=5, n_centroids=8, nprobe=2)
+    assert _rows(got) == _rows(want)
+
+
+def test_repair_heals_orphans_stale_counts_and_dead_tombstones(
+    spark, sf_med, store_dir
+):
+    """repair_ann_index re-derives every derivable artifact: orphan
+    twin rows dropped, bucket_counts and manifest accounting recomputed
+    from assignments, tombstones referencing no assignment row pruned
+    (sidecar retired when none survive)."""
+    import json as _json
+
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=True,
+        engine="np",
+    )
+    # orphan twin rows (fresh ids, never assigned)
+    ghost = embs.limit(4).select(
+        (F.col("vec_id") + F.lit(5_000_000)).alias("vec_id"), "embedding"
+    )
+    ann.sq8_quantize(ghost).write.mode("append").parquet(
+        f"{store_dir}/sq8.parquet"
+    )
+    # stale manifest accounting + a tombstone for a row that is gone
+    with open(f"{store_dir}/manifest.json") as fh:
+        man = _json.load(fh)
+    man["n_vectors"] = 1
+    man["n_tombstones"] = 7
+    with open(f"{store_dir}/manifest.json", "w") as fh:
+        _json.dump(man, fh)
+    spark.createDataFrame([(123_456_789,)], "vec_id long").write.parquet(
+        f"{store_dir}/tombstones.parquet"
+    )
+    assert not ann_store.verify_ann_index(spark, store_dir)["ok"]
+    rep = ann_store.repair_ann_index(spark, store_dir)
+    assert rep["orphan_twin_ids_dropped"] == {"sq8": 4}
+    assert rep["n_vectors"] == embs.count()
+    assert rep["n_tombstones"] == 0
+    assert not os.path.isdir(f"{store_dir}/tombstones.parquet")
+    ver = ann_store.verify_ann_index(spark, store_dir)
+    assert ver["ok"], ver
+    idx = ann_store.load_ann_index(spark, store_dir)
+    got = idx.query(_qv(embs), embs, k=5, nprobe=2)
+    want = ann.ivf_dense_topk(_qv(embs), embs, k=5, n_centroids=8, nprobe=2)
+    assert _rows(got) == _rows(want)
+
+
 def test_rebuild_over_cached_store_serves_fresh(spark, sf_med, store_dir):
     """Rebuild a store over an existing dir while the session holds a
     CACHED scan of its centroids: the rebuild (different n_centroids)
@@ -352,6 +436,109 @@ def test_rebuild_over_cached_store_serves_fresh(spark, sf_med, store_dir):
         assert _rows(got) == _rows(want)
     finally:
         trap.unpersist()
+
+
+def test_snapshot_pins_pre_delete_view(spark, sf_med, store_dir, tmp_path):
+    """snapshot_ann_index hardlink-pins a consistent view: deleting
+    from the LIVE store afterwards must not leak into the snapshot
+    (same reader-pinning contract as the text index's snapshots)."""
+    from partitioned_ef_ans_spark.index.checkpoint import release_snapshot
+
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+    before = _rows(
+        ann_store.load_ann_index(spark, store_dir).query(
+            _qv(embs), embs, k=5, nprobe=2
+        )
+    )
+    snap = ann_store.snapshot_ann_index(store_dir, str(tmp_path / "snap"))
+    dead = [t[2] for t in before]  # delete every doc the top-k returned
+    ann_store.delete_vectors(spark, store_dir, dead)
+    live = _rows(
+        ann_store.load_ann_index(spark, store_dir).query(
+            _qv(embs), embs, k=5, nprobe=2
+        )
+    )
+    pinned = _rows(
+        ann_store.load_ann_index(spark, snap).query(
+            _qv(embs), embs, k=5, nprobe=2
+        )
+    )
+    assert pinned == before
+    assert not set(t[2] for t in live) & set(dead)
+    release_snapshot(snap)
+    other = tmp_path / "other"
+    other.mkdir()
+    (other / "manifest.json").write_text('{"kind": "text_index"}')
+    with pytest.raises(ValueError, match="not an ANN index"):
+        ann_store.snapshot_ann_index(str(other))
+
+
+def test_ann_store_interaction_fuzz(spark, sf_med, store_dir):
+    """Seeded schedule of add / delete / compact / repair with full
+    invariants after EVERY step (the ANN edition of the text index's
+    interaction fuzz): served top-k must always equal the independent
+    derivation over the LIVE vectors under the store's frozen
+    centroids, and verify_ann_index must stay ok."""
+    import random
+
+    rng = random.Random(20260820)
+    embs = _embs(spark, sf_med)
+    all_ids = sorted(r["vec_id"] for r in embs.select("vec_id").collect())
+    live = set(all_ids[: len(all_ids) * 3 // 5])
+    pool = [i for i in all_ids if i not in live]
+    tombstoned: set = set()
+    ann_store.build_ann_index(
+        spark, embs.where(F.col("vec_id").isin(list(live))), store_dir,
+        n_centroids=8, trained=False, sq8=True, engine="np",
+    )
+    cent = spark.read.parquet(f"{store_dir}/centroids.parquet")
+    qv = _qv(embs, 3)
+
+    def check(step: str) -> None:
+        idx = ann_store.load_ann_index(spark, store_dir)
+        got = _rows(idx.query(qv, embs, k=5, nprobe=2))
+        served = live - tombstoned
+        want = _rows(ann.ivf_dense_topk(
+            qv, embs, k=5, nprobe=2, centroids=cent,
+            assignments=ann.assign_buckets(
+                embs.where(F.col("vec_id").isin(list(served))), cent,
+                engine="np",
+            ),
+        ))
+        assert got == want, step
+        ver = ann_store.verify_ann_index(spark, store_dir)
+        assert ver["ok"], (step, ver)
+
+    check("build")
+    ops = ["add", "delete", "compact", "delete", "add", "repair",
+           "delete", "compact", "add"]
+    for n, op in enumerate(ops):
+        if op == "add" and pool:
+            batch = [pool.pop() for _ in range(min(15, len(pool)))]
+            ann_store.add_vectors(
+                spark, store_dir,
+                embs.where(F.col("vec_id").isin(batch)), engine="np",
+            )
+            live |= set(batch)
+        elif op == "delete":
+            victims = rng.sample(
+                sorted(live - tombstoned),
+                min(10, len(live - tombstoned) - 1),
+            )
+            ann_store.delete_vectors(spark, store_dir, victims)
+            tombstoned |= set(victims)
+        elif op == "compact":
+            ann_store.compact_ann_index(spark, store_dir)
+            live -= tombstoned
+            pool += sorted(tombstoned)
+            tombstoned = set()
+        elif op == "repair":
+            ann_store.repair_ann_index(spark, store_dir)
+        check(f"{n}:{op}")
 
 
 def test_counts_self_heal_and_not_an_index(spark, sf_med, store_dir, tmp_path):
