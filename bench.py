@@ -1511,7 +1511,125 @@ def ann_mode():
 
 
 
+def ann_maint_mode():
+    """ANN-store maintenance economics: measure the lifecycle claims
+    the tests only prove for correctness — append is O(batch) not
+    O(index) (vs a full rebuild), deletion is O(tombstones) with free
+    query-time masking, compaction is one bounded fold.  Same
+    deterministic synthetic vectors as --ann; fresh store per run
+    (measuring a build, not a cache hit).  One JSON line ->
+    BENCH_ANN_MAINT.json."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark.index import ann_store
+    from partitioned_ef_ans_spark.session import get_spark
+
+    n_vecs = int(os.environ.get("PEFA_ANN_VECS", "50000"))
+    dim = int(os.environ.get("PEFA_ANN_DIM", "64"))
+    cpus = int(os.environ.get("PEFA_ANN_CPUS", "8"))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=4 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = f"/dev/shm/pefa_ann_vecs_{n_vecs}_{dim}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    (
+                        F.pmod(
+                            F.xxhash64(F.concat_ws(":", F.col("id"), i)),
+                            F.lit(2000001),
+                        )
+                        - F.lit(1000000)
+                    )
+                    / F.lit(1000000.0)
+                ).cast("float"),
+            ).alias("embedding"),
+        ).repartition(2 * cpus).write.mode("overwrite").parquet(path)
+    embs = spark.read.parquet(path).cache()
+    embs.count()
+    qv = (
+        embs.where(F.col("vec_id") % 500 == 0)
+        .limit(100)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .cache()
+    )
+    qv.count()
+
+    store = f"/dev/shm/pefa_ann_maint_store_{os.getpid()}"
+    shutil.rmtree(store, ignore_errors=True)
+    cut_small, cut_big = n_vecs - 1200, n_vecs - 1000
+    base = embs.where(F.col("vec_id") < cut_small)
+    batch_small = embs.where(
+        (F.col("vec_id") >= cut_small) & (F.col("vec_id") < cut_big)
+    )
+    batch_big = embs.where(F.col("vec_id") >= cut_big)
+
+    t = {}
+    t0 = time.perf_counter()
+    ann_store.build_ann_index(
+        spark, base, store, trained=False, sq8=True, engine="np",
+    )
+    t["build_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ann_store.add_vectors(spark, store, batch_small, engine="np")
+    t["add_200_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ann_store.add_vectors(spark, store, batch_big, engine="np")
+    t["add_1000_s"] = time.perf_counter() - t0
+
+    idx = ann_store.load_ann_index(spark, store)
+    t0 = time.perf_counter()
+    n_pre = idx.query(qv, embs, k=10, nprobe=8, engine="np").count()
+    t["query_100q_s"] = time.perf_counter() - t0
+
+    dead = [r["vec_id"] for r in embs.select("vec_id").collect()][::50]
+    t0 = time.perf_counter()
+    ann_store.delete_vectors(spark, store, dead)
+    t["delete_1000_s"] = time.perf_counter() - t0
+    idx = ann_store.load_ann_index(spark, store)
+    t0 = time.perf_counter()
+    n_post = idx.query(qv, embs, k=10, nprobe=8, engine="np").count()
+    t["query_100q_masked_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ann_store.compact_ann_index(spark, store)
+    t["compact_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ver = ann_store.verify_ann_index(spark, store)
+    t["verify_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ann_store.repair_ann_index(spark, store)
+    t["repair_noop_s"] = time.perf_counter() - t0
+
+    rec = {
+        "metric": "ann_store_maintenance",
+        "value": round(t["add_1000_s"], 3),
+        "unit": "sec",
+        "n_vecs": n_vecs,
+        "dim": dim,
+        "cpus": cpus,
+        "verify_ok": bool(ver["ok"]),
+        "rows_pre_post_mask": [n_pre, n_post],
+        "queries": {k2: round(v, 3) for k2, v in t.items()},
+        "add_vs_rebuild": round(t["add_1000_s"] / t["build_s"], 4),
+    }
+    print(json.dumps(rec))
+    with open(
+        Path(__file__).resolve().parent / "BENCH_ANN_MAINT.json", "w"
+    ) as fh:
+        json.dump(rec, fh, indent=1)
+    shutil.rmtree(store, ignore_errors=True)
+    spark.stop()
+
+
 def main():
+    if "--ann-maint" in sys.argv:
+        ann_maint_mode()
+        return
     if "--ann" in sys.argv:
         ann_mode()
         return

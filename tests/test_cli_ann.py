@@ -103,6 +103,8 @@ def test_cli_ann_lifecycle(spark, tmp_path, query_parquet):
     assert cinfo["removed"] == 10 and cinfo["n_vectors"] == 500
     ver4 = json.loads(run_cli("ann", "verify", "--index", store))
     assert ver4["ok"], ver4
+    rinfo = json.loads(run_cli("ann", "repair", "--index", store))
+    assert rinfo["n_vectors"] == 500 and rinfo["n_tombstones"] == 0
 
 
 def test_cli_ann_arg_validation(tmp_path):
