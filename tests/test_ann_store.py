@@ -477,6 +477,34 @@ def test_snapshot_pins_pre_delete_view(spark, sf_med, store_dir, tmp_path):
         ann_store.snapshot_ann_index(str(other))
 
 
+def test_masked_serving_plan_shape(spark, sf_med, store_dir):
+    """The physical plan of tombstone-masked serving must keep the
+    100 TB shape: the mask is a BROADCAST anti-join on the assignment
+    scan (forced — never a corpus-sized shuffle of the tombstones) and
+    the assignment scan is pruned to its two columns.  The corpus
+    embedding joins are deliberately NOT forced-broadcast: Catalyst
+    picks broadcast at toy sizes and shuffle joins at scale."""
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+    ann_store.delete_vectors(
+        spark, store_dir,
+        [r["vec_id"] for r in embs.select("vec_id").limit(3).collect()],
+    )
+    idx = ann_store.load_ann_index(spark, store_dir)
+    plan = (
+        idx.query(_qv(embs), embs, k=5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    anti_lines = [
+        ln for ln in plan.splitlines() if "LeftAnti" in ln
+    ]
+    assert anti_lines, plan
+    assert all("BroadcastHashJoin" in ln for ln in anti_lines), anti_lines
+
+
 def test_ann_store_interaction_fuzz(spark, sf_med, store_dir):
     """Seeded schedule of add / delete / compact / repair with full
     invariants after EVERY step (the ANN edition of the text index's
