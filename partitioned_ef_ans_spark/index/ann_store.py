@@ -376,6 +376,7 @@ def add_vectors(
     new_embeddings: DataFrame,
     *,
     engine: str = "np",
+    skip_existing: bool = False,
 ) -> dict:
     """Append new vectors to a persisted store in O(batch): assign them
     to the FROZEN centroids, extend the twin tables, refresh the
@@ -396,7 +397,12 @@ def add_vectors(
     from a twin (which would silently drop it from quantized serving
     only).  Counts and manifest trail everything and are
     performance/informational only; :func:`verify_ann_index` detects
-    any torn state."""
+    any torn state.
+
+    ``skip_existing=True`` silently filters out ids already present
+    instead of raising — the streaming replay contract (at-least-once
+    micro-batch delivery + this filter = exactly-once effect on the
+    store), the ANN edition of the text updater's ``skip_stale``."""
     with _update_lock(out_dir):
         _refresh_path(spark, out_dir)
         try:
@@ -411,16 +417,26 @@ def add_vectors(
                 )
             assigns_path = f"{out_dir}/assignments.parquet"
             existing = spark.read.parquet(assigns_path)
-            n_dup = (
-                new_embeddings.select("vec_id")
-                .join(existing.select("vec_id"), "vec_id")
-                .count()
-            )
-            if n_dup:
-                raise ValueError(
-                    f"{n_dup} vec_ids already present in {out_dir} "
-                    "(appends must be id-disjoint, like index merges)"
+            if skip_existing:
+                new_embeddings = new_embeddings.join(
+                    existing.select("vec_id"), "vec_id", "left_anti"
+                ).localCheckpoint(eager=True)  # pin the filtered batch:
+                # it feeds 3 write jobs below, and the anti-join must
+                # not re-evaluate against a mid-append assignments scan
+                n_new = new_embeddings.count()
+                if n_new == 0:
+                    return man
+            else:
+                n_dup = (
+                    new_embeddings.select("vec_id")
+                    .join(existing.select("vec_id"), "vec_id")
+                    .count()
                 )
+                if n_dup:
+                    raise ValueError(
+                        f"{n_dup} vec_ids already present in {out_dir} "
+                        "(appends must be id-disjoint, like index merges)"
+                    )
             cent = spark.read.parquet(f"{out_dir}/centroids.parquet")
             # a retry of a crashed append would re-append twin rows the
             # crashed attempt already wrote (the id-disjoint check only

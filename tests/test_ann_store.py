@@ -477,6 +477,54 @@ def test_snapshot_pins_pre_delete_view(spark, sf_med, store_dir, tmp_path):
         ann_store.snapshot_ann_index(str(other))
 
 
+def test_streaming_embeddings_fold_into_live_store(
+    spark, sf_med, tmp_path, store_dir
+):
+    """Two waves of streamed embedding rows append into the persisted
+    store (streaming/ann_update.py); final serving equals a
+    from-scratch query over everything under the same frozen pinned
+    centroids, and a full replay from a fresh checkpoint is a no-op
+    (skip_existing = the exactly-once-in-effect contract)."""
+    from partitioned_ef_ans_spark.streaming.ann_update import (
+        start_ann_update_stream,
+    )
+
+    embs = _embs(spark, sf_med)
+    ids = sorted(r["vec_id"] for r in embs.select("vec_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    base = embs.where(F.col("vec_id") <= c1)
+    waves = [
+        embs.where((F.col("vec_id") > c1) & (F.col("vec_id") <= c2)),
+        embs.where(F.col("vec_id") > c2),
+    ]
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    ann_store.build_ann_index(
+        spark, base, store_dir, n_centroids=8, trained=False, sq8=True,
+        engine="np",
+    )
+    for wave in waves:
+        wave.select("vec_id", "embedding").write.mode("append").parquet(inp)
+        start_ann_update_stream(spark, inp, store_dir, ckpt)
+
+    idx = ann_store.load_ann_index(spark, store_dir)
+    assert idx.manifest["n_vectors"] == len(ids)
+    got = _rows(idx.query(_qv(embs), embs, k=5, nprobe=2))
+    want = _rows(ann.ivf_dense_topk(
+        _qv(embs), embs, k=5, n_centroids=8, nprobe=2
+    ))
+    assert got == want
+    assert ann_store.verify_ann_index(spark, store_dir)["ok"]
+    # fresh checkpoint -> the file source re-delivers EVERY row; the
+    # skip_existing filter must make the whole replay a no-op
+    start_ann_update_stream(
+        spark, inp, store_dir, str(tmp_path / "ckpt_replay")
+    )
+    idx2 = ann_store.load_ann_index(spark, store_dir)
+    assert idx2.manifest["n_vectors"] == len(ids)
+    assert _rows(idx2.query(_qv(embs), embs, k=5, nprobe=2)) == want
+    assert ann_store.verify_ann_index(spark, store_dir)["ok"]
+
+
 def test_masked_serving_plan_shape(spark, sf_med, store_dir):
     """The physical plan of tombstone-masked serving must keep the
     100 TB shape: the mask is a BROADCAST anti-join on the assignment
