@@ -1504,6 +1504,37 @@ def ann_mode():
         "store_equals_ivf": sorted(map(tuple, results["ivf_store"]))
         == sorted(map(tuple, results["ivf_np"])),
     }
+    # recall/cost curve: nprobe is THE serving knob — sweep it on the
+    # store leg up to all-buckets (which must equal brute exactly, the
+    # test-locked identity) so the single-point recall above reads as
+    # a chosen operating point, not a ceiling
+    brute_set = {
+        q: set()
+        for q in {r[0] for r in results["brute_np"]}
+    }
+    for r in results["brute_np"]:
+        brute_set[r[0]].add(r[2])
+    sweep = []
+    for np_probe in (nprobe, 4 * nprobe, n_cent):
+        t0 = time.perf_counter()
+        got = [
+            (r["query_id"], r["rank"], r["doc_id"], r["cos"])
+            for r in store_idx.query(
+                qv, embs, k=k, nprobe=np_probe, engine="np"
+            ).collect()
+        ]
+        dt = time.perf_counter() - t0
+        hit = sum(1 for r in got if r[2] in brute_set.get(r[0], ()))
+        sweep.append(
+            {
+                "nprobe": np_probe,
+                "sec": round(dt, 3),
+                "recall": round(hit / (len(brute_set) * k), 4),
+                "equals_brute": sorted(got)
+                == sorted(map(tuple, results["brute_np"])),
+            }
+        )
+    rec["nprobe_sweep"] = sweep
     print(json.dumps(rec))
     with open(Path(__file__).resolve().parent / "BENCH_ANN.json", "w") as fh:
         json.dump(rec, fh, indent=1)
