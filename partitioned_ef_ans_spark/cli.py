@@ -1011,6 +1011,63 @@ def cmd_ann(args) -> int:
         _stop(spark)
 
 
+def cmd_hybrid(args) -> int:
+    """End-to-end RAG retrieval from persisted artifacts
+    (operators/hybrid.py::hybrid_search_persisted): BM25 top-k from
+    the text index + dense top-k from the ANN store, RRF-fused.  Text
+    queries on stdin (``qid<TAB>terms`` like ``queries``); the dense
+    query vector for qid is the ``query_id == qid`` row of
+    ``--query-vecs`` (or, absent that, the ``vec_id == qid`` row of
+    the embeddings table)."""
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark.index import ann_store
+    from partitioned_ef_ans_spark.operators import hybrid as h_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    qs = _read_query_lines(sys.stdin)
+    if not qs:
+        print("no queries on stdin", file=sys.stderr)
+        return 1
+    spark = _spark(args)
+    try:
+        idx = ann_store.load_ann_index(spark, args.store)
+        emb_path = args.embeddings or idx.manifest.get("source")
+        if not emb_path:
+            print(
+                "--embeddings required (store manifest carries no source)",
+                file=sys.stderr,
+            )
+            return 2
+        embs = spark.read.parquet(emb_path)
+        qids = [q for q, _t in qs]
+        if args.query_vecs:
+            qv = spark.read.parquet(args.query_vecs)
+            if "query_id" not in qv.columns and "vec_id" in qv.columns:
+                qv = qv.withColumnRenamed("vec_id", "query_id")
+            qv = qv.where(F.col("query_id").isin(qids))
+        else:
+            qv = embs.where(F.col("vec_id").isin(qids)).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+        res = h_mod.hybrid_search_persisted(
+            spark, args.index, args.store, queries_to_df(spark, qs),
+            qv.select("query_id", "embedding"), embs, k=args.k,
+            mode=args.mode, nprobe=args.nprobe, quant=args.quant,
+            rescore_mult=args.rescore_mult,
+        )
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            for r in res.orderBy("query_id", "rank").collect():
+                print(f"{r['query_id']}\t{r['rank']}\t{r['doc_id']}\t"
+                      f"{r['rrf']}")
+        return 0
+    finally:
+        _stop(spark)
+
+
 def cmd_package(args) -> int:
     import zipfile
 
@@ -1288,6 +1345,33 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--out", default=None,
                     help="write query results to parquet instead of stdout")
     an.set_defaults(fn=cmd_ann)
+
+    hy = sub.add_parser(
+        "hybrid",
+        help="persisted-artifact RAG retrieval: text index BM25 + ANN "
+             "store dense, RRF-fused (queries on stdin)",
+    )
+    hy.add_argument("--index", required=True,
+                    help="text index directory (resumable layout)")
+    hy.add_argument("--store", required=True,
+                    help="ANN store directory (index/ann_store.py layout)")
+    hy.add_argument("--embeddings", default=None,
+                    help="embeddings parquet; defaults to the store's "
+                         "recorded source")
+    hy.add_argument("--query-vecs", default=None, dest="query_vecs",
+                    help="query-vector parquet (query_id|vec_id, "
+                         "embedding); default pairs qid with vec_id==qid "
+                         "from the embeddings table")
+    hy.add_argument("-k", type=int, default=10)
+    hy.add_argument("--mode", default="blockmax",
+                    help="text-leg run_ranked mode")
+    hy.add_argument("--nprobe", type=int, default=8)
+    hy.add_argument("--quant", choices=["sq8", "pq"], default=None)
+    hy.add_argument("--rescore-mult", type=int, default=3,
+                    dest="rescore_mult")
+    hy.add_argument("--out", default=None,
+                    help="write results to parquet instead of stdout")
+    hy.set_defaults(fn=cmd_hybrid)
 
     t = sub.add_parser("transform_queries")
     t.add_argument("corpus")

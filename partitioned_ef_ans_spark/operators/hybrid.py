@@ -110,3 +110,60 @@ def dense_topk_for_queries(
             "doc_id", "cos",
         )
     )
+
+
+def hybrid_search_persisted(
+    spark,
+    index_dir: str,
+    ann_store_dir: str,
+    queries_df: DataFrame,
+    query_vecs: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    k_leg: int | None = None,
+    k_rrf: int = DEFAULT_K_RRF,
+    mode: str = "blockmax",
+    dtype: str = "float32",
+    nprobe: int = 8,
+    quant: str | None = None,
+    rescore_mult: int = 3,
+    engine: str = "np",
+) -> DataFrame:
+    """End-to-end RAG retrieval from PERSISTED artifacts: BM25 top-k
+    served from the compressed text index at ``index_dir`` (any
+    run_ranked mode, giant-query dispatch and all) fused by RRF with
+    dense top-k served from the ANN store at ``ann_store_dir`` (IVF
+    probe over the frozen centroids, optional sq8/pq first pass).
+
+    ``queries_df`` is ``(query_id, terms array<string>)`` and
+    ``query_vecs`` is ``(query_id, embedding)`` — the same query_id
+    pairs a text query with its embedding; ``embeddings`` is the float
+    table the store was built over.  ``k_leg`` (default ``k``) sets
+    the per-substrate depth before fusion.
+
+    Liveness is per substrate: the text leg masks the index's
+    tombstone sidecar, the dense leg masks the store's.  A document
+    deleted from only ONE substrate can still surface through the
+    other's leg — retire a document by deleting it from both
+    (checkpoint.delete_docs + ann_store.delete_vectors).
+    Scale shape: each leg is its own substrate's serving plan (no new
+    shuffles); fusion adds one shuffle over O(queries x k x 2) rows."""
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.index.ann_store import load_ann_index
+    from partitioned_ef_ans_spark.index.checkpoint import load_tombstones
+
+    k_leg = int(k if k_leg is None else k_leg)
+    index_df, _stats, term_stats, codec, man = b_mod.load_index(
+        spark, index_dir
+    )
+    sparse = q_mod.run_ranked(
+        spark, index_df, queries_df, codec, man["num_docs"],
+        man["avg_doc_len"], mode=mode, k=k_leg, dtype=dtype,
+        term_stats_df=term_stats, tombstones=load_tombstones(index_dir),
+    )
+    dense = load_ann_index(spark, ann_store_dir).query(
+        query_vecs, embeddings, k=k_leg, nprobe=nprobe, quant=quant,
+        rescore_mult=rescore_mult, engine=engine,
+    )
+    return rrf_fuse([sparse, dense], k=k, k_rrf=k_rrf)

@@ -116,3 +116,47 @@ def test_cli_ann_arg_validation(tmp_path):
     assert rc == 2
     rc = cli.main(["ann", "delete", "--index", str(tmp_path / "x")])
     assert rc == 2
+
+
+def test_cli_hybrid_serves_persisted_fusion(spark, tmp_path):
+    """CLI ``hybrid``: persisted text index + persisted ANN store,
+    RRF-fused — output equals the library composition row for row."""
+    from partitioned_ef_ans_spark.index import ann_store
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+    )
+    from partitioned_ef_ans_spark.operators import hybrid as h_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx_dir = str(tmp_path / "idx")
+    store = str(tmp_path / "store")
+    build_index_resumable(
+        spark, docs.select("doc_id", "text"), idx_dir, codec="ans",
+        num_parts=4, chunk_postings=2048,
+    )
+    ann_store.build_ann_index(
+        spark, embs, store, n_centroids=8, trained=False, sq8=False,
+        engine="np", source=f"{SF}/embeddings.parquet",
+    )
+    qs = [(0, ["spark", "join"]), (5, ["dup"])]
+    stdin = "\n".join(f"{q}\t{' '.join(t)}" for q, t in qs) + "\n"
+    out = run_cli(
+        "hybrid", "--index", idx_dir, "--store", store,
+        "-k", "5", "--nprobe", "2", stdin=stdin,
+    )
+    got = [tuple(ln.split("\t")) for ln in out.strip().splitlines()]
+    qv = embs.where(F.col("vec_id").isin([0, 5])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = h_mod.hybrid_search_persisted(
+        spark, idx_dir, store, queries_to_df(spark, qs), qv, embs,
+        k=5, nprobe=2,
+    )
+    want_rows = [
+        (str(r["query_id"]), str(r["rank"]), str(r["doc_id"]), str(r["rrf"]))
+        for r in want.orderBy("query_id", "rank").collect()
+    ]
+    assert got == want_rows and len(got) == 10

@@ -173,3 +173,91 @@ def test_ivf_dense_reused_assignment_and_salting(spark, sf_med):
     want = sorted(map(key, base.collect()))
     assert sorted(map(key, reused.collect())) == want
     assert sorted(map(key, presalted.collect())) == want
+
+
+def test_hybrid_search_persisted_equals_in_session_composition(
+    spark, sf_med, tmp_path
+):
+    """The end-to-end RAG entry point (hybrid_search_persisted): BM25
+    from a PERSISTED text index + dense from a PERSISTED ANN store,
+    RRF-fused — must equal the same composition built from in-session
+    parts, and per-substrate tombstones must compose (delete a doc
+    from the text index and a different one from the store; the fused
+    result equals the fusion of the independently masked legs)."""
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.index import ann_store
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+        delete_docs,
+        load_tombstones,
+    )
+    from partitioned_ef_ans_spark.operators import ann as ann_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    idx_dir = str(tmp_path / "idx")
+    store_dir = str(tmp_path / "store")
+    build_index_resumable(
+        spark, docs.select("doc_id", "text"), idx_dir, codec="ans",
+        num_parts=4, chunk_postings=2048,
+    )
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+    qs = [(0, ["spark", "join"]), (2, ["group", "group", "window"]),
+          (5, ["dup"])]
+    qdf = queries_to_df(spark, qs)
+    qids = [q for q, _t in qs]
+    qvecs = embs.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    def legs():
+        index_df, _s, ts, codec, man = b_mod.load_index(spark, idx_dir)
+        sparse = q_mod.run_ranked(
+            spark, index_df, qdf, codec, man["num_docs"],
+            man["avg_doc_len"], mode="blockmax", k=10, dtype="float32",
+            term_stats_df=ts, tombstones=load_tombstones(idx_dir),
+        )
+        dense = ann_store.load_ann_index(spark, store_dir).query(
+            qvecs, embs, k=10, nprobe=2
+        )
+        return sparse, dense
+
+    got = h_mod.hybrid_search_persisted(
+        spark, idx_dir, store_dir, qdf, qvecs, embs, k=10, nprobe=2,
+    )
+    sparse0, dense0 = legs()
+    got_rows = rows(got)
+    assert got_rows and got_rows == rows(
+        h_mod.rrf_fuse([sparse0, dense0], k=10)
+    )
+
+    # per-substrate liveness: tombstone each leg's OWN top-1 (the
+    # sparse winner in the TEXT index, the dense winner in the STORE —
+    # distinct by construction below); the entry point must serve the
+    # fusion of the independently masked legs, and it must change
+    sp1 = sparse0.orderBy("query_id", "rank").first()["doc_id"]
+    dn1 = next(
+        r["doc_id"]
+        for r in dense0.orderBy("query_id", "rank").collect()
+        if r["doc_id"] != sp1
+    )
+    delete_docs(spark, idx_dir, [sp1])
+    ann_store.delete_vectors(spark, store_dir, [int(dn1)])
+    got2 = rows(h_mod.hybrid_search_persisted(
+        spark, idx_dir, store_dir, qdf, qvecs, embs, k=10, nprobe=2,
+    ))
+    sparse1, dense1 = legs()
+    assert got2 == rows(h_mod.rrf_fuse([sparse1, dense1], k=10))
+    assert not any(r["doc_id"] == sp1 for r in sparse1.collect())
+    assert not any(r["doc_id"] == dn1 for r in dense1.collect())
+    assert got2 != got_rows
