@@ -205,6 +205,7 @@ def _get_index(spark: SparkSession, sf_dir: str, codec: str = "ans"):
         "num_docs": manifest["num_docs"],
         "avg_len": manifest["avg_doc_len"],
         "manifest": manifest,
+        "out_dir": out_dir,
     }
     _INDEX_CACHE[key] = bundle
     return bundle

@@ -266,7 +266,11 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic: text query ``query_id`` uses the embedding of
     ``vec_id == query_id`` as its dense query vector.  Asymmetric
     coverage is exercised by construction (the all-OOV gate query has
-    an empty sparse list; its dense list still ranks)."""
+    an empty sparse list; its dense list still ranks).  Three hashed
+    variants: ``brute`` (exhaustive dense leg), ``ivf`` (IVF-probe
+    dense leg), and ``persisted`` (BOTH legs served end-to-end from
+    persisted artifacts via hybrid_search_persisted — compressed text
+    index dir + ANN store dir, the deployment RAG shape)."""
     from partitioned_ef_ans_spark import gate as g_mod
     from partitioned_ef_ans_spark.operators import hybrid as h_mod
 
@@ -292,7 +296,28 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = h_mod.rrf_fuse([sparse, dense_ivf], k=10).withColumn(
         "variant", F.lit("ivf")
     )
-    return brute.unionByName(ivf)
+    # the end-to-end serving twin: BOTH legs from persisted artifacts
+    # (compressed text index dir + ANN store dir) through
+    # hybrid_search_persisted — the RAG shape a deployment runs.  The
+    # sparse leg is run_ranked(blockmax) over the gate index (rank-
+    # identical to the ranked-OR oracle, certified by the ranked
+    # gates) and the dense leg is the store's IVF probe over the same
+    # pinned centroids, so the fused relation hashes against the SAME
+    # textual replay as the in-session ivf variant.
+    ix = g_mod._get_index(spark, sf_dir)
+    pers = h_mod.hybrid_search_persisted(
+        spark,
+        ix["out_dir"],
+        _get_ann_store(spark, sf_dir),
+        g_mod.gate_queries_df(spark),
+        qvecs,
+        _embs(spark, sf_dir),
+        k=10,
+        mode="blockmax",
+        dtype="float64",
+        nprobe=2,
+    ).withColumn("variant", F.lit("persisted"))
+    return brute.unionByName(ivf).unionByName(pers)
 
 
 def sql_hybrid_rrf() -> str:
@@ -385,6 +410,10 @@ contrib AS (
   SELECT 'ivf' AS variant, query_id, doc_id, 1.0 / (60.0 + "rank") AS c FROM sparse
   UNION ALL
   SELECT 'ivf' AS variant, query_id, doc_id, 1.0 / (60.0 + "rank") AS c FROM dense_ivf
+  UNION ALL
+  SELECT 'persisted' AS variant, query_id, doc_id, 1.0 / (60.0 + "rank") AS c FROM sparse
+  UNION ALL
+  SELECT 'persisted' AS variant, query_id, doc_id, 1.0 / (60.0 + "rank") AS c FROM dense_ivf
 ),
 fused AS (
   SELECT variant, query_id, doc_id, round(sum(c), 7) AS rrf
@@ -1090,16 +1119,10 @@ def q_ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_STORE_CACHE: dict = {}
 
 
-def q_ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted-store serving (index/ann_store.py): build the IVF
-    store once per sf_dir (pinned centroids so the textual oracle
-    replays the bucketing), round-trip every artifact through parquet,
-    then serve the 5 smallest vec_ids as EXTERNAL query vectors from
-    the loaded store — ``ivf_dense_topk`` with persisted centroids,
-    assignments and salt counts, zero per-batch prep.  Hash-equality
-    with the from-scratch SQL replay certifies that the persisted
-    artifacts are lossless and the store-served plan computes the
-    identical relation."""
+def _get_ann_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the persisted IVF store the persisted
+    gate variants serve from — pinned centroids (``trained=False``) so
+    the textual oracle can replay the bucketing."""
     import hashlib
     import os
 
@@ -1119,7 +1142,22 @@ def q_ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             engine="np",
         )
         _ANN_STORE_CACHE[sf_dir] = out_dir
-    idx = ann_store.load_ann_index(spark, _ANN_STORE_CACHE[sf_dir])
+    return _ANN_STORE_CACHE[sf_dir]
+
+
+def q_ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-store serving (index/ann_store.py): build the IVF
+    store once per sf_dir (pinned centroids so the textual oracle
+    replays the bucketing), round-trip every artifact through parquet,
+    then serve the 5 smallest vec_ids as EXTERNAL query vectors from
+    the loaded store — ``ivf_dense_topk`` with persisted centroids,
+    assignments and salt counts, zero per-batch prep.  Hash-equality
+    with the from-scratch SQL replay certifies that the persisted
+    artifacts are lossless and the store-served plan computes the
+    identical relation."""
+    from partitioned_ef_ans_spark.index import ann_store
+
+    idx = ann_store.load_ann_index(spark, _get_ann_store(spark, sf_dir))
     embs = _embs(spark, sf_dir)
     qv = (
         embs.orderBy("vec_id")

@@ -59,7 +59,7 @@ def test_gate_hybrid_matches_duckdb_oracle(spark, sf_med):
         for q, r, d, s, v in con.execute(gt.sql_hybrid_rrf()).fetchall()
     )
     assert got == want
-    assert {v for v, *_ in got} == {"brute", "ivf"}
+    assert {v for v, *_ in got} == {"brute", "ivf", "persisted"}
     # the all-OOV gate query (id 4) must still retrieve via the dense
     # list (asymmetric fusion is load-bearing; both-list combination is
     # pinned by the hand-computed unit test — the synthetic embeddings
