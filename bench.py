@@ -32,24 +32,15 @@ N_QUERIES = int(os.environ.get("PEFA_BENCH_QUERIES", "500"))
 K = 10
 
 
-def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
-    import numpy as np
+def _ensure_bench_corpus(spark, cpus: int) -> str:
+    """Materialize the benchmark corpus ONCE to parquet (reused across
+    runs/parallelism levels): sf documents + deterministic synthetic
+    docs.  Builds then read from disk like any real corpus — corpus
+    generation cost is excluded from build throughput."""
     from pyspark.sql import functions as F
 
     from partitioned_ef_ans_spark import corpus as c_mod
-    from partitioned_ef_ans_spark.index import build as b_mod
-    from partitioned_ef_ans_spark.index import query as q_mod
-    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
-    from partitioned_ef_ans_spark.session import get_spark
 
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=4 * cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-    t_start = time.perf_counter()
-
-    # Materialize the benchmark corpus ONCE to parquet (reused across
-    # runs/parallelism levels): sf documents + deterministic synthetic
-    # docs.  Builds then read from disk like any real corpus — corpus
-    # generation cost is excluded from build throughput.
     corpus_path = f"/dev/shm/pefa_bench_corpus_{SYNTH_DOCS}"
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
@@ -67,7 +58,24 @@ def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
         docs.unionByName(synth).repartition(64).write.mode("overwrite").parquet(
             corpus_path
         )
-    corpus = spark.read.parquet(corpus_path)
+    return corpus_path
+
+
+def build_and_query(cpus: int, out: dict, query_modes=True) -> dict:
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark import corpus as c_mod
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=4 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    t_start = time.perf_counter()
+
+    corpus = spark.read.parquet(_ensure_bench_corpus(spark, cpus))
 
     idx_dir = f"/dev/shm/pefa_bench_index_c{cpus}"
     if os.environ.get("PEFA_BENCH_WARM", "0") == "1":
@@ -1657,7 +1665,152 @@ def ann_maint_mode():
     spark.stop()
 
 
+def hybrid_mode():
+    """End-to-end persisted RAG serving bench: BM25 top-k from the
+    compressed text index + dense top-k from the persisted ANN store,
+    RRF-fused (operators/hybrid.py::hybrid_search_persisted) — the
+    shape a retrieval deployment actually runs.  Both substrates are
+    built ONCE to /dev/shm (timed separately, amortized across every
+    serving batch); text queries are the standard Zipf synth set and
+    each query's dense vector is the embedding of vec_id == query_id.
+    Legs (interleaved reps, min per leg):
+
+      - sparse_only  run_ranked(blockmax) over preloaded index frames
+      - dense_only   the ANN store's IVF probe (engine=np)
+      - hybrid       hybrid_search_persisted end-to-end, INCLUDING
+                     per-call index load from the manifest (the honest
+                     cold-entry cost; the legs above show the split)
+
+    One JSON line -> BENCH_HYBRID.json."""
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark import corpus as c_mod
+    from partitioned_ef_ans_spark.index import ann_store
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.index import query as q_mod
+    from partitioned_ef_ans_spark.operators import hybrid as h_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.session import get_spark
+
+    n_q = int(os.environ.get("PEFA_HYBRID_QUERIES", "100"))
+    dim = int(os.environ.get("PEFA_ANN_DIM", "64"))
+    k = 10
+    nprobe = int(os.environ.get("PEFA_ANN_NPROBE", "8"))
+    reps = int(os.environ.get("PEFA_ANN_REPS", "2"))
+    cpus = int(os.environ.get("PEFA_ANN_CPUS", "8"))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=4 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_path = _ensure_bench_corpus(spark, cpus)
+    idx_dir = f"/dev/shm/pefa_hybrid_index_{SYNTH_DOCS}"
+    t_index_build = None
+    if not os.path.exists(f"{idx_dir}/manifest.json"):
+        t0 = time.perf_counter()
+        b_mod.build_index(
+            spark, spark.read.parquet(corpus_path), idx_dir, codec="ans",
+            doc_col="doc_id", text_col="content", chunk_postings=1 << 16,
+        )
+        t_index_build = round(time.perf_counter() - t0, 3)
+    index_df, _stats, term_stats, codec, man = b_mod.load_index(spark, idx_dir)
+    index_df = index_df.cache()
+    index_df.count()
+    term_stats = term_stats.cache()
+    term_stats.count()
+
+    # embeddings over the SAME id domain as the corpus (vec_id ==
+    # doc_id), deterministic hash-derived components like ann_mode
+    n_vecs = man["num_docs"]
+    vec_path = f"/dev/shm/pefa_hybrid_vecs_{n_vecs}_{dim}"
+    if not os.path.exists(f"{vec_path}/_SUCCESS"):
+        spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    (
+                        F.pmod(
+                            F.xxhash64(F.concat_ws(":", F.col("id"), i)),
+                            F.lit(2000001),
+                        )
+                        - F.lit(1000000)
+                    )
+                    / F.lit(1000000.0)
+                ).cast("float"),
+            ).alias("embedding"),
+        ).repartition(2 * cpus).write.mode("overwrite").parquet(vec_path)
+    embs = spark.read.parquet(vec_path).cache()
+    embs.count()
+
+    store_dir = f"/dev/shm/pefa_hybrid_store_{n_vecs}_{dim}"
+    t_store_build = None
+    if not os.path.exists(f"{store_dir}/manifest.json"):
+        t0 = time.perf_counter()
+        ann_store.build_ann_index(
+            spark, embs, store_dir, trained=False, sq8=False, pq=False,
+            engine="np", source=vec_path,
+        )
+        t_store_build = round(time.perf_counter() - t0, 3)
+    store_idx = ann_store.load_ann_index(spark, store_dir)
+
+    qs = c_mod.synthesize_queries(n_q, vocab_size=20000)
+    qdf = queries_to_df(spark, qs).cache()
+    qdf.count()
+    qids = [qid for qid, _t in qs]
+    qv = (
+        embs.where(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .cache()
+    )
+    qv.count()
+
+    legs = {
+        "sparse_only": lambda: q_mod.run_ranked(
+            spark, index_df, qdf, codec, man["num_docs"],
+            man["avg_doc_len"], mode="blockmax", k=k,
+            term_stats_df=term_stats,
+        ),
+        "dense_only": lambda: store_idx.query(
+            qv, embs, k=k, nprobe=nprobe, engine="np",
+        ),
+        "hybrid": lambda: h_mod.hybrid_search_persisted(
+            spark, idx_dir, store_dir, qdf, qv, embs, k=k,
+            mode="blockmax", nprobe=nprobe,
+        ),
+    }
+    times = {name: [] for name in legs}
+    counts = {}
+    for _ in range(reps):
+        for name, fn in legs.items():
+            t0 = time.perf_counter()
+            counts[name] = fn().count()
+            times[name].append(time.perf_counter() - t0)
+    rec = {
+        "metric": "hybrid_rag_serving",
+        "value": round(min(times["hybrid"]), 3),
+        "unit": "sec",
+        "num_docs": man["num_docs"],
+        "total_postings": man.get("total_postings"),
+        "dim": dim,
+        "n_queries": n_q,
+        "k": k,
+        "nprobe": nprobe,
+        "cpus": cpus,
+        "t_index_build_sec": t_index_build,
+        "t_store_build_sec": t_store_build,
+        "queries": {n: round(min(t), 3) for n, t in times.items()},
+        "qps": {n: round(n_q / min(t), 1) for n, t in times.items()},
+        "result_rows": counts,
+    }
+    print(json.dumps(rec))
+    with open(Path(__file__).resolve().parent / "BENCH_HYBRID.json", "w") as fh:
+        json.dump(rec, fh, indent=1)
+    spark.stop()
+
+
 def main():
+    if "--hybrid" in sys.argv:
+        hybrid_mode()
+        return
     if "--ann-maint" in sys.argv:
         ann_maint_mode()
         return
