@@ -489,10 +489,17 @@ def cmd_queries(args) -> int:
         )
         if allow is not None:
             tombs = q_mod.make_allowlist(allow, tombs)
-        stats = kernel_latency_stats(
-            args.index_dir, qs, modes=tuple(args.mode.split(",")),
-            runs=max(2, args.runs), k=args.k, tombstones=tombs,
-        )
+        try:
+            stats = kernel_latency_stats(
+                args.index_dir, qs, modes=tuple(args.mode.split(",")),
+                runs=max(2, args.runs), k=args.k, tombstones=tombs,
+            )
+        except ValueError as exc:
+            # e.g. --mode auto: the size-crossover resolver lives in the
+            # run_ranked serving paths, not the kernel timer — fail with
+            # one clean line instead of a traceback
+            print(f"--latency: {exc}", file=sys.stderr)
+            return 2
         for mode, s in stats.items():
             print(json.dumps({"mode": mode, "unit": "us", **s}))
         return 0

@@ -95,6 +95,19 @@ def _load_tombstones(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return spark.read.parquet(path) if os.path.isdir(path) else None
 
 
+def _remove_dir(path: str) -> None:
+    """Retire an artifact directory: atomic rename out of the readers'
+    path, then best-effort removal of the renamed dir (the sidecar
+    retirement pattern).  No-op when absent."""
+    import shutil
+
+    if not os.path.isdir(path):
+        return
+    gone = f"{path}.gone.{os.getpid()}"
+    os.rename(path, gone)
+    shutil.rmtree(gone, ignore_errors=True)
+
+
 def build_ann_index(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -139,8 +152,12 @@ def build_ann_index(
     float column only for the exact rescore of surviving candidates.
 
     ``engine="np"`` vectorizes the assignment pass (BLAS matmul per
-    Arrow batch; parity with the HOF fold is test-locked, so the
-    artifact is engine-invariant)."""
+    Arrow batch).  Parity with the HOF fold is test-locked at gate
+    scale; in principle a round-6 boundary case could assign a vector
+    differently between engines (differing double-sum association),
+    which is why the ASSIGNMENTS are persisted: serving always uses
+    the build's own assignment, so any such flip changes bucket
+    recall microscopically, never correctness."""
     n_vec = embeddings.count()
     if n_vec == 0:
         raise ValueError("empty embeddings table")
@@ -189,6 +206,18 @@ def _build_ann_index_locked(
     salt_target: int,
     source: str | None,
 ) -> dict:
+    # a rebuild starts the store's liveness and twin set over: retire
+    # any stale tombstone sidecar FIRST (a leftover one would silently
+    # mask live vectors of the NEW build — found by review in r5) and
+    # any twin dirs this build is not producing (load_ann_index picks
+    # twins up by directory presence; a stale sq8/pq twin from a
+    # previous build would serve stale quantized rows)
+    _remove_dir(f"{out_dir}/tombstones.parquet")
+    if not sq8:
+        _remove_dir(f"{out_dir}/sq8.parquet")
+    if not pq:
+        _remove_dir(f"{out_dir}/pq_codebooks.parquet")
+        _remove_dir(f"{out_dir}/pq_codes.parquet")
     if trained:
         cent = ann_mod.kmeans_centroids(
             embeddings, n_centroids=n_centroids, iters=kmeans_iters
@@ -341,17 +370,22 @@ class AnnIndex:
 
 
 def load_ann_index(spark: SparkSession, out_dir: str) -> AnnIndex:
-    """Open a store built by :func:`build_ann_index`.  Self-heals a
-    missing ``bucket_counts.parquet`` (derivable from assignments;
-    performance-only, see build docstring)."""
+    """Open a store built by :func:`build_ann_index`.  A missing
+    ``bucket_counts.parquet`` (a crash window of a mutation) is served
+    as a lazy groupBy over the assignment scan — derivable and
+    performance-only, see the build docstring.  Deliberately NOT
+    rewritten here: loading is a reader path and takes no writer
+    lease, so writing would race a lock-holding mutator's atomic
+    counts swap; :func:`repair_ann_index` re-materializes the artifact
+    under the lock."""
     man = _read_manifest(out_dir)
     counts_path = f"{out_dir}/bucket_counts.parquet"
     assigns = spark.read.parquet(f"{out_dir}/assignments.parquet")
-    if not os.path.isdir(counts_path):
-        assigns.groupBy("bucket").count().write.mode("overwrite").parquet(
-            counts_path
-        )
-        _refresh_path(spark, counts_path)
+    counts = (
+        spark.read.parquet(counts_path)
+        if os.path.isdir(counts_path)
+        else assigns.groupBy("bucket").count()
+    )
 
     def _opt(name: str) -> DataFrame | None:
         path = f"{out_dir}/{name}"
@@ -362,7 +396,7 @@ def load_ann_index(spark: SparkSession, out_dir: str) -> AnnIndex:
         manifest=man,
         centroids=spark.read.parquet(f"{out_dir}/centroids.parquet"),
         assignments=assigns,
-        bucket_counts=spark.read.parquet(counts_path),
+        bucket_counts=counts,
         sq8=_opt("sq8.parquet"),
         pq_codebooks=_opt("pq_codebooks.parquet"),
         pq_codes=_opt("pq_codes.parquet"),
@@ -437,6 +471,16 @@ def add_vectors(
                         f"{n_dup} vec_ids already present in {out_dir} "
                         "(appends must be id-disjoint, like index merges)"
                     )
+            # duplicates WITHIN the batch would append double
+            # assignment/twin rows — a state verify flags forever and
+            # repair cannot clear (repair only drops twin orphans);
+            # reject up front (one narrow count job per mutation)
+            n_distinct = new_embeddings.select("vec_id").distinct().count()
+            if n_distinct != n_new:
+                raise ValueError(
+                    f"batch contains {n_new - n_distinct} duplicate "
+                    "vec_id rows (ids must be unique within a batch)"
+                )
             cent = spark.read.parquet(f"{out_dir}/centroids.parquet")
             # a retry of a crashed append would re-append twin rows the
             # crashed attempt already wrote (the id-disjoint check only
@@ -530,24 +574,115 @@ def _drop_twin_orphans(
     return dropped
 
 
+def _heal_missing_twin_rows(
+    spark: SparkSession, out_dir: str, man: dict
+) -> dict:
+    """The inverse crash window of :func:`_drop_twin_orphans`: a
+    compaction that rewrote a twin (dropping tombstoned rows) but
+    crashed before rewriting assignments leaves assigned ids with NO
+    twin row.  Serving stays exact (the sidecar still masks those
+    ids), but the twin coverage checks of :func:`verify_ann_index`
+    fail and orphan-dropping alone can never clear them.  Heal order
+    of preference: (1) missing ids all tombstoned — exactly that
+    window — roll the interrupted compaction FORWARD
+    (:func:`_compact_locked`); (2) otherwise re-derive the missing
+    rows from the manifest's ``source`` embeddings table when it is
+    readable and covers them; (3) otherwise amputate the twin (drop
+    the dir, clear the manifest flag) — a twin is a derivable
+    acceleration, and the store serves exactly without it.  Caller
+    holds the writer lock and owns the manifest write (``man`` is
+    mutated in place on amputation)."""
+    notes: dict = {}
+    assigns = spark.read.parquet(f"{out_dir}/assignments.parquet")
+    tomb = _load_tombstones(spark, out_dir)
+    for flag, name in (("sq8", "sq8.parquet"), ("pq", "pq_codes.parquet")):
+        if not man.get(flag):
+            continue
+        path = f"{out_dir}/{name}"
+        have = (
+            spark.read.parquet(path).select("vec_id").distinct()
+            if os.path.isdir(path)
+            else spark.createDataFrame([], "vec_id long")
+        )
+        missing = (
+            assigns.select("vec_id").distinct().join(have, "vec_id", "left_anti")
+        )
+        n_missing = missing.count()
+        if n_missing == 0:
+            continue
+        if (
+            tomb is not None
+            and missing.join(
+                F.broadcast(tomb.select("vec_id").distinct()),
+                "vec_id",
+                "left_anti",
+            ).count()
+            == 0
+        ):
+            _compact_locked(spark, out_dir)
+            notes["compaction_rolled_forward"] = True
+            return notes  # the fold healed every twin at once
+        healed = False
+        src = man.get("source")
+        if src is not None:
+            try:
+                embs = spark.read.parquet(src).join(
+                    F.broadcast(missing), "vec_id"
+                )
+                if embs.count() == n_missing:
+                    if flag == "sq8":
+                        ann_mod.sq8_quantize(embs).write.mode(
+                            "append"
+                        ).parquet(path)
+                    else:
+                        cb = spark.read.parquet(
+                            f"{out_dir}/pq_codebooks.parquet"
+                        )
+                        ann_mod.pq_encode(
+                            embs, cb, m=int(man["pq"]["m"])
+                        ).write.mode("append").parquet(path)
+                    _refresh_path(spark, path)
+                    notes[flag] = {"rederived": int(n_missing)}
+                    healed = True
+            except Exception:
+                healed = False
+        if not healed:
+            _remove_dir(path)
+            if flag == "sq8":
+                man["sq8"] = False
+            else:
+                _remove_dir(f"{out_dir}/pq_codebooks.parquet")
+                man["pq"] = None
+            notes[flag] = {"amputated": int(n_missing)}
+    return notes
+
+
 def repair_ann_index(spark: SparkSession, out_dir: str) -> dict:
     """Re-derive every derivable artifact from the tables of record —
     the universal healer for any mutation crash window
     (:func:`verify_ann_index` flags them; this clears them).  Drops
-    twin rows with no assignment row (crashed-append orphans), prunes
-    tombstones that no longer reference an assignment row (crashed
-    compaction), recomputes ``bucket_counts`` and the manifest
-    accounting (``n_vectors``, ``max_vec_id``, ``n_tombstones``) from
-    the assignments table.  Centroids / codebooks / layout params are
-    NEVER touched — they are models, not accounting.  Serving is exact
-    before and after (every torn state this repairs is already
-    exactness-safe); the point is restoring the invariants so appends
-    and verify behave."""
+    twin rows with no assignment row (crashed-append orphans), heals
+    twins MISSING rows for assigned ids (the interrupted-compaction
+    window — rolled forward via :func:`_heal_missing_twin_rows`, which
+    falls back to re-deriving from the manifest source or amputating
+    the twin), prunes tombstones that no longer reference an
+    assignment row (crashed compaction tail), recomputes
+    ``bucket_counts`` and the manifest accounting (``n_vectors``,
+    ``max_vec_id``, ``n_tombstones``) from the assignments table.
+    Centroids / codebooks / layout params are NEVER touched — they are
+    models, not accounting.  Serving is exact before and after (every
+    torn state this repairs is already exactness-safe); the point is
+    restoring the invariants so appends and verify behave."""
     with _update_lock(out_dir):
         _refresh_path(spark, out_dir)
         try:
             man = _read_manifest(out_dir)
             dropped = _drop_twin_orphans(spark, out_dir, man)
+            twin_heal = _heal_missing_twin_rows(spark, out_dir, man)
+            if twin_heal.get("compaction_rolled_forward"):
+                # the roll-forward rewrote the manifest; re-read so the
+                # accounting pass below starts from the folded state
+                man = _read_manifest(out_dir)
             assigns = spark.read.parquet(f"{out_dir}/assignments.parquet")
             tomb = _load_tombstones(spark, out_dir)
             n_tomb = 0
@@ -588,6 +723,7 @@ def repair_ann_index(spark: SparkSession, out_dir: str) -> dict:
             _write_manifest_atomic(out_dir, man)
             return {
                 "orphan_twin_ids_dropped": dropped,
+                "twin_heal": twin_heal,
                 "n_vectors": int(row["n"]),
                 "n_tombstones": int(n_tomb),
             }
@@ -671,63 +807,64 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
     with _update_lock(out_dir):
         _refresh_path(spark, out_dir)
         try:
-            man = _read_manifest(out_dir)
-            tomb = _load_tombstones(spark, out_dir)
-            if tomb is None:
-                return {"removed": 0, "n_vectors": int(man["n_vectors"])}
-            tomb_ids = F.broadcast(tomb.select("vec_id"))
-            assigns_path = f"{out_dir}/assignments.parquet"
-            n_before = spark.read.parquet(assigns_path).count()
-            n_dead = (
-                spark.read.parquet(assigns_path)
-                .join(tomb_ids, "vec_id")
-                .count()
-            )
-            if n_dead == n_before:
-                raise ValueError(
-                    f"{out_dir}: compaction would remove every vector; "
-                    "rebuild instead"
-                )
-
-            def _rewrite(name: str) -> None:
-                path = f"{out_dir}/{name}"
-                if not os.path.isdir(path):
-                    return
-                staging = f"{path}.staging.{os.getpid()}"
-                spark.read.parquet(path).join(
-                    tomb_ids, "vec_id", "left_anti"
-                ).write.mode("overwrite").parquet(staging)
-                _replace_dir(path, staging)
-                _refresh_path(spark, path)
-
-            _rewrite("sq8.parquet")
-            _rewrite("pq_codes.parquet")
-            _rewrite("assignments.parquet")
-            survivors = spark.read.parquet(assigns_path)
-            counts_path = f"{out_dir}/bucket_counts.parquet"
-            staging = f"{counts_path}.staging.{os.getpid()}"
-            survivors.groupBy("bucket").count().write.mode(
-                "overwrite"
-            ).parquet(staging)
-            _replace_dir(counts_path, staging)
-            row = survivors.agg(
-                F.count("*").alias("n"), F.max("vec_id").alias("mx")
-            ).first()
-            man["n_vectors"] = int(row["n"])
-            man["max_vec_id"] = int(row["mx"])
-            man.pop("n_tombstones", None)
-            _write_manifest_atomic(out_dir, man)
-            # retire the sidecar: atomic rename out of the readers'
-            # path, then best-effort removal of the renamed dir
-            import shutil
-
-            tomb_path = f"{out_dir}/tombstones.parquet"
-            gone = f"{tomb_path}.gone.{os.getpid()}"
-            os.rename(tomb_path, gone)
-            shutil.rmtree(gone, ignore_errors=True)
-            return {"removed": int(n_dead), "n_vectors": int(row["n"])}
+            return _compact_locked(spark, out_dir)
         finally:
             _refresh_path(spark, out_dir)
+
+
+def _compact_locked(spark: SparkSession, out_dir: str) -> dict:
+    """Compaction body; caller holds the writer lock.  Also the
+    roll-forward :func:`repair_ann_index` uses when it detects the
+    interrupted-compaction crash window (twin already folded,
+    assignments not yet)."""
+    man = _read_manifest(out_dir)
+    tomb = _load_tombstones(spark, out_dir)
+    if tomb is None:
+        return {"removed": 0, "n_vectors": int(man["n_vectors"])}
+    tomb_ids = F.broadcast(tomb.select("vec_id"))
+    assigns_path = f"{out_dir}/assignments.parquet"
+    n_before = spark.read.parquet(assigns_path).count()
+    n_dead = (
+        spark.read.parquet(assigns_path).join(tomb_ids, "vec_id").count()
+    )
+    if n_dead == n_before:
+        raise ValueError(
+            f"{out_dir}: compaction would remove every vector; "
+            "rebuild instead"
+        )
+
+    def _rewrite(name: str) -> None:
+        path = f"{out_dir}/{name}"
+        if not os.path.isdir(path):
+            return
+        staging = f"{path}.staging.{os.getpid()}"
+        spark.read.parquet(path).join(
+            tomb_ids, "vec_id", "left_anti"
+        ).write.mode("overwrite").parquet(staging)
+        _replace_dir(path, staging)
+        _refresh_path(spark, path)
+
+    _rewrite("sq8.parquet")
+    _rewrite("pq_codes.parquet")
+    _rewrite("assignments.parquet")
+    survivors = spark.read.parquet(assigns_path)
+    counts_path = f"{out_dir}/bucket_counts.parquet"
+    staging = f"{counts_path}.staging.{os.getpid()}"
+    survivors.groupBy("bucket").count().write.mode("overwrite").parquet(
+        staging
+    )
+    _replace_dir(counts_path, staging)
+    row = survivors.agg(
+        F.count("*").alias("n"), F.max("vec_id").alias("mx")
+    ).first()
+    man["n_vectors"] = int(row["n"])
+    man["max_vec_id"] = int(row["mx"])
+    man.pop("n_tombstones", None)
+    _write_manifest_atomic(out_dir, man)
+    # retire the sidecar: atomic rename out of the readers' path, then
+    # best-effort removal of the renamed dir
+    _remove_dir(f"{out_dir}/tombstones.parquet")
+    return {"removed": int(n_dead), "n_vectors": int(row["n"])}
 
 
 def snapshot_ann_index(

@@ -883,8 +883,14 @@ def _np_score_pairs(
     """Score candidate ``(query_col, target_col, embedding)`` rows
     against the broadcast normalized query matrix with one numpy pass
     per Arrow batch — the vectorized twin of the interpreted per-row
-    HOF fold (same values: IEEE-double op order mirrors the HOF
-    expressions; quantized dots are exact integers).
+    HOF fold.  Quantized dots are exact integers (order-free);
+    float cosines agree with the HOF fold on every gate/test corpus,
+    but BLAS reductions may ASSOCIATE double sums differently than the
+    sequential fold, so a cosine sitting within 1 ulp of a round-6
+    boundary could in principle round differently between engines —
+    the oracle hashes (which run the np path end-to-end) are the guard
+    that this stays unobserved, and persisted stores freeze ONE
+    engine's assignments so serving is always self-consistent.
 
     quant=False -> (query_col, target_col, cos double), cos rounded
     half-up to 6 like every cosine in this module.

@@ -630,6 +630,13 @@ def test_counts_self_heal_and_not_an_index(spark, sf_med, store_dir, tmp_path):
     shutil.rmtree(f"{store_dir}/bucket_counts.parquet")
     idx = ann_store.load_ann_index(spark, store_dir)
     assert idx.bucket_counts.count() > 0
+    # the reader path must NOT write (it holds no lease — a write here
+    # would race a lock-holding mutator's atomic counts swap): counts
+    # are served as a lazy groupBy until repair re-materializes them
+    assert not os.path.isdir(f"{store_dir}/bucket_counts.parquet")
+    embs2 = _embs(spark, sf_med)
+    assert idx.query(_qv(embs2), embs2, k=5, nprobe=2).count() > 0
+    ann_store.repair_ann_index(spark, store_dir)
     assert os.path.isdir(f"{store_dir}/bucket_counts.parquet")
     other = str(tmp_path / "not_a_store")
     os.makedirs(other)
@@ -646,3 +653,169 @@ def test_gate_ivf_store_variant_nonempty(spark, sf_med):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["vec_id", "rank", "neighbor", "cos"]
+
+
+def test_rebuild_clears_stale_tombstones_and_twins(spark, sf_med, store_dir):
+    """A rebuild starts the store's liveness and twin set over: a
+    tombstone sidecar left by the previous build must not silently
+    mask the new build's vectors, and a twin dir the rebuild does not
+    produce must disappear (load picks twins up by directory
+    presence — a stale one would serve stale quantized rows)."""
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=True,
+        engine="np",
+    )
+    first = int(embs.orderBy("vec_id").first()["vec_id"])
+    ann_store.delete_vectors(spark, store_dir, [first])
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+    assert not os.path.isdir(f"{store_dir}/tombstones.parquet")
+    assert not os.path.isdir(f"{store_dir}/sq8.parquet")
+    idx = ann_store.load_ann_index(spark, store_dir)
+    assert idx.tombstones is None and idx.sq8 is None
+    # the previously deleted vector is reachable again: all-bucket
+    # probe must rank the self-hit first
+    qv = _qv(embs, n=1)
+    top = idx.query(qv, embs, k=1, nprobe=8).collect()
+    assert top and top[0]["doc_id"] == first
+    assert ann_store.verify_ann_index(spark, store_dir)["ok"]
+
+
+def test_append_rejects_intra_batch_duplicates(spark, sf_med, store_dir):
+    """Duplicate vec_ids WITHIN one batch would append double
+    assignment/twin rows — a torn state verify flags forever and
+    repair cannot clear; add_vectors must reject them up front on
+    both the strict and the skip_existing paths."""
+    embs = _embs(spark, sf_med)
+    man = ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+    fresh = int(man["max_vec_id"]) + 1
+    one = embs.limit(1).select(
+        F.lit(fresh).cast("long").alias("vec_id"), "embedding"
+    )
+    batch = one.unionAll(one)
+    with pytest.raises(ValueError, match="duplicate"):
+        ann_store.add_vectors(spark, store_dir, batch)
+    with pytest.raises(ValueError, match="duplicate"):
+        ann_store.add_vectors(spark, store_dir, batch, skip_existing=True)
+    assert ann_store.verify_ann_index(spark, store_dir)["ok"]
+
+
+def test_repair_rolls_forward_interrupted_compaction(
+    spark, sf_med, store_dir
+):
+    """Compaction crash window: the sq8 twin was rewritten (tombstoned
+    rows folded out) but the crash hit before the assignments rewrite.
+    verify fails the twin coverage check and orphan-dropping alone can
+    never clear it — repair must detect that the missing twin ids are
+    exactly tombstoned ids and roll the compaction FORWARD, after
+    which verify is green and the deleted ids stay unreachable."""
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=True,
+        engine="np",
+    )
+    dead = [int(r["vec_id"]) for r in embs.orderBy("vec_id").limit(3).collect()]
+    ann_store.delete_vectors(spark, store_dir, dead)
+    # replay compact's FIRST rewrite only (fold sq8, leave assignments)
+    import shutil
+
+    q8_path = f"{store_dir}/sq8.parquet"
+    staging = f"{q8_path}.crashsim"
+    spark.read.parquet(q8_path).where(
+        ~F.col("vec_id").isin(dead)
+    ).write.parquet(staging)
+    shutil.rmtree(q8_path)
+    os.rename(staging, q8_path)
+    spark.catalog.refreshByPath(store_dir)
+    assert not ann_store.verify_ann_index(spark, store_dir)["ok"]
+    rep = ann_store.repair_ann_index(spark, store_dir)
+    assert rep["twin_heal"].get("compaction_rolled_forward") is True
+    v = ann_store.verify_ann_index(spark, store_dir)
+    assert v["ok"], v
+    idx = ann_store.load_ann_index(spark, store_dir)
+    assert idx.tombstones is None
+    got = {
+        r["doc_id"]
+        for r in idx.query(_qv(embs), embs, k=5, nprobe=8).collect()
+    }
+    assert not (got & set(dead))
+
+
+def test_repair_amputates_untraceable_twin(spark, sf_med, store_dir):
+    """Twin rows missing for LIVE (untombstoned) ids with no source
+    table recorded: the rows are underivable, so repair amputates the
+    twin (drops the dir, clears the manifest flag) instead of looping
+    forever — the store serves exactly without the acceleration."""
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=True,
+        engine="np",
+    )
+    lost = [int(r["vec_id"]) for r in embs.orderBy("vec_id").limit(2).collect()]
+    import shutil
+
+    q8_path = f"{store_dir}/sq8.parquet"
+    staging = f"{q8_path}.crashsim"
+    spark.read.parquet(q8_path).where(
+        ~F.col("vec_id").isin(lost)
+    ).write.parquet(staging)
+    shutil.rmtree(q8_path)
+    os.rename(staging, q8_path)
+    spark.catalog.refreshByPath(store_dir)
+    assert not ann_store.verify_ann_index(spark, store_dir)["ok"]
+    rep = ann_store.repair_ann_index(spark, store_dir)
+    assert rep["twin_heal"] == {"sq8": {"amputated": 2}}
+    assert not os.path.isdir(q8_path)
+    v = ann_store.verify_ann_index(spark, store_dir)
+    assert v["ok"], v
+    idx = ann_store.load_ann_index(spark, store_dir)
+    assert idx.sq8 is None
+    assert idx.query(_qv(embs), embs, k=5, nprobe=2).count() > 0
+
+
+def test_repair_rederives_twin_from_recorded_source(
+    spark, sf_med, store_dir
+):
+    """Same missing-live-twin-rows state, but the manifest records a
+    readable source embeddings table: repair re-derives the missing
+    twin rows from it (the twin is a derivable acceleration) and the
+    healed store serves sq8-quantized queries identically to an
+    untouched build."""
+    embs = _embs(spark, sf_med)
+    src = f"{sf_med}/embeddings.parquet"
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=True,
+        engine="np", source=src,
+    )
+    want = _rows(
+        ann_store.load_ann_index(spark, store_dir).query(
+            _qv(embs), embs, k=5, nprobe=2, quant="sq8"
+        )
+    )
+    lost = [int(r["vec_id"]) for r in embs.orderBy("vec_id").limit(2).collect()]
+    import shutil
+
+    q8_path = f"{store_dir}/sq8.parquet"
+    staging = f"{q8_path}.crashsim"
+    spark.read.parquet(q8_path).where(
+        ~F.col("vec_id").isin(lost)
+    ).write.parquet(staging)
+    shutil.rmtree(q8_path)
+    os.rename(staging, q8_path)
+    spark.catalog.refreshByPath(store_dir)
+    rep = ann_store.repair_ann_index(spark, store_dir)
+    assert rep["twin_heal"] == {"sq8": {"rederived": 2}}
+    v = ann_store.verify_ann_index(spark, store_dir)
+    assert v["ok"], v
+    got = _rows(
+        ann_store.load_ann_index(spark, store_dir).query(
+            _qv(embs), embs, k=5, nprobe=2, quant="sq8"
+        )
+    )
+    assert got == want

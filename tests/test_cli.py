@@ -118,6 +118,25 @@ def test_cli_pipeline_end_to_end(tmp_path):
         assert {r["mode"] for r in recs} == {"blockmax", "ranked_or"}
         assert all(r["unit"] == "us" and r["q95"] >= r["q50"] for r in recs)
 
+        # --latency --mode auto: the crossover resolver lives in the
+        # run_ranked serving paths, not the kernel timer — must exit
+        # with one clean line, not an uncaught traceback
+        import contextlib
+        import io
+
+        from partitioned_ef_ans_spark import cli as cli_mod
+
+        old_stdin, sys.stdin = sys.stdin, io.StringIO(qtsv)
+        err = io.StringIO()
+        try:
+            with contextlib.redirect_stderr(err):
+                rc = cli_mod.main(
+                    ["queries", idx, "--mode", "auto", "--latency"]
+                )
+        finally:
+            sys.stdin = old_stdin
+        assert rc == 2 and "no mode 'auto'" in err.getvalue()
+
         out = run_cli("transform_queries", f"{SF}/documents.parquet",
                       stdin="dup spark\nzzz_not_a_term dup\n")
         lines = [l for l in out.splitlines() if l.strip()]
