@@ -915,7 +915,10 @@ def cmd_ann(args) -> int:
     tombstones ids (masked from serving immediately); ``compact`` folds
     the tombstones physically; ``repair`` re-derives all derivable
     accounting after a mutation crash; ``verify`` checks the artifact
-    row-accounting invariants."""
+    row-accounting invariants; ``merge`` folds other stores' live
+    vectors into this one under its frozen centroids.  ``query`` with
+    a comma-separated ``--index`` list scatter-gathers across stores
+    (exact fusion — cosine needs no cross-shard statistics)."""
     from pyspark.sql import functions as F
 
     from partitioned_ef_ans_spark.index import ann_store
@@ -924,8 +927,12 @@ def cmd_ann(args) -> int:
     # query default stays the HOF path (oracle-shaped, no driver
     # collect of the query table beyond the broadcast)
     engine = args.engine or ("hof" if args.action == "query" else "np")
-    if args.action in ("build", "add") and not args.embeddings:
-        print("--embeddings is required for build/add", file=sys.stderr)
+    if args.action in ("build", "add", "merge") and not args.embeddings:
+        print("--embeddings is required for build/add/merge",
+              file=sys.stderr)
+        return 2
+    if args.action == "merge" and not args.merge_from:
+        print("--from is required for merge", file=sys.stderr)
         return 2
     if args.action == "query" and not args.queries:
         print("--queries is required for query", file=sys.stderr)
@@ -979,12 +986,24 @@ def cmd_ann(args) -> int:
             )
             print(json.dumps(man))
             return 0
+        if args.action == "merge":
+            man = ann_store.merge_ann_stores(
+                spark,
+                args.index,
+                [d for d in args.merge_from.split(",") if d],
+                spark.read.parquet(args.embeddings),
+                engine=engine,
+            )
+            print(json.dumps(man))
+            return 0
         if args.action == "verify":
             res = ann_store.verify_ann_index(spark, args.index)
             print(json.dumps(res))
             return 0 if res["ok"] else 1
-        # query
-        idx = ann_store.load_ann_index(spark, args.index)
+        # query — comma-separated store dirs scatter-gather like the
+        # text plane's `queries dirA,dirB`
+        store_dirs = [d for d in args.index.split(",") if d]
+        idx = ann_store.load_ann_index(spark, store_dirs[0])
         emb_path = args.embeddings or idx.manifest.get("source")
         if not emb_path:
             print(
@@ -996,15 +1015,28 @@ def cmd_ann(args) -> int:
         qv = spark.read.parquet(args.queries)
         if "query_id" not in qv.columns and "vec_id" in qv.columns:
             qv = qv.withColumnRenamed("vec_id", "query_id")
-        res = idx.query(
-            qv.select("query_id", "embedding"),
-            embs,
-            k=args.k,
-            nprobe=args.nprobe,
-            quant=args.quant,
-            rescore_mult=args.rescore_mult,
-            engine=engine,
-        )
+        if len(store_dirs) > 1:
+            res = ann_store.query_sharded_ann(
+                spark,
+                store_dirs,
+                qv.select("query_id", "embedding"),
+                embs,
+                k=args.k,
+                nprobe=args.nprobe,
+                quant=args.quant,
+                rescore_mult=args.rescore_mult,
+                engine=engine,
+            )
+        else:
+            res = idx.query(
+                qv.select("query_id", "embedding"),
+                embs,
+                k=args.k,
+                nprobe=args.nprobe,
+                quant=args.quant,
+                rescore_mult=args.rescore_mult,
+                engine=engine,
+            )
         if args.out:
             res.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
@@ -1308,11 +1340,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     an = sub.add_parser(
         "ann",
-        help="persisted ANN index: build / query / add / delete / "
-             "compact / verify",
+        help="persisted ANN index: build / query (sharded via "
+             "dirA,dirB) / add / delete / compact / verify / merge",
     )
     an.add_argument("action", choices=["build", "query", "add", "delete",
-                                       "compact", "repair", "verify"])
+                                       "compact", "repair", "verify",
+                                       "merge"])
+    an.add_argument("--from", default=None, dest="merge_from",
+                    help="comma-separated source store dirs whose LIVE "
+                         "vectors fold into --index (action=merge)")
     an.add_argument("--ids", default=None,
                     help="comma/space-separated vec ids to tombstone")
     an.add_argument("--ids-file", default=None,

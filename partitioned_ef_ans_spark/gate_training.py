@@ -1179,6 +1179,7 @@ def sql_ann_ivf_store(
     nprobe: int = 2,
     nq: int = 5,
     deleted_mod: tuple[int, int] | None = None,
+    shard_mod: tuple[int, int] | None = None,
 ) -> str:
     """From-scratch replay of the store-served dense probe: pinned
     centroids, corpus assignment, the ``nq`` smallest vec_ids as
@@ -1191,15 +1192,27 @@ def sql_ann_ivf_store(
     corpus vectors with ``vec_id % m == r`` are excluded from the
     ASSIGNMENT relation only — centroids stay pinned over the full
     table (deletion never retrains models) and the query set is
-    untouched (external queries are not corpus rows)."""
-    mask = (
-        f" WHERE e.vec_id % {deleted_mod[0]} <> {deleted_mod[1]}"
-        if deleted_mod
+    untouched (external queries are not corpus rows).
+
+    ``shard_mod=(m, r)`` replays ONE SHARD of a scatter-gather
+    deployment: the shard's corpus AND its pinned centroids come from
+    ``vec_id % m == r`` rows only (each store pins the smallest ids
+    of ITS OWN half), while the query set stays global — exactly what
+    :func:`ann_store.query_sharded_ann` feeds every store."""
+    conds = []
+    if deleted_mod:
+        conds.append(f"e.vec_id % {deleted_mod[0]} <> {deleted_mod[1]}")
+    if shard_mod:
+        conds.append(f"e.vec_id % {shard_mod[0]} = {shard_mod[1]}")
+    mask = (" WHERE " + " AND ".join(conds)) if conds else ""
+    cent_where = (
+        f" WHERE vec_id % {shard_mod[0]} = {shard_mod[1]}"
+        if shard_mod
         else ""
     )
     return f"""
 WITH {_EMB_NORM_CTE},
-cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
+cent AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings{cent_where} ORDER BY vec_id LIMIT {n_centroids}),
 qv AS (SELECT vec_id AS query_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nq}),
 csim AS (
   SELECT e.vec_id, c.cent_id,
@@ -1299,6 +1312,79 @@ def q_ann_ivf_store_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_STORE_SHARD_CACHE: dict = {}
+
+
+def _get_ann_store_shards(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Two disjoint stores over the vec_id-parity halves of the
+    embeddings table, each pinning the 8 smallest vec_ids of ITS OWN
+    half as centroids — the scatter-gather deployment the textual
+    oracle replays shard by shard."""
+    import hashlib
+    import os
+
+    from partitioned_ef_ans_spark.index import ann_store
+
+    if sf_dir not in _ANN_STORE_SHARD_CACHE:
+        dirs = []
+        for parity in (0, 1):
+            tag = hashlib.sha1(
+                f"{sf_dir}|shard{parity}".encode()
+            ).hexdigest()[:12]
+            out_dir = f"/dev/shm/pefa_annshard_{os.getpid()}_{tag}"
+            ann_store.build_ann_index(
+                spark,
+                _embs(spark, sf_dir).where(F.col("vec_id") % 2 == parity),
+                out_dir,
+                n_centroids=8,
+                trained=False,
+                sq8=False,
+                pq=False,
+                engine="np",
+            )
+            dirs.append(out_dir)
+        _ANN_STORE_SHARD_CACHE[sf_dir] = dirs
+    return _ANN_STORE_SHARD_CACHE[sf_dir]
+
+
+def q_ann_ivf_store_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scatter-gather serving over two parity-split persisted stores
+    (index/ann_store.py::query_sharded_ann): each store serves the
+    global query batch top-5 from its OWN pinned centroids and
+    assignments, the k-lists union, and an exact global re-rank by
+    (cos desc, id) keeps the best 5 — the dense analogue of the
+    sharded BM25 plane, exact without any cross-shard statistic
+    because cosine is a per-pair value."""
+    from partitioned_ef_ans_spark.index import ann_store
+
+    embs = _embs(spark, sf_dir)
+    qv = (
+        embs.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    res = ann_store.query_sharded_ann(
+        spark, _get_ann_store_shards(spark, sf_dir), qv, embs, k=5, nprobe=2
+    )
+    return res.select(
+        F.col("query_id").alias("vec_id"),
+        "rank",
+        F.col("doc_id").alias("neighbor"),
+        "cos",
+    )
+
+
+def sql_ann_ivf_store_sharded(k: int = 5) -> str:
+    s0 = sql_ann_ivf_store(shard_mod=(2, 0))
+    s1 = sql_ann_ivf_store(shard_mod=(2, 1))
+    return f"""
+SELECT vec_id, CAST(row_number() OVER w AS INT) AS "rank", neighbor, cos
+FROM (SELECT vec_id, neighbor, cos FROM ({s0})
+      UNION ALL SELECT vec_id, neighbor, cos FROM ({s1}))
+WINDOW w AS (PARTITION BY vec_id ORDER BY cos DESC, neighbor)
+QUALIFY "rank" <= {k}"""
+
+
 def q_ann_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF twins (pinned centroids / trained Lloyd k-means / int8
     scalar-quantized first pass / PQ-ADC / persisted-store serving)
@@ -1320,6 +1406,9 @@ def q_ann_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = q_ann_ivf_store_deleted(spark, sf_dir).withColumn(
         "variant", F.lit("ivf_store_deleted")
     )
+    h = q_ann_ivf_store_sharded(spark, sf_dir).withColumn(
+        "variant", F.lit("ivf_store_sharded")
+    )
     return (
         a.unionByName(b)
         .unionByName(c)
@@ -1327,6 +1416,7 @@ def q_ann_ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e)
         .unionByName(f)
         .unionByName(g)
+        .unionByName(h)
     )
 
 
@@ -1346,7 +1436,10 @@ def sql_ann_ivf_family() -> str:
         f"SELECT v.*, 'ivf_store' AS variant FROM ({sql_ann_ivf_store()}) v "
         "UNION ALL "
         "SELECT v.*, 'ivf_store_deleted' AS variant "
-        f"FROM ({sql_ann_ivf_store(deleted_mod=_ANN_DEL_MOD)}) v"
+        f"FROM ({sql_ann_ivf_store(deleted_mod=_ANN_DEL_MOD)}) v "
+        "UNION ALL "
+        "SELECT v.*, 'ivf_store_sharded' AS variant "
+        f"FROM ({sql_ann_ivf_store_sharded()}) v"
     )
 
 

@@ -867,6 +867,107 @@ def _compact_locked(spark: SparkSession, out_dir: str) -> dict:
     return {"removed": int(n_dead), "n_vectors": int(row["n"])}
 
 
+def query_sharded_ann(
+    spark: SparkSession,
+    store_dirs: list[str],
+    query_vecs: DataFrame,
+    embeddings: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    quant: str | None = None,
+    rescore_mult: int = 3,
+    engine: str = "hof",
+) -> DataFrame:
+    """Scatter-gather serving over N independent ANN stores — the
+    dense analogue of the text plane's sharded serving
+    (index/sharded.py): every store serves its own per-query top-k
+    from its own centroids/assignments/tombstones, the k-lists union,
+    and a global re-rank by ``(cos desc, doc_id)`` keeps the best k.
+
+    Unlike sharded BM25 there is NO global statistic to reconcile —
+    cosine is a per-pair value, identical no matter which shard holds
+    the vector — so the gather is exact by construction: with
+    ``nprobe`` covering every store's centroids the result equals
+    brute force over the union of the shards' live vectors, and at
+    any ``nprobe`` it equals per-shard IVF + exact fusion (the
+    relation the gate's textual oracle replays).  Scale shape: each
+    shard's plan is its own store's serving plan unchanged; the
+    gather is O(queries × k × shards) rows — tiny, one extra window.
+
+    ``embeddings`` is the shared float payload table the stores sit
+    beside (per-shard candidate joins touch only that shard's ids)."""
+    from pyspark.sql import Window
+
+    if not store_dirs:
+        raise ValueError("query_sharded_ann: no store directories")
+    legs = [
+        load_ann_index(spark, d).query(
+            query_vecs,
+            embeddings,
+            k=k,
+            nprobe=nprobe,
+            quant=quant,
+            rescore_mult=rescore_mult,
+            engine=engine,
+        )
+        for d in store_dirs
+    ]
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    return (
+        u.select("query_id", "doc_id", "cos")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "cos")
+    )
+
+
+def merge_ann_stores(
+    spark: SparkSession,
+    dst_dir: str,
+    src_dirs: list[str],
+    embeddings: DataFrame,
+    *,
+    engine: str = "np",
+) -> dict:
+    """Fold the LIVE vectors of the ``src_dirs`` stores into the store
+    at ``dst_dir`` — the ANN analogue of the text plane's shard merge
+    (checkpoint.merge_indexes), at append cost: ids come from each
+    source's assignments minus its tombstones (deleted vectors never
+    migrate), payloads from the shared ``embeddings`` table, and the
+    whole union lands as ONE :func:`add_vectors` batch under the
+    destination's FROZEN centroids.  O(source vectors); the
+    destination is never re-read or re-assigned.
+
+    Id-disjointness is enforced by ``add_vectors`` (vs the
+    destination AND within the union via the intra-batch duplicate
+    check, so overlapping sources fail loudly).  The merged store
+    serves the source vectors exactly as if they had been appended
+    directly — same frozen-model contract, same bit-equal serving.
+    Sources are left untouched (retire them once the merge returns)."""
+    if not src_dirs:
+        raise ValueError("merge_ann_stores: no source stores")
+    ids = None
+    for src in src_dirs:
+        live = load_ann_index(spark, src).live_assignments().select("vec_id")
+        ids = live if ids is None else ids.unionByName(live)
+    batch = embeddings.join(ids, "vec_id")
+    n_ids = ids.count()
+    n_batch = batch.count()
+    if n_batch != n_ids:
+        raise ValueError(
+            f"embeddings table covers {n_batch}/{n_ids} live source "
+            "vectors — merge needs the shared payload table the "
+            "sources were built over"
+        )
+    return add_vectors(spark, dst_dir, batch, engine=engine)
+
+
 def snapshot_ann_index(
     out_dir: str, dest: str | None = None, timeout: float = 120.0
 ) -> str:

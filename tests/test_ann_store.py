@@ -819,3 +819,110 @@ def test_repair_rederives_twin_from_recorded_source(
         )
     )
     assert got == want
+
+
+def _build_parity_shards(spark, embs, tmp_path, sq8=False):
+    dirs = []
+    for p in (0, 1):
+        d = str(tmp_path / f"shard{p}")
+        ann_store.build_ann_index(
+            spark, embs.where(F.col("vec_id") % 2 == p), d, n_centroids=8,
+            trained=False, sq8=sq8, engine="np",
+        )
+        dirs.append(d)
+    return dirs
+
+
+def test_sharded_query_all_probe_equals_brute_over_union(
+    spark, sf_med, tmp_path
+):
+    """Scatter-gather over parity-split stores with nprobe covering
+    every shard's centroids: the candidate set is the union corpus, so
+    the fused result must equal brute force over ALL vectors
+    row-for-row — cosine needs no cross-shard statistic, which is what
+    makes the gather exact by construction."""
+    from partitioned_ef_ans_spark.operators import hybrid as h_mod
+
+    embs = _embs(spark, sf_med)
+    dirs = _build_parity_shards(spark, embs, tmp_path)
+    qv = _qv(embs)
+    got = ann_store.query_sharded_ann(spark, dirs, qv, embs, k=5, nprobe=8)
+    want = h_mod.dense_topk_for_queries(qv, embs, k=5)
+    cols = ["query_id", "rank", "doc_id", "cos"]
+    assert _rows(got.select(*cols)) == _rows(want.select(*cols))
+    with pytest.raises(ValueError):
+        ann_store.query_sharded_ann(spark, [], qv, embs)
+
+
+def test_sharded_query_masks_per_shard_tombstones(spark, sf_med, tmp_path):
+    """Each shard masks its OWN tombstone sidecar inside the gather:
+    deleting ids from one store removes them from the fused result and
+    the rest equals brute force over the surviving union."""
+    from partitioned_ef_ans_spark.operators import hybrid as h_mod
+
+    embs = _embs(spark, sf_med)
+    dirs = _build_parity_shards(spark, embs, tmp_path)
+    dead = [
+        int(r["vec_id"])
+        for r in embs.where(F.col("vec_id") % 2 == 0)
+        .orderBy("vec_id")
+        .limit(2)
+        .collect()
+    ]
+    ann_store.delete_vectors(spark, dirs[0], dead)
+    qv = _qv(embs)
+    got = ann_store.query_sharded_ann(spark, dirs, qv, embs, k=5, nprobe=8)
+    want = h_mod.dense_topk_for_queries(
+        qv, embs.where(~F.col("vec_id").isin(dead)), k=5
+    )
+    cols = ["query_id", "rank", "doc_id", "cos"]
+    assert _rows(got.select(*cols)) == _rows(want.select(*cols))
+    assert not {r["doc_id"] for r in got.collect()} & set(dead)
+
+
+def test_merge_stores_folds_live_source_vectors(spark, sf_med, tmp_path):
+    """merge folds the sources' LIVE vectors into the destination under
+    its frozen centroids: tombstoned source ids never migrate, the
+    merged store equals brute force over the surviving union at
+    all-probe, and overlapping sources fail loudly through the
+    add_vectors disjointness checks."""
+    from partitioned_ef_ans_spark.operators import hybrid as h_mod
+
+    embs = _embs(spark, sf_med)
+    dst, src = _build_parity_shards(spark, embs, tmp_path)
+    dead = [
+        int(r["vec_id"])
+        for r in embs.where(F.col("vec_id") % 2 == 1)
+        .orderBy("vec_id")
+        .limit(2)
+        .collect()
+    ]
+    ann_store.delete_vectors(spark, src, dead)
+    man = ann_store.merge_ann_stores(spark, dst, [src], embs)
+    n_half0 = embs.where(F.col("vec_id") % 2 == 0).count()
+    n_half1 = embs.where(F.col("vec_id") % 2 == 1).count()
+    assert man["n_vectors"] == n_half0 + n_half1 - len(dead)
+    assert ann_store.verify_ann_index(spark, dst)["ok"]
+    qv = _qv(embs)
+    idx = ann_store.load_ann_index(spark, dst)
+    got = idx.query(qv, embs, k=5, nprobe=8)
+    want = h_mod.dense_topk_for_queries(
+        qv, embs.where(~F.col("vec_id").isin(dead)), k=5
+    )
+    cols = ["query_id", "rank", "doc_id", "cos"]
+    assert _rows(got.select(*cols)) == _rows(want.select(*cols))
+    # a second merge of the same source overlaps -> rejected
+    with pytest.raises(ValueError, match="already present"):
+        ann_store.merge_ann_stores(spark, dst, [src], embs)
+    # payload table missing source rows -> rejected up front
+    half = embs.where(F.col("vec_id") % 2 == 0)
+    other = str(tmp_path / "other")
+    ann_store.build_ann_index(
+        spark,
+        embs.where(F.col("vec_id") % 2 == 1).withColumn(
+            "vec_id", F.col("vec_id") + 1000000
+        ),
+        other, n_centroids=8, trained=False, sq8=False, engine="np",
+    )
+    with pytest.raises(ValueError, match="covers"):
+        ann_store.merge_ann_stores(spark, dst, [other], half)

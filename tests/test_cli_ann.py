@@ -160,3 +160,44 @@ def test_cli_hybrid_serves_persisted_fusion(spark, tmp_path):
         for r in want.orderBy("query_id", "rank").collect()
     ]
     assert got == want_rows and len(got) == 10
+
+
+def test_cli_ann_sharded_query_and_merge(spark, tmp_path, query_parquet):
+    """`ann query --index a,b` scatter-gathers; `ann merge --index dst
+    --from src` folds live source vectors — both must equal the
+    library calls row for row."""
+    from partitioned_ef_ans_spark.index import ann_store
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dirs = []
+    for p in (0, 1):
+        d = str(tmp_path / f"shard{p}")
+        ann_store.build_ann_index(
+            spark, embs.where(F.col("vec_id") % 2 == p), d, n_centroids=8,
+            trained=False, sq8=False, engine="np",
+        )
+        dirs.append(d)
+    out = run_cli(
+        "ann", "query", "--index", ",".join(dirs),
+        "--embeddings", f"{SF}/embeddings.parquet",
+        "--queries", query_parquet, "-k", "5", "--nprobe", "8",
+    )
+    got = sorted(
+        tuple(ln.split("\t")) for ln in out.strip().splitlines()
+    )
+    qv = spark.read.parquet(query_parquet)
+    want = sorted(
+        (str(r["query_id"]), str(r["rank"]), str(r["doc_id"]), str(r["cos"]))
+        for r in ann_store.query_sharded_ann(
+            spark, dirs, qv, embs, k=5, nprobe=8
+        ).collect()
+    )
+    assert got == want
+
+    man_line = run_cli(
+        "ann", "merge", "--index", dirs[0], "--from", dirs[1],
+        "--embeddings", f"{SF}/embeddings.parquet",
+    )
+    assert json.loads(man_line)["n_vectors"] == 500
+    ver = json.loads(run_cli("ann", "verify", "--index", dirs[0]))
+    assert ver["ok"], ver
