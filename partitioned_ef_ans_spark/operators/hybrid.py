@@ -148,22 +148,90 @@ def hybrid_search_persisted(
     (checkpoint.delete_docs + ann_store.delete_vectors).
     Scale shape: each leg is its own substrate's serving plan (no new
     shuffles); fusion adds one shuffle over O(queries x k x 2) rows."""
-    from partitioned_ef_ans_spark.index import build as b_mod
-    from partitioned_ef_ans_spark.index import query as q_mod
-    from partitioned_ef_ans_spark.index.ann_store import load_ann_index
-    from partitioned_ef_ans_spark.index.checkpoint import load_tombstones
-
-    k_leg = int(k if k_leg is None else k_leg)
-    index_df, _stats, term_stats, codec, man = b_mod.load_index(
-        spark, index_dir
-    )
-    sparse = q_mod.run_ranked(
-        spark, index_df, queries_df, codec, man["num_docs"],
-        man["avg_doc_len"], mode=mode, k=k_leg, dtype=dtype,
-        term_stats_df=term_stats, tombstones=load_tombstones(index_dir),
-    )
-    dense = load_ann_index(spark, ann_store_dir).query(
-        query_vecs, embeddings, k=k_leg, nprobe=nprobe, quant=quant,
+    return HybridServer(spark, index_dir, ann_store_dir, pin=False).search(
+        queries_df, query_vecs, embeddings, k=k, k_leg=k_leg, k_rrf=k_rrf,
+        mode=mode, dtype=dtype, nprobe=nprobe, quant=quant,
         rescore_mult=rescore_mult, engine=engine,
     )
-    return rrf_fuse([sparse, dense], k=k, k_rrf=k_rrf)
+
+
+class HybridServer:
+    """The serving-loop shape of :func:`hybrid_search_persisted`: load
+    BOTH substrates ONCE (index frames, term stats, manifest, ANN
+    store handles, tombstone sidecars) and serve many query batches
+    from the pinned handles — the CLAUDE.md serving-wrapper rule
+    (never pay a per-call load/scan in a loop) applied to the RAG
+    entry point.  ``pin=True`` (default) caches the index scan and
+    term stats in Spark's block store; call :meth:`close` to release
+    them.
+
+    The handles snapshot the substrates AT LOAD TIME: mutations
+    (deletes, appends, compactions) land in a new server — the same
+    contract as any loaded index session."""
+
+    def __init__(
+        self,
+        spark,
+        index_dir: str,
+        ann_store_dir: str,
+        pin: bool = True,
+    ) -> None:
+        from partitioned_ef_ans_spark.index import build as b_mod
+        from partitioned_ef_ans_spark.index.ann_store import load_ann_index
+        from partitioned_ef_ans_spark.index.checkpoint import load_tombstones
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.ann_store_dir = ann_store_dir
+        index_df, _stats, term_stats, codec, man = b_mod.load_index(
+            spark, index_dir
+        )
+        self._pinned = []
+        if pin:
+            index_df = index_df.cache()
+            term_stats = term_stats.cache()
+            self._pinned = [index_df, term_stats]
+        self.index_df = index_df
+        self.term_stats = term_stats
+        self.codec = codec
+        self.manifest = man
+        self.tombstones = load_tombstones(index_dir)
+        self.ann = load_ann_index(spark, ann_store_dir)
+
+    def search(
+        self,
+        queries_df: DataFrame,
+        query_vecs: DataFrame,
+        embeddings: DataFrame,
+        k: int = 10,
+        k_leg: int | None = None,
+        k_rrf: int = DEFAULT_K_RRF,
+        mode: str = "blockmax",
+        dtype: str = "float32",
+        nprobe: int = 8,
+        quant: str | None = None,
+        rescore_mult: int = 3,
+        engine: str = "np",
+    ) -> DataFrame:
+        from partitioned_ef_ans_spark.index import query as q_mod
+
+        k_leg = int(k if k_leg is None else k_leg)
+        sparse = q_mod.run_ranked(
+            self.spark, self.index_df, queries_df, self.codec,
+            self.manifest["num_docs"], self.manifest["avg_doc_len"],
+            mode=mode, k=k_leg, dtype=dtype,
+            term_stats_df=self.term_stats, tombstones=self.tombstones,
+        )
+        dense = self.ann.query(
+            query_vecs, embeddings, k=k_leg, nprobe=nprobe, quant=quant,
+            rescore_mult=rescore_mult, engine=engine,
+        )
+        return rrf_fuse([sparse, dense], k=k, k_rrf=k_rrf)
+
+    def close(self) -> None:
+        for df in self._pinned:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._pinned = []

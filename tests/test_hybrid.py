@@ -261,3 +261,49 @@ def test_hybrid_search_persisted_equals_in_session_composition(
     assert not any(r["doc_id"] == sp1 for r in sparse1.collect())
     assert not any(r["doc_id"] == dn1 for r in dense1.collect())
     assert got2 != got_rows
+
+
+def test_hybrid_server_equals_one_shot_and_unpins(spark, sf_med, tmp_path):
+    """HybridServer (load both substrates once, serve many batches)
+    must return exactly what the one-shot hybrid_search_persisted
+    returns, and close() must release every frame it pinned."""
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark.index import ann_store
+    from partitioned_ef_ans_spark.index import build as b_mod
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet")
+    idx_dir = str(tmp_path / "idx")
+    b_mod.build_index(
+        spark, docs, idx_dir, codec="ans", chunk_postings=256,
+        doc_col="doc_id", text_col="text",
+    )
+    embs = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    store_dir = str(tmp_path / "store")
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+    qdf = queries_to_df(spark, [(0, ["dup"]), (1, ["dup", "the"])])
+    qv = (
+        embs.where(F.col("vec_id").isin([0, 1]))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    one_shot = sorted(
+        map(tuple, h_mod.hybrid_search_persisted(
+            spark, idx_dir, store_dir, qdf, qv, embs, k=5, nprobe=2
+        ).collect())
+    )
+    server = h_mod.HybridServer(spark, idx_dir, store_dir)
+    try:
+        for _ in range(2):  # a loop: the point of the server shape
+            got = sorted(
+                map(tuple, server.search(qdf, qv, embs, k=5, nprobe=2)
+                    .collect())
+            )
+            assert got == one_shot and got
+        assert all(df.is_cached for df in server._pinned)
+    finally:
+        server.close()
+    assert not server._pinned
