@@ -307,3 +307,91 @@ def test_hybrid_server_equals_one_shot_and_unpins(spark, sf_med, tmp_path):
     finally:
         server.close()
     assert not server._pinned
+
+
+def test_hybrid_serving_tracks_both_streaming_substrates(
+    spark, sf_med, tmp_path
+):
+    """The RAG loop under live ingestion: documents stream into the
+    text index (LSM delta segments) while embeddings stream into the
+    ANN store — hybrid_search_persisted over the streamed substrates
+    must equal the same composition over substrates batch-built from
+    everything.  This composes the two streaming planes end-to-end:
+    each is individually exactly-once-in-effect, so the fused serving
+    relation must be too."""
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark.index import ann_store
+    from partitioned_ef_ans_spark.index.checkpoint import (
+        build_index_resumable,
+    )
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.streaming.ann_update import (
+        start_ann_update_stream,
+    )
+    from partitioned_ef_ans_spark.streaming.index_update import (
+        start_index_update_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    embs = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    d_ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    v_ids = sorted(r["vec_id"] for r in embs.select("vec_id").collect())
+    d_cut = d_ids[2 * len(d_ids) // 3]
+    v_cut = v_ids[2 * len(v_ids) // 3]
+
+    live_idx = str(tmp_path / "idx_live")
+    build_index_resumable(
+        spark, docs.where(F.col("doc_id") <= d_cut), live_idx,
+        codec="ans", num_parts=4, chunk_postings=256,
+        text_col="content",
+    )
+    docs.where(F.col("doc_id") > d_cut).write.parquet(
+        str(tmp_path / "doc_in")
+    )
+    start_index_update_stream(
+        spark, str(tmp_path / "doc_in"), live_idx,
+        str(tmp_path / "doc_ckpt"), mode="delta",
+    )
+
+    live_store = str(tmp_path / "store_live")
+    ann_store.build_ann_index(
+        spark, embs.where(F.col("vec_id") <= v_cut), live_store,
+        n_centroids=8, trained=False, sq8=False, engine="np",
+    )
+    embs.where(F.col("vec_id") > v_cut).select(
+        "vec_id", "embedding"
+    ).write.parquet(str(tmp_path / "emb_in"))
+    start_ann_update_stream(
+        spark, str(tmp_path / "emb_in"), live_store,
+        str(tmp_path / "emb_ckpt"),
+    )
+
+    full_idx = str(tmp_path / "idx_full")
+    build_index_resumable(
+        spark, docs, full_idx, codec="ans", num_parts=4,
+        chunk_postings=256, text_col="content",
+    )
+    full_store = str(tmp_path / "store_full")
+    ann_store.build_ann_index(
+        spark, embs, full_store, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+
+    qdf = queries_to_df(spark, [(0, ["dup"]), (1, ["dup", "the"])])
+    qv = embs.where(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run(idx_dir, store_dir):
+        return sorted(
+            map(tuple, h_mod.hybrid_search_persisted(
+                spark, idx_dir, store_dir, qdf, qv, embs, k=5, nprobe=2
+            ).collect())
+        )
+
+    got = run(live_idx, live_store)
+    want = run(full_idx, full_store)
+    assert got == want and got
