@@ -553,12 +553,15 @@ def test_masked_serving_plan_shape(spark, sf_med, store_dir):
     assert all("BroadcastHashJoin" in ln for ln in anti_lines), anti_lines
 
 
-def test_ann_store_interaction_fuzz(spark, sf_med, store_dir):
-    """Seeded schedule of add / delete / compact / repair with full
-    invariants after EVERY step (the ANN edition of the text index's
-    interaction fuzz): served top-k must always equal the independent
-    derivation over the LIVE vectors under the store's frozen
-    centroids, and verify_ann_index must stay ok."""
+def test_ann_store_interaction_fuzz(spark, sf_med, store_dir, tmp_path):
+    """Seeded schedule of add / delete / merge / compact / repair with
+    full invariants after EVERY step (the ANN edition of the text
+    index's interaction fuzz): served top-k must always equal the
+    independent derivation over the LIVE vectors under the store's
+    frozen centroids, verify_ann_index must stay ok, and each merge is
+    preceded by a scatter-gather check (sharded serving over
+    [main, side] at all-bucket probes == brute force over the live
+    union)."""
     import random
 
     rng = random.Random(20260820)
@@ -590,10 +593,32 @@ def test_ann_store_interaction_fuzz(spark, sf_med, store_dir):
         assert ver["ok"], (step, ver)
 
     check("build")
-    ops = ["add", "delete", "compact", "delete", "add", "repair",
-           "delete", "compact", "add"]
+    ops = ["add", "delete", "merge", "compact", "delete", "add",
+           "repair", "delete", "merge", "compact", "add"]
     for n, op in enumerate(ops):
-        if op == "add" and pool:
+        if op == "merge" and pool:
+            from partitioned_ef_ans_spark.operators import hybrid as h_mod
+
+            batch = [pool.pop() for _ in range(min(12, len(pool)))]
+            side = str(tmp_path / f"side{n}")
+            ann_store.build_ann_index(
+                spark, embs.where(F.col("vec_id").isin(batch)), side,
+                n_centroids=4, trained=False, sq8=False, engine="np",
+            )
+            side_dead = batch[:2]
+            ann_store.delete_vectors(spark, side, side_dead)
+            got = _rows(ann_store.query_sharded_ann(
+                spark, [store_dir, side], qv, embs, k=5, nprobe=8,
+            ))
+            union_live = (live - tombstoned) | set(batch[2:])
+            want = _rows(h_mod.dense_topk_for_queries(
+                qv, embs.where(F.col("vec_id").isin(list(union_live))),
+                k=5,
+            ).select("query_id", "rank", "doc_id", "cos"))
+            assert got == want, f"{n}:sharded"
+            ann_store.merge_ann_stores(spark, store_dir, [side], embs)
+            live |= set(batch[2:])
+        elif op == "add" and pool:
             batch = [pool.pop() for _ in range(min(15, len(pool)))]
             ann_store.add_vectors(
                 spark, store_dir,
