@@ -1003,15 +1003,32 @@ def cmd_ann(args) -> int:
         # query — comma-separated store dirs scatter-gather like the
         # text plane's `queries dirA,dirB`
         store_dirs = [d for d in args.index.split(",") if d]
-        idx = ann_store.load_ann_index(spark, store_dirs[0])
-        emb_path = args.embeddings or idx.manifest.get("source")
-        if not emb_path:
-            print(
-                "--embeddings required (store manifest carries no source)",
-                file=sys.stderr,
-            )
-            return 2
-        embs = spark.read.parquet(emb_path)
+        if args.embeddings:
+            embs = spark.read.parquet(args.embeddings)
+        else:
+            # default payload = the stores' recorded sources.  With
+            # multiple shards each may sit beside its OWN per-shard
+            # table — union them ALL (defaulting to shard 0's alone
+            # would silently drop every other shard's candidates at
+            # the rescore join); manifests are read directly, no full
+            # store load just for a path
+            srcs = [
+                ann_store._read_manifest(d).get("source")
+                for d in store_dirs
+            ]
+            if not all(srcs):
+                print(
+                    "--embeddings required (a store manifest carries "
+                    "no source)",
+                    file=sys.stderr,
+                )
+                return 2
+            uniq = list(dict.fromkeys(srcs))
+            embs = spark.read.parquet(uniq[0])
+            for p in uniq[1:]:
+                embs = embs.unionByName(spark.read.parquet(p))
+            if len(uniq) > 1:
+                embs = embs.dropDuplicates(["vec_id"])
         qv = spark.read.parquet(args.queries)
         if "query_id" not in qv.columns and "vec_id" in qv.columns:
             qv = qv.withColumnRenamed("vec_id", "query_id")
@@ -1028,7 +1045,7 @@ def cmd_ann(args) -> int:
                 engine=engine,
             )
         else:
-            res = idx.query(
+            res = ann_store.load_ann_index(spark, store_dirs[0]).query(
                 qv.select("query_id", "embedding"),
                 embs,
                 k=args.k,

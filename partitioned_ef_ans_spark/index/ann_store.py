@@ -919,8 +919,13 @@ def query_sharded_ann(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("doc_id")
     )
+    # overlapping shards (e.g. a merged-but-not-yet-retired source) may
+    # surface the same vector from two legs with the identical per-pair
+    # cos — dedup before ranking so a duplicate can never occupy two
+    # top-k slots and displace a genuine neighbor
     return (
         u.select("query_id", "doc_id", "cos")
+        .dropDuplicates(["query_id", "doc_id"])
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "cos")
@@ -956,7 +961,14 @@ def merge_ann_stores(
     for src in src_dirs:
         live = load_ann_index(spark, src).live_assignments().select("vec_id")
         ids = live if ids is None else ids.unionByName(live)
-    batch = embeddings.join(ids, "vec_id")
+    # pin ONE consistent snapshot of the sources: the lazy plans below
+    # would otherwise re-scan the live source dirs once per downstream
+    # job (counts, dim probe, dup check, twin encodes, assignment,
+    # max-agg inside add_vectors) and a concurrent mutation of a
+    # source — sources take no lock here — could tear the batch across
+    # jobs (the same reason add_vectors pins its skip_existing filter)
+    ids = ids.localCheckpoint(eager=True)
+    batch = embeddings.join(ids, "vec_id").localCheckpoint(eager=True)
     n_ids = ids.count()
     n_batch = batch.count()
     if n_batch != n_ids:

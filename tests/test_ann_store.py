@@ -951,3 +951,24 @@ def test_merge_stores_folds_live_source_vectors(spark, sf_med, tmp_path):
     )
     with pytest.raises(ValueError, match="covers"):
         ann_store.merge_ann_stores(spark, dst, [other], half)
+
+
+def test_sharded_query_dedups_overlapping_shards(spark, sf_med, tmp_path):
+    """A merged-but-not-yet-retired source overlaps the destination:
+    the same vector reaches the gather from both legs with identical
+    per-pair cos.  The fused top-k must dedup (query_id, doc_id)
+    before ranking — result equals serving the destination alone."""
+    embs = _embs(spark, sf_med)
+    dst, src = _build_parity_shards(spark, embs, tmp_path)
+    ann_store.merge_ann_stores(spark, dst, [src], embs)
+    qv = _qv(embs)
+    got = ann_store.query_sharded_ann(spark, [dst, src], qv, embs, k=5,
+                                      nprobe=8)
+    rows = got.collect()
+    pairs = [(r["query_id"], r["doc_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    want = ann_store.load_ann_index(spark, dst).query(
+        qv, embs, k=5, nprobe=8
+    )
+    cols = ["query_id", "rank", "doc_id", "cos"]
+    assert _rows(got.select(*cols)) == _rows(want.select(*cols))

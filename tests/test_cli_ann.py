@@ -201,3 +201,43 @@ def test_cli_ann_sharded_query_and_merge(spark, tmp_path, query_parquet):
     assert json.loads(man_line)["n_vectors"] == 500
     ver = json.loads(run_cli("ann", "verify", "--index", dirs[0]))
     assert ver["ok"], ver
+
+
+def test_cli_sharded_query_unions_per_shard_sources(spark, tmp_path):
+    """Shards built beside per-shard embedding tables: `ann query
+    --index a,b` without --embeddings must union BOTH recorded
+    sources (defaulting to shard 0's would silently drop shard 1's
+    candidates at the rescore join)."""
+    from partitioned_ef_ans_spark.index import ann_store
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dirs = []
+    for p in (0, 1):
+        half_path = str(tmp_path / f"half{p}.parquet")
+        embs.where(F.col("vec_id") % 2 == p).write.parquet(half_path)
+        d = str(tmp_path / f"shard{p}")
+        ann_store.build_ann_index(
+            spark, spark.read.parquet(half_path), d, n_centroids=8,
+            trained=False, sq8=False, engine="np", source=half_path,
+        )
+        dirs.append(d)
+    qp = str(tmp_path / "q.parquet")
+    embs.orderBy("vec_id").limit(3).selectExpr(
+        "vec_id AS query_id", "embedding"
+    ).write.parquet(qp)
+    out = run_cli(
+        "ann", "query", "--index", ",".join(dirs), "--queries", qp,
+        "-k", "5", "--nprobe", "8",
+    )
+    got = sorted(tuple(ln.split("\t")) for ln in out.strip().splitlines())
+    qv = spark.read.parquet(qp)
+    want = sorted(
+        (str(r["query_id"]), str(r["rank"]), str(r["doc_id"]), str(r["cos"]))
+        for r in ann_store.query_sharded_ann(
+            spark, dirs, qv, embs, k=5, nprobe=8
+        ).collect()
+    )
+    assert got == want
+    # both parities present in the fused neighbors = shard 1's
+    # candidates actually rescored
+    assert {int(t[2]) % 2 for t in got} == {0, 1}
