@@ -867,6 +867,41 @@ def _compact_locked(spark: SparkSession, out_dir: str) -> dict:
     return {"removed": int(n_dead), "n_vectors": int(row["n"])}
 
 
+def neardup_via_store(
+    spark: SparkSession,
+    store_dir: str,
+    embeddings: DataFrame,
+    threshold: float | None = None,
+    salt_target: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs served from the persisted store — the
+    amortized twin of ``dedup.embedding_neardup_bucketed``: the frozen
+    centroids + assignments replace the per-call k-means AND the
+    n x n_centroids argmax pass (the two corpus-sized prep stages), so
+    a dedup refresh costs only the radii derivation + the pruned
+    bucket joins.  Tombstoned vectors are masked (candidates come from
+    live assignments only), and the triangle-inequality pruning stays
+    complete under frozen-model appends (the bound needs only each
+    vector's angle to its OWN bucket centroid — any assignment works).
+    Output equals the brute-force pair relation over the LIVE vectors
+    exactly."""
+    from partitioned_ef_ans_spark.operators import dedup as d_mod
+
+    idx = load_ann_index(spark, store_dir)
+    kw = {} if threshold is None else {"threshold": float(threshold)}
+    return d_mod.embedding_neardup_bucketed(
+        embeddings,
+        centroids=idx.centroids,
+        assignments=idx.live_assignments(),
+        salt_target=(
+            int(idx.manifest["salt_target"])
+            if salt_target is None
+            else salt_target
+        ),
+        **kw,
+    )
+
+
 def query_sharded_ann(
     spark: SparkSession,
     store_dirs: list[str],

@@ -236,6 +236,8 @@ def bucketed_candidate_pairs(
     n_centroids: int | None = None,
     iters: int = 2,
     salt_target: int | None = None,
+    centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, ea, eb) candidate pairs of the bucketed near-dup
     join — the pruning stage of :func:`embedding_neardup_bucketed`,
@@ -250,10 +252,27 @@ def bucketed_candidate_pairs(
     angle(c_a, c_b) <= arccos(threshold) + r_a + r_b (+1e-9 ulp margin
     keeps the bound admissible).  Only surviving bucket pairs join —
     with tight clusters that's O(sum of co-bucket sizes), never
-    O(n^2)."""
+    O(n^2).
+
+    Pass precomputed ``centroids`` (cent_id, cvec) + ``assignments``
+    (vec_id, bucket) — e.g. a persisted ANN store's frozen artifacts —
+    to skip BOTH the k-means training and the n x n_centroids argmax
+    pass; each vector's csim is then re-derived against its assigned
+    centroid only (one narrow join).  The triangle-inequality bound
+    needs only csim-to-own-bucket and the bucket radius, so it stays
+    admissible for ANY assignment (nearest or frozen-model appended) —
+    the pruning is complete either way."""
     from partitioned_ef_ans_spark.operators.ann import kmeans_centroids
 
-    cent = kmeans_centroids(embeddings, n_centroids=n_centroids, iters=iters)
+    if (centroids is None) != (assignments is None):
+        raise ValueError(
+            "centroids and assignments must be supplied together"
+        )
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, n_centroids=n_centroids, iters=iters)
+    )
     dot_ec = F.aggregate(
         F.zip_with(
             F.col("embedding"), F.col("cvec"),
@@ -272,16 +291,44 @@ def bucketed_candidate_pairs(
         F.aggregate(F.col("cvec"), F.lit(0.0), lambda s, v: s + v * v)
     )
     clip = lambda c: F.least(F.lit(1.0), F.greatest(F.lit(-1.0), c))
-    sim = embeddings.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cent_id",
-        F.round(dot_ec / (norm_e * norm_c), 6).alias("csim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    assign = (
-        sim.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"), "csim")
-    )
+    if assignments is not None:
+        # re-derive each vector's csim against its ASSIGNED centroid
+        # only: a narrow equi-join per row instead of the broadcast
+        # argmax over every centroid (and only assigned — i.e. live —
+        # vectors enter the relation, so a store's tombstone-masked
+        # assignment table masks near-dup too)
+        assign = (
+            assignments.select("vec_id", "bucket")
+            .join(embeddings.select("vec_id", "embedding"), "vec_id")
+            .join(
+                F.broadcast(
+                    cent.select(F.col("cent_id").alias("bucket"), "cvec")
+                ),
+                "bucket",
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                "bucket",
+                F.round(dot_ec / (norm_e * norm_c), 6).alias("csim"),
+            )
+        )
+    else:
+        sim = embeddings.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "embedding", "cent_id",
+            F.round(dot_ec / (norm_e * norm_c), 6).alias("csim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("csim"), F.asc("cent_id")
+        )
+        assign = (
+            sim.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select(
+                "vec_id", "embedding",
+                F.col("cent_id").alias("bucket"), "csim",
+            )
+        )
     # csim is rounded to 6 decimals, so the true cosine can be up to
     # 5e-7 ABOVE the stored value (round-up would otherwise shrink the
     # radius, e.g. true cos 0.9999995 -> 1.000000 -> radius 0) — widen
@@ -368,6 +415,8 @@ def embedding_neardup_bucketed(
     n_centroids: int | None = None,
     iters: int = 2,
     salt_target: int | None = None,
+    centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT cosine-threshold self-join without the all-pairs cross
     join — the 100 TB shape for embedding near-dup: candidates from
@@ -378,7 +427,8 @@ def embedding_neardup_bucketed(
     loss; completeness proved by the inequality, checked by the gate
     hash)."""
     cand = bucketed_candidate_pairs(
-        embeddings, threshold, n_centroids, iters, salt_target
+        embeddings, threshold, n_centroids, iters, salt_target,
+        centroids=centroids, assignments=assignments,
     )
     return _score_candidate_pairs(cand, threshold)
 

@@ -972,3 +972,39 @@ def test_sharded_query_dedups_overlapping_shards(spark, sf_med, tmp_path):
     )
     cols = ["query_id", "rank", "doc_id", "cos"]
     assert _rows(got.select(*cols)) == _rows(want.select(*cols))
+
+
+def test_neardup_via_store_equals_brute_and_masks_deletes(
+    spark, sf_med, store_dir
+):
+    """Near-dup served from the persisted store (frozen centroids +
+    assignments replacing k-means + the argmax pass) must equal the
+    brute-force pair relation exactly, and tombstoned vectors must
+    pair with nothing — before AND after frozen-model appends."""
+    from partitioned_ef_ans_spark.operators import dedup as d_mod
+
+    embs = _embs(spark, sf_med)
+    ids = sorted(r["vec_id"] for r in embs.select("vec_id").collect())
+    seed = embs.where(F.col("vec_id") <= ids[len(ids) * 4 // 5])
+    ann_store.build_ann_index(
+        spark, seed, store_dir, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+    # frozen-model append: the bound must stay admissible for vectors
+    # assigned to frozen (not retrained) centroids
+    ann_store.add_vectors(
+        spark, store_dir,
+        embs.where(F.col("vec_id") > ids[len(ids) * 4 // 5]), engine="np",
+    )
+    got = _rows(ann_store.neardup_via_store(spark, store_dir, embs))
+    want = _rows(d_mod.embedding_neardup_pairs(embs))
+    assert got == want and got
+    dead = [int(r["vec_a"]) for r in
+            d_mod.embedding_neardup_pairs(embs).limit(2).collect()]
+    ann_store.delete_vectors(spark, store_dir, dead)
+    got2 = _rows(ann_store.neardup_via_store(spark, store_dir, embs))
+    want2 = _rows(d_mod.embedding_neardup_pairs(
+        embs.where(~F.col("vec_id").isin(dead))
+    ))
+    assert got2 == want2
+    assert not any(a in dead or b in dead for a, b, _c in got2)
