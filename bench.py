@@ -1644,6 +1644,64 @@ def ann_maint_mode():
     ann_store.repair_ann_index(spark, store)
     t["repair_noop_s"] = time.perf_counter() - t0
 
+    # near-dup refresh economics: persisted assignments vs in-session
+    # prep.  A CLUSTERED twin table (250 hash centroids + 5% jitter —
+    # uniform hash vectors have ~90° bucket radii, nothing prunes,
+    # which is not the near-dup workload): ids 0..249 are the cluster
+    # prototypes themselves, so the pinned-centroid store buckets one
+    # cluster per centroid.
+    nd_path = f"/dev/shm/pefa_ann_ndvecs_{n_vecs}_{dim}"
+    if not os.path.exists(f"{nd_path}/_SUCCESS"):
+        spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: ((
+                    (
+                        F.pmod(
+                            F.xxhash64(F.concat_ws(
+                                ":", F.pmod(F.col("id"), F.lit(250)), i
+                            )),
+                            F.lit(2000001),
+                        )
+                        - F.lit(1000000)
+                    ) / F.lit(1000000.0)
+                ) + (
+                    (
+                        F.pmod(
+                            F.xxhash64(F.concat_ws(
+                                ":", F.col("id"), i, F.lit("j")
+                            )),
+                            F.lit(2000001),
+                        )
+                        - F.lit(1000000)
+                    ) / F.lit(20000000.0)
+                )).cast("float"),
+            ).alias("embedding"),
+        ).repartition(2 * cpus).write.mode("overwrite").parquet(nd_path)
+    nd_embs = spark.read.parquet(nd_path).cache()
+    nd_embs.count()
+    nd_store = f"/dev/shm/pefa_ann_nd_store_{os.getpid()}"
+    shutil.rmtree(nd_store, ignore_errors=True)
+    t0 = time.perf_counter()
+    ann_store.build_ann_index(
+        spark, nd_embs, nd_store, n_centroids=250, trained=False,
+        sq8=False, engine="np",
+    )
+    t["nd_store_build_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_nd_store = ann_store.neardup_via_store(
+        spark, nd_store, nd_embs, threshold=0.9
+    ).count()
+    t["neardup_via_store_s"] = time.perf_counter() - t0
+    from partitioned_ef_ans_spark.operators import dedup as d_mod
+
+    t0 = time.perf_counter()
+    n_nd_sess = d_mod.embedding_neardup_bucketed(
+        nd_embs, threshold=0.9
+    ).count()
+    t["neardup_in_session_s"] = time.perf_counter() - t0
+
     rec = {
         "metric": "ann_store_maintenance",
         "value": round(t["add_1000_s"], 3),
@@ -1655,6 +1713,11 @@ def ann_maint_mode():
         "rows_pre_post_mask": [n_pre, n_post],
         "queries": {k2: round(v, 3) for k2, v in t.items()},
         "add_vs_rebuild": round(t["add_1000_s"] / t["build_s"], 4),
+        # both paths are exact -> identical pair sets or the bench lies
+        "neardup_pairs": [n_nd_store, n_nd_sess],
+        "neardup_store_speedup": round(
+            t["neardup_in_session_s"] / t["neardup_via_store_s"], 2
+        ),
     }
     print(json.dumps(rec))
     with open(
@@ -1662,6 +1725,7 @@ def ann_maint_mode():
     ) as fh:
         json.dump(rec, fh, indent=1)
     shutil.rmtree(store, ignore_errors=True)
+    shutil.rmtree(nd_store, ignore_errors=True)
     spark.stop()
 
 

@@ -1000,6 +1000,30 @@ def cmd_ann(args) -> int:
             res = ann_store.verify_ann_index(spark, args.index)
             print(json.dumps(res))
             return 0 if res["ok"] else 1
+        if args.action == "neardup":
+            emb_path = args.embeddings or ann_store._read_manifest(
+                args.index
+            ).get("source")
+            if not emb_path:
+                print(
+                    "--embeddings required (store manifest carries no "
+                    "source)",
+                    file=sys.stderr,
+                )
+                return 2
+            pairs = ann_store.neardup_via_store(
+                spark,
+                args.index,
+                spark.read.parquet(emb_path),
+                threshold=args.threshold,
+            )
+            if args.out:
+                pairs.write.mode("overwrite").parquet(args.out)
+                n = spark.read.parquet(args.out).count()
+                print(json.dumps({"pairs": n, "out": args.out}))
+            else:
+                print(json.dumps({"pairs": pairs.count()}))
+            return 0
         # query — comma-separated store dirs scatter-gather like the
         # text plane's `queries dirA,dirB`
         store_dirs = [d for d in args.index.split(",") if d]
@@ -1362,7 +1386,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     an.add_argument("action", choices=["build", "query", "add", "delete",
                                        "compact", "repair", "verify",
-                                       "merge"])
+                                       "merge", "neardup"])
+    an.add_argument("--threshold", type=float, default=None,
+                    help="near-dup cosine threshold (action=neardup; "
+                         "default: operator default)")
     an.add_argument("--from", default=None, dest="merge_from",
                     help="comma-separated source store dirs whose LIVE "
                          "vectors fold into --index (action=merge)")

@@ -241,3 +241,24 @@ def test_cli_sharded_query_unions_per_shard_sources(spark, tmp_path):
     # both parities present in the fused neighbors = shard 1's
     # candidates actually rescored
     assert {int(t[2]) % 2 for t in got} == {0, 1}
+
+
+def test_cli_ann_neardup_via_store(spark, tmp_path):
+    """`ann neardup --index STORE` serves the embedding near-dup pair
+    relation from the persisted artifacts and must equal the library
+    brute force."""
+    from partitioned_ef_ans_spark.index import ann_store
+    from partitioned_ef_ans_spark.operators import dedup as d_mod
+
+    store = str(tmp_path / "ndstore")
+    ann_store.build_ann_index(
+        spark, spark.read.parquet(f"{SF}/embeddings.parquet"), store,
+        n_centroids=8, trained=False, sq8=False, engine="np",
+        source=f"{SF}/embeddings.parquet",
+    )
+    out = run_cli("ann", "neardup", "--index", store)
+    got = json.loads(out)
+    want = d_mod.embedding_neardup_pairs(
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+    ).count()
+    assert got["pairs"] == want
