@@ -1757,6 +1757,7 @@ def hybrid_mode():
     from partitioned_ef_ans_spark.session import get_spark
 
     n_q = int(os.environ.get("PEFA_HYBRID_QUERIES", "100"))
+    smode = os.environ.get("PEFA_HYBRID_MODE", "auto")
     dim = int(os.environ.get("PEFA_ANN_DIM", "64"))
     k = 10
     nprobe = int(os.environ.get("PEFA_ANN_NPROBE", "8"))
@@ -1830,7 +1831,7 @@ def hybrid_mode():
     legs = {
         "sparse_only": lambda: q_mod.run_ranked(
             spark, index_df, qdf, codec, man["num_docs"],
-            man["avg_doc_len"], mode="blockmax", k=k,
+            man["avg_doc_len"], mode=smode, k=k,
             term_stats_df=term_stats,
         ),
         "dense_only": lambda: store_idx.query(
@@ -1838,12 +1839,12 @@ def hybrid_mode():
         ),
         "hybrid": lambda: h_mod.hybrid_search_persisted(
             spark, idx_dir, store_dir, qdf, qv, embs, k=k,
-            mode="blockmax", nprobe=nprobe,
+            mode=smode, nprobe=nprobe,
         ),
         # the serving-loop shape: both substrates loaded+pinned ONCE
         # (HybridServer), batches pay only their own legs + fusion
         "hybrid_warm": lambda: server.search(
-            qdf, qv, embs, k=k, mode="blockmax", nprobe=nprobe,
+            qdf, qv, embs, k=k, mode=smode, nprobe=nprobe,
         ),
     }
     t0 = time.perf_counter()
@@ -1866,6 +1867,7 @@ def hybrid_mode():
         "n_queries": n_q,
         "k": k,
         "nprobe": nprobe,
+        "mode": smode,
         "cpus": cpus,
         "t_index_build_sec": t_index_build,
         "t_store_build_sec": t_store_build,

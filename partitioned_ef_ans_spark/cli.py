@@ -1450,8 +1450,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "embedding); default pairs qid with vec_id==qid "
                          "from the embeddings table")
     hy.add_argument("-k", type=int, default=10)
-    hy.add_argument("--mode", default="blockmax",
-                    help="text-leg run_ranked mode")
+    hy.add_argument("--mode", default="auto",
+                    help="text-leg run_ranked mode (auto = measured "
+                         "size-crossover dispatch)")
     hy.add_argument("--nprobe", type=int, default=8)
     hy.add_argument("--quant", choices=["sq8", "pq"], default=None)
     hy.add_argument("--rescore-mult", type=int, default=3,

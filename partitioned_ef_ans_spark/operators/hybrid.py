@@ -122,7 +122,7 @@ def hybrid_search_persisted(
     k: int = 10,
     k_leg: int | None = None,
     k_rrf: int = DEFAULT_K_RRF,
-    mode: str = "blockmax",
+    mode: str = "auto",
     dtype: str = "float32",
     nprobe: int = 8,
     quant: str | None = None,
@@ -206,7 +206,7 @@ class HybridServer:
         k: int = 10,
         k_leg: int | None = None,
         k_rrf: int = DEFAULT_K_RRF,
-        mode: str = "blockmax",
+        mode: str = "auto",
         dtype: str = "float32",
         nprobe: int = 8,
         quant: str | None = None,
