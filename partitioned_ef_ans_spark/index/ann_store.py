@@ -54,6 +54,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from partitioned_ef_ans_spark.index.checkpoint import (
+    _commit_renames,
+    _recover_commit,
     _refresh_path,
     _update_lock,
     _write_manifest_atomic,
@@ -79,10 +81,15 @@ def _read_manifest(out_dir: str) -> dict:
 def _replace_dir(path: str, staging: str) -> None:
     """Swap ``staging`` into ``path`` with directory renames: readers
     racing the swap see the old table or the new one, never a torn
-    write (the bucket-counts pattern, shared by every table rewrite)."""
+    write (the bucket-counts pattern, shared by every table rewrite).
+    The aside name is uuid-suffixed, not pid-suffixed — a crashed swap
+    leaves a non-empty aside, and a recycled pid colliding with it
+    would fail the NEXT mutation mid-flight (the stale-zip lesson);
+    leftovers are swept by the locked mutators' scratch sweep."""
     import shutil
+    import uuid
 
-    old = f"{path}.old.{os.getpid()}"
+    old = f"{path}.old.{uuid.uuid4().hex[:8]}"
     if os.path.isdir(path):
         os.rename(path, old)
     os.rename(staging, path)
@@ -100,12 +107,41 @@ def _remove_dir(path: str) -> None:
     path, then best-effort removal of the renamed dir (the sidecar
     retirement pattern).  No-op when absent."""
     import shutil
+    import uuid
 
     if not os.path.isdir(path):
         return
-    gone = f"{path}.gone.{os.getpid()}"
+    gone = f"{path}.gone.{uuid.uuid4().hex[:8]}"
     os.rename(path, gone)
     shutil.rmtree(gone, ignore_errors=True)
+
+
+#: scratch / aside name markers every locked mutator may leave behind
+#: on a crash; swept (under the writer lock) by _sweep_scratch
+_SCRATCH_MARKERS = (".rebuild.", ".retired.")
+_ASIDE_MARKERS = (".old.", ".gone.", ".staging.", ".pre_commit")
+
+
+def _sweep_scratch(out_dir: str) -> None:
+    """Remove crash leftovers — rebuild scratch dirs, retired-artifact
+    asides, staging dirs — from the store tree.  Caller holds the
+    writer lock, so nothing live can match; without the sweep a
+    leftover would collide with a later mutation's aside name or get
+    hardlinked into snapshots."""
+    import shutil
+
+    for name in os.listdir(out_dir):
+        full = f"{out_dir}/{name}"
+        if name.startswith(_SCRATCH_MARKERS) or any(
+            m in name for m in _ASIDE_MARKERS
+        ):
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
 
 
 def build_ann_index(
@@ -206,38 +242,47 @@ def _build_ann_index_locked(
     salt_target: int,
     source: str | None,
 ) -> dict:
-    # a rebuild starts the store's liveness and twin set over: retire
-    # any stale tombstone sidecar FIRST (a leftover one would silently
-    # mask live vectors of the NEW build — found by review in r5) and
-    # any twin dirs this build is not producing (load_ann_index picks
-    # twins up by directory presence; a stale sq8/pq twin from a
-    # previous build would serve stale quantized rows)
-    _remove_dir(f"{out_dir}/tombstones.parquet")
-    if not sq8:
-        _remove_dir(f"{out_dir}/sq8.parquet")
-    if not pq:
-        _remove_dir(f"{out_dir}/pq_codebooks.parquet")
-        _remove_dir(f"{out_dir}/pq_codes.parquet")
+    # a REBUILD over an existing store must be crash-safe: every new
+    # artifact lands in dot-prefixed scratch paths (invisible to
+    # readers) and the whole generation — including the retirement of
+    # the previous liveness sidecar and of twin dirs this build does
+    # not produce — commits through ONE journaled rename set (the text
+    # index's _commit_renames roll-forward).  A crash anywhere during
+    # the build leaves the OLD store fully live, tombstones included
+    # (retiring them up front would resurrect deleted vectors on a
+    # mid-build crash); a crash during the ms-scale rename window is
+    # rolled forward by the next locked mutator's _recover_commit.
+    import uuid
+
+    _recover_commit(out_dir)
+    _sweep_scratch(out_dir)
+
+    def scratch(name: str) -> str:
+        return f"{out_dir}/.rebuild.{name}"
+
     if trained:
         cent = ann_mod.kmeans_centroids(
             embeddings, n_centroids=n_centroids, iters=kmeans_iters
         )
     else:
         cent = ann_mod._resolve_centroids(embeddings, n_centroids, None)
-    cent.write.mode("overwrite").parquet(f"{out_dir}/centroids.parquet")
-    cent = spark.read.parquet(f"{out_dir}/centroids.parquet")
+    cent.write.mode("overwrite").parquet(scratch("centroids.parquet"))
+    cent = spark.read.parquet(scratch("centroids.parquet"))
 
     assigns = ann_mod.assign_buckets(embeddings, cent, engine=engine)
-    assigns.write.mode("overwrite").parquet(f"{out_dir}/assignments.parquet")
-    assigns = spark.read.parquet(f"{out_dir}/assignments.parquet")
+    assigns.write.mode("overwrite").parquet(scratch("assignments.parquet"))
+    assigns = spark.read.parquet(scratch("assignments.parquet"))
     assigns.groupBy("bucket").count().write.mode("overwrite").parquet(
-        f"{out_dir}/bucket_counts.parquet"
+        scratch("bucket_counts.parquet")
     )
 
+    built = ["centroids.parquet", "assignments.parquet",
+             "bucket_counts.parquet"]
     if sq8:
         ann_mod.sq8_quantize(embeddings).write.mode("overwrite").parquet(
-            f"{out_dir}/sq8.parquet"
+            scratch("sq8.parquet")
         )
+        built.append("sq8.parquet")
     if pq:
         if pq_trained:
             cb = ann_mod.pq_codebooks_trained(
@@ -245,11 +290,12 @@ def _build_ann_index_locked(
             )
         else:
             cb = ann_mod.pq_codebooks(embeddings, m=pq_m, ks=pq_ks)
-        cb.write.mode("overwrite").parquet(f"{out_dir}/pq_codebooks.parquet")
-        cb = spark.read.parquet(f"{out_dir}/pq_codebooks.parquet")
+        cb.write.mode("overwrite").parquet(scratch("pq_codebooks.parquet"))
+        cb = spark.read.parquet(scratch("pq_codebooks.parquet"))
         ann_mod.pq_encode(embeddings, cb, m=pq_m).write.mode(
             "overwrite"
-        ).parquet(f"{out_dir}/pq_codes.parquet")
+        ).parquet(scratch("pq_codes.parquet"))
+        built += ["pq_codebooks.parquet", "pq_codes.parquet"]
 
     row = embeddings.agg(F.max("vec_id").alias("mx")).first()
     man = {
@@ -275,8 +321,28 @@ def _build_ann_index_locked(
         "salt_target": int(salt_target),
         "source": source,
     }
-    # manifest last = commit marker (same convention as the text index)
-    _write_manifest_atomic(out_dir, man)
+    # one journaled commit: new artifacts swap in, stale artifacts +
+    # the old tombstone sidecar retire, manifest LAST (commit marker —
+    # the convention shared with the text index); roll-forward makes
+    # the set all-or-nothing across crashes
+    man_scratch = scratch("manifest.json")
+    with open(man_scratch, "w") as fh:
+        json.dump(man, fh, indent=2)
+        fh.flush()
+        os.fsync(fh.fileno())
+    pairs = [(scratch(n), f"{out_dir}/{n}") for n in built]
+    stale = ["tombstones.parquet"]
+    if not sq8:
+        stale.append("sq8.parquet")
+    if not pq:
+        stale += ["pq_codebooks.parquet", "pq_codes.parquet"]
+    for n in stale:
+        p = f"{out_dir}/{n}"
+        if os.path.isdir(p):
+            pairs.append((p, f"{out_dir}/.retired.{uuid.uuid4().hex[:8]}.{n}"))
+    pairs.append((man_scratch, f"{out_dir}/manifest.json"))
+    _commit_renames(out_dir, pairs)
+    _sweep_scratch(out_dir)
     _refresh_path(spark, out_dir)
     return man
 
@@ -440,7 +506,15 @@ def add_vectors(
     with _update_lock(out_dir):
         _refresh_path(spark, out_dir)
         try:
+            _recover_commit(out_dir)
             man = _read_manifest(out_dir)
+            # pin ONE evaluation of the caller's frame: the batch feeds
+            # many independent jobs below (counts, dim probe, dup
+            # check, twin encodes, assignment, max-agg) and a
+            # nondeterministic or concurrently-mutated input would
+            # otherwise tear the append across them — exactly the
+            # orphan/missing-twin corruption the healers exist for
+            new_embeddings = new_embeddings.localCheckpoint(eager=True)
             n_new = new_embeddings.count()
             if n_new == 0:
                 return man
@@ -451,7 +525,26 @@ def add_vectors(
                 )
             assigns_path = f"{out_dir}/assignments.parquet"
             existing = spark.read.parquet(assigns_path)
+            skipped_tombstoned = 0
             if skip_existing:
+                # ids physically present INCLUDING tombstoned ones are
+                # skipped — correct for at-least-once replays, but a
+                # GENUINE re-add of a deleted id is deferred until
+                # compaction removes the old row; surface the count so
+                # callers/stream logs can see deferred re-adds instead
+                # of silently losing track of them
+                tomb = _load_tombstones(spark, out_dir)
+                if tomb is not None:
+                    skipped_tombstoned = (
+                        new_embeddings.select("vec_id")
+                        .join(
+                            F.broadcast(
+                                tomb.select("vec_id").distinct()
+                            ),
+                            "vec_id",
+                        )
+                        .count()
+                    )
                 new_embeddings = new_embeddings.join(
                     existing.select("vec_id"), "vec_id", "left_anti"
                 ).localCheckpoint(eager=True)  # pin the filtered batch:
@@ -459,7 +552,10 @@ def add_vectors(
                 # not re-evaluate against a mid-append assignments scan
                 n_new = new_embeddings.count()
                 if n_new == 0:
-                    return man
+                    out = dict(man)
+                    if skipped_tombstoned:
+                        out["skipped_tombstoned"] = int(skipped_tombstoned)
+                    return out
             else:
                 n_dup = (
                     new_embeddings.select("vec_id")
@@ -521,7 +617,10 @@ def add_vectors(
             man["n_vectors"] = int(man["n_vectors"]) + int(n_new)
             man["max_vec_id"] = max(int(man["max_vec_id"]), int(row["mx"]))
             _write_manifest_atomic(out_dir, man)
-            return man
+            out = dict(man)
+            if skipped_tombstoned:
+                out["skipped_tombstoned"] = int(skipped_tombstoned)
+            return out
         finally:
             _refresh_path(spark, out_dir)
 
@@ -676,13 +775,23 @@ def repair_ann_index(spark: SparkSession, out_dir: str) -> dict:
     with _update_lock(out_dir):
         _refresh_path(spark, out_dir)
         try:
+            _recover_commit(out_dir)
+            _sweep_scratch(out_dir)
             man = _read_manifest(out_dir)
             dropped = _drop_twin_orphans(spark, out_dir, man)
             twin_heal = _heal_missing_twin_rows(spark, out_dir, man)
             if twin_heal.get("compaction_rolled_forward"):
-                # the roll-forward rewrote the manifest; re-read so the
-                # accounting pass below starts from the folded state
+                # the roll-forward IS the compaction tail — counts,
+                # manifest accounting and sidecar retirement are
+                # already done; redoing the accounting pass below
+                # would just repeat the same scans and writes
                 man = _read_manifest(out_dir)
+                return {
+                    "orphan_twin_ids_dropped": dropped,
+                    "twin_heal": twin_heal,
+                    "n_vectors": int(man["n_vectors"]),
+                    "n_tombstones": 0,
+                }
             assigns = spark.read.parquet(f"{out_dir}/assignments.parquet")
             tomb = _load_tombstones(spark, out_dir)
             n_tomb = 0
@@ -695,11 +804,7 @@ def repair_ann_index(spark: SparkSession, out_dir: str) -> dict:
                 if n_tomb == 0:
                     # every tombstone references a removed row (crashed
                     # compaction tail) — retire the sidecar outright
-                    import shutil
-
-                    gone = f"{tomb_path}.gone.{os.getpid()}"
-                    os.rename(tomb_path, gone)
-                    shutil.rmtree(gone, ignore_errors=True)
+                    _remove_dir(tomb_path)
                 elif n_tomb != tomb.count():
                     staging = f"{tomb_path}.staging.{os.getpid()}"
                     live.write.mode("overwrite").parquet(staging)
@@ -749,6 +854,7 @@ def delete_vectors(spark: SparkSession, out_dir: str, vec_ids) -> dict:
     with _update_lock(out_dir):
         _refresh_path(spark, out_dir)
         try:
+            _recover_commit(out_dir)
             man = _read_manifest(out_dir)
             req = sorted({int(v) for v in vec_ids})
             prev = _load_tombstones(spark, out_dir)
@@ -807,6 +913,7 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
     with _update_lock(out_dir):
         _refresh_path(spark, out_dir)
         try:
+            _recover_commit(out_dir)
             return _compact_locked(spark, out_dir)
         finally:
             _refresh_path(spark, out_dir)
@@ -1042,25 +1149,57 @@ def verify_ann_index(spark: SparkSession, out_dir: str) -> dict:
     _refresh_path(spark, out_dir)
     assigns = spark.read.parquet(f"{out_dir}/assignments.parquet")
     n_rows = assigns.count()
-    n_ids = assigns.select("vec_id").distinct().count()
+    a_ids = assigns.select("vec_id").distinct()
+    n_ids = a_ids.count()
     checks = {
         "assignment_rows": n_rows == int(man["n_vectors"]),
         "assignment_ids_distinct": n_ids == n_rows,
     }
     if man.get("sq8"):
-        q8 = spark.read.parquet(f"{out_dir}/sq8.parquet")
-        checks["sq8_rows"] = q8.count() == n_rows
-        checks["sq8_ids"] = (
-            q8.select("vec_id").join(assigns.select("vec_id"), "vec_id").count()
-            == n_rows
-        )
+        q8_path = f"{out_dir}/sq8.parquet"
+        if not os.path.isdir(q8_path):
+            # manifest flags a twin whose dir is gone (e.g. a crashed
+            # amputation) — a failed CHECK, not a crash of the checker
+            checks["sq8_present"] = False
+        else:
+            q8 = spark.read.parquet(q8_path)
+            q8_ids = q8.select("vec_id").distinct()
+            # distinct-id set equality BOTH ways plus no duplicate
+            # rows: a duplicated row must not mask a missing id (the
+            # old count==count check let exactly that through)
+            checks["sq8_rows_distinct"] = q8_ids.count() == q8.count()
+            checks["sq8_covers_assigned"] = (
+                a_ids.join(q8_ids, "vec_id", "left_anti").count() == 0
+            )
+            checks["sq8_no_orphans"] = (
+                q8_ids.join(a_ids, "vec_id", "left_anti").count() == 0
+            )
     if man.get("pq"):
-        codes = spark.read.parquet(f"{out_dir}/pq_codes.parquet")
-        m = int(man["pq"]["m"])
-        checks["pq_code_rows"] = codes.count() == n_rows * m
-        checks["pq_ids"] = (
-            codes.select("vec_id").distinct().count() == n_rows
-        )
+        codes_path = f"{out_dir}/pq_codes.parquet"
+        if not os.path.isdir(codes_path) or not os.path.isdir(
+            f"{out_dir}/pq_codebooks.parquet"
+        ):
+            checks["pq_present"] = False
+        else:
+            codes = spark.read.parquet(codes_path)
+            m = int(man["pq"]["m"])
+            per_id = codes.groupBy("vec_id").count()
+            # exactly m rows per ASSIGNED id, none for unassigned ids
+            checks["pq_m_rows_per_id"] = (
+                per_id.where(F.col("count") != m).count() == 0
+            )
+            checks["pq_covers_assigned"] = (
+                a_ids.join(
+                    per_id.select("vec_id"), "vec_id", "left_anti"
+                ).count()
+                == 0
+            )
+            checks["pq_no_orphans"] = (
+                per_id.select("vec_id").join(
+                    a_ids, "vec_id", "left_anti"
+                ).count()
+                == 0
+            )
     tomb = _load_tombstones(spark, out_dir)
     if tomb is not None or man.get("n_tombstones"):
         n_tomb = 0 if tomb is None else tomb.count()

@@ -348,7 +348,7 @@ def test_append_retry_after_twin_crash_heals_orphans(
         f"{store_dir}/sq8.parquet"
     )
     ver = ann_store.verify_ann_index(spark, store_dir)
-    assert not ver["ok"] and not ver["checks"]["sq8_rows"]
+    assert not ver["ok"] and not ver["checks"]["sq8_no_orphans"]
     man = ann_store.add_vectors(spark, store_dir, high, engine="np")
     assert man["n_vectors"] == embs.count()
     ver2 = ann_store.verify_ann_index(spark, store_dir)
@@ -1008,3 +1008,65 @@ def test_neardup_via_store_equals_brute_and_masks_deletes(
     ))
     assert got2 == want2
     assert not any(a in dead or b in dead for a, b, _c in got2)
+
+
+def test_rebuild_crash_preserves_old_store_and_tombstones(
+    spark, sf_med, store_dir
+):
+    """A rebuild that crashes mid-build must leave the OLD store fully
+    live — tombstones included (the new generation commits through one
+    journaled rename set at the END; retiring the sidecar up front
+    would resurrect deleted vectors on exactly this crash), and the
+    next locked mutator sweeps the scratch leftovers."""
+    import os as _os
+
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+    dead = [int(r["vec_id"]) for r in embs.orderBy("vec_id").limit(2).collect()]
+    ann_store.delete_vectors(spark, store_dir, dead)
+    want = _rows(
+        ann_store.load_ann_index(spark, store_dir).query(
+            _qv(embs), embs, k=5, nprobe=8
+        )
+    )
+    real = ann_store.ann_mod.assign_buckets
+
+    def boom(*a, **k):
+        raise RuntimeError("injected rebuild crash")
+
+    ann_store.ann_mod.assign_buckets = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            ann_store.build_ann_index(
+                spark, embs, store_dir, n_centroids=8, trained=False,
+                sq8=False, engine="np",
+            )
+    finally:
+        ann_store.ann_mod.assign_buckets = real
+    # old generation fully intact: sidecar still masks, serving equal
+    assert _os.path.isdir(f"{store_dir}/tombstones.parquet")
+    got = _rows(
+        ann_store.load_ann_index(spark, store_dir).query(
+            _qv(embs), embs, k=5, nprobe=8
+        )
+    )
+    assert got == want
+    assert not any(d in {r[2] for r in got} for d in dead)
+    v = ann_store.verify_ann_index(spark, store_dir)
+    assert v["ok"], v
+    # scratch leftovers from the crashed build are swept by the next
+    # locked mutator (repair), and a fresh rebuild then succeeds and
+    # retires the sidecar in its commit
+    ann_store.repair_ann_index(spark, store_dir)
+    assert not [
+        n for n in _os.listdir(store_dir) if n.startswith(".rebuild.")
+    ]
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+    assert not _os.path.isdir(f"{store_dir}/tombstones.parquet")
+    assert ann_store.verify_ann_index(spark, store_dir)["ok"]
