@@ -78,17 +78,49 @@ def _read_manifest(out_dir: str) -> dict:
     return man
 
 
+def _rename_exchange(a: str, b: str) -> bool:
+    """Atomically EXCHANGE two paths via renameat2(RENAME_EXCHANGE)
+    (Linux ≥3.15 / glibc ≥2.28).  Returns False when unsupported so
+    callers fall back to the two-rename swap."""
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        at_fdcwd = -100
+        rename_exchange = 2
+        return (
+            libc.renameat2(
+                at_fdcwd,
+                os.fsencode(a),
+                at_fdcwd,
+                os.fsencode(b),
+                rename_exchange,
+            )
+            == 0
+        )
+    except Exception:
+        return False
+
+
 def _replace_dir(path: str, staging: str) -> None:
-    """Swap ``staging`` into ``path`` with directory renames: readers
-    racing the swap see the old table or the new one, never a torn
-    write (the bucket-counts pattern, shared by every table rewrite).
-    The aside name is uuid-suffixed, not pid-suffixed — a crashed swap
-    leaves a non-empty aside, and a recycled pid colliding with it
-    would fail the NEXT mutation mid-flight (the stale-zip lesson);
-    leftovers are swept by the locked mutators' scratch sweep."""
+    """Swap ``staging`` into ``path``.  Preferred mechanism is an
+    atomic renameat2(RENAME_EXCHANGE): the path NEVER goes absent, so
+    a reader racing the swap sees the old table or the new one with no
+    in-between — load-bearing for ``tombstones.parquet``, where an
+    absent path means "no tombstones" and a racing reader would serve
+    deleted vectors for the lifetime of its handle.  Fallback is the
+    two-rename swap (absent for two syscalls) with a uuid-suffixed
+    aside — not pid-suffixed: a crashed swap leaves a non-empty aside,
+    and a recycled pid colliding with it would fail the NEXT mutation
+    mid-flight (the stale-zip lesson); leftovers are swept by the
+    locked mutators' scratch sweep."""
     import shutil
     import uuid
 
+    if os.path.isdir(path) and _rename_exchange(staging, path):
+        # staging now holds the OLD table — retire it
+        shutil.rmtree(staging, ignore_errors=True)
+        return
     old = f"{path}.old.{uuid.uuid4().hex[:8]}"
     if os.path.isdir(path):
         os.rename(path, old)
