@@ -574,11 +574,14 @@ def test_ann_store_interaction_fuzz(spark, sf_med, store_dir, tmp_path):
         spark, embs.where(F.col("vec_id").isin(list(live))), store_dir,
         n_centroids=8, trained=False, sq8=True, engine="np",
     )
-    cent = spark.read.parquet(f"{store_dir}/centroids.parquet")
     qv = _qv(embs, 3)
 
     def check(step: str) -> None:
         idx = ann_store.load_ann_index(spark, store_dir)
+        # read centroids fresh: a rebuild step re-pins them over the
+        # surviving id set, and the independent derivation must use
+        # the store's CURRENT frozen models
+        cent = spark.read.parquet(f"{store_dir}/centroids.parquet")
         got = _rows(idx.query(qv, embs, k=5, nprobe=2))
         served = live - tombstoned
         want = _rows(ann.ivf_dense_topk(
@@ -593,8 +596,8 @@ def test_ann_store_interaction_fuzz(spark, sf_med, store_dir, tmp_path):
         assert ver["ok"], (step, ver)
 
     check("build")
-    ops = ["add", "delete", "merge", "compact", "delete", "add",
-           "repair", "delete", "merge", "compact", "add"]
+    ops = ["add", "delete", "merge", "compact", "delete", "rebuild",
+           "add", "repair", "delete", "merge", "compact", "add"]
     for n, op in enumerate(ops):
         if op == "merge" and pool:
             from partitioned_ef_ans_spark.operators import hybrid as h_mod
@@ -639,6 +642,17 @@ def test_ann_store_interaction_fuzz(spark, sf_med, store_dir, tmp_path):
             tombstoned = set()
         elif op == "repair":
             ann_store.repair_ann_index(spark, store_dir)
+        elif op == "rebuild":
+            # the journaled rebuild: retires the sidecar + stale twins
+            # in its commit, re-pins centroids over the survivors
+            keep = sorted(live - tombstoned)
+            ann_store.build_ann_index(
+                spark, embs.where(F.col("vec_id").isin(keep)), store_dir,
+                n_centroids=8, trained=False, sq8=True, engine="np",
+            )
+            pool += sorted(tombstoned)
+            live -= tombstoned
+            tombstoned = set()
         check(f"{n}:{op}")
 
 
