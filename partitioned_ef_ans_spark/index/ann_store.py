@@ -78,18 +78,31 @@ def _read_manifest(out_dir: str) -> dict:
     return man
 
 
+#: renameat2 function pointer, resolved ONCE (None = not yet tried,
+#: False = unsupported) — swaps happen per append/compaction and must
+#: not pay a dlopen + symbol lookup each time
+_RENAMEAT2 = None
+
+
 def _rename_exchange(a: str, b: str) -> bool:
     """Atomically EXCHANGE two paths via renameat2(RENAME_EXCHANGE)
     (Linux ≥3.15 / glibc ≥2.28).  Returns False when unsupported so
     callers fall back to the two-rename swap."""
-    try:
-        import ctypes
+    global _RENAMEAT2
+    if _RENAMEAT2 is None:
+        try:
+            import ctypes
 
-        libc = ctypes.CDLL(None, use_errno=True)
+            _RENAMEAT2 = ctypes.CDLL(None, use_errno=True).renameat2
+        except Exception:
+            _RENAMEAT2 = False
+    if _RENAMEAT2 is False:
+        return False
+    try:
         at_fdcwd = -100
         rename_exchange = 2
         return (
-            libc.renameat2(
+            _RENAMEAT2(
                 at_fdcwd,
                 os.fsencode(a),
                 at_fdcwd,
@@ -130,17 +143,56 @@ def _replace_dir(path: str, staging: str) -> None:
 
 
 def _load_tombstones(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    # the sidecar is a single parquet FILE (written via os.replace —
+    # the text plane's atomic mechanism); pre-file stores may still
+    # carry the legacy directory form, which reads identically
     path = f"{out_dir}/tombstones.parquet"
-    return spark.read.parquet(path) if os.path.isdir(path) else None
+    return spark.read.parquet(path) if os.path.exists(path) else None
+
+
+def _write_tombstones_file(out_dir: str, ids) -> int:
+    """Replace the tombstone sidecar with the complete ``ids`` set as
+    ONE parquet file via ``os.replace`` — atomic for readers (old or
+    new complete set, never absent, never torn), crash-safe without
+    any aside to recover.  Exactly checkpoint._write_tombstones'
+    mechanism; the set is bounded by deletes-since-last-compaction and
+    is broadcast to workers anyway, so driver-side materialization is
+    the ALREADY-PAID cost, not a new one.  A legacy directory-form
+    sidecar is atomically exchanged out where renameat2 exists."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    uniq = sorted({int(x) for x in ids})
+    path = f"{out_dir}/tombstones.parquet"
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    pq.write_table(
+        pa.table({"vec_id": pa.array(uniq, type=pa.int64())}), tmp
+    )
+    if os.path.isdir(path):
+        # legacy dir form: file<->dir os.replace fails — exchange
+        # atomically, else retire the dir first (one-time migration)
+        if _rename_exchange(tmp, path):
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            return len(uniq)
+        _remove_dir(path)
+    os.replace(tmp, path)
+    return len(uniq)
 
 
 def _remove_dir(path: str) -> None:
-    """Retire an artifact directory: atomic rename out of the readers'
-    path, then best-effort removal of the renamed dir (the sidecar
-    retirement pattern).  No-op when absent."""
+    """Retire an artifact path (directory or single file): atomic
+    rename/unlink out of the readers' view, then best-effort removal
+    (the sidecar retirement pattern).  No-op when absent."""
     import shutil
     import uuid
 
+    if os.path.isfile(path):
+        os.remove(path)
+        return
     if not os.path.isdir(path):
         return
     gone = f"{path}.gone.{uuid.uuid4().hex[:8]}"
@@ -151,29 +203,56 @@ def _remove_dir(path: str) -> None:
 #: scratch / aside name markers every locked mutator may leave behind
 #: on a crash; swept (under the writer lock) by _sweep_scratch
 _SCRATCH_MARKERS = (".rebuild.", ".retired.")
-_ASIDE_MARKERS = (".old.", ".gone.", ".staging.", ".pre_commit")
+_ASIDE_MARKERS = (".old.", ".gone.", ".staging.", ".pre_commit", ".tmp.")
 
 
 def _sweep_scratch(out_dir: str) -> None:
     """Remove crash leftovers — rebuild scratch dirs, retired-artifact
     asides, staging dirs — from the store tree.  Caller holds the
-    writer lock, so nothing live can match; without the sweep a
-    leftover would collide with a later mutation's aside name or get
-    hardlinked into snapshots."""
+    writer lock and must run :func:`_recover_commit` AND
+    :func:`_recover_swaps` first.  An aside is swept ONLY when its
+    live base path exists (the swap completed): an aside whose base is
+    MISSING is the surviving copy of a crashed fallback swap — the
+    tombstone set, say — and deleting it would turn a recoverable
+    crash into silent data loss."""
     import shutil
+
+    def _rm(full: str) -> None:
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            try:
+                os.remove(full)
+            except OSError:
+                pass
 
     for name in os.listdir(out_dir):
         full = f"{out_dir}/{name}"
-        if name.startswith(_SCRATCH_MARKERS) or any(
-            m in name for m in _ASIDE_MARKERS
-        ):
-            if os.path.isdir(full):
-                shutil.rmtree(full, ignore_errors=True)
-            else:
-                try:
-                    os.remove(full)
-                except OSError:
-                    pass
+        if name.startswith(_SCRATCH_MARKERS):
+            _rm(full)
+            continue
+        for m in _ASIDE_MARKERS:
+            if m in name:
+                base = f"{out_dir}/{name.split(m)[0]}"
+                if os.path.exists(base):
+                    _rm(full)
+                break
+
+
+def _recover_swaps(out_dir: str) -> None:
+    """Roll BACK a crashed fallback two-rename swap: a live path that
+    is missing while its ``.old.`` aside survives gets the aside
+    restored — the pre-mutation table; the interrupted mutation is
+    considered failed and the caller's retry redoes it.  A no-op
+    whenever renameat2(RENAME_EXCHANGE) served the swap (always, on
+    Linux) and for journaled commits (``_recover_commit`` owns those
+    and must run FIRST)."""
+    for name in sorted(os.listdir(out_dir)):
+        if ".old." not in name or name.startswith(_SCRATCH_MARKERS):
+            continue
+        base = f"{out_dir}/{name.split('.old.')[0]}"
+        if not os.path.exists(base):
+            os.rename(f"{out_dir}/{name}", base)
 
 
 def build_ann_index(
@@ -284,9 +363,15 @@ def _build_ann_index_locked(
     # (retiring them up front would resurrect deleted vectors on a
     # mid-build crash); a crash during the ms-scale rename window is
     # rolled forward by the next locked mutator's _recover_commit.
+    # CONTRACT: lockless readers racing that ms window may observe a
+    # mixed generation (same exposure the text plane documents for its
+    # journaled commits) — a reader that needs a consistent view
+    # during rebuilds uses snapshot_ann_index, which refuses any state
+    # with a live lease or commit journal.
     import uuid
 
     _recover_commit(out_dir)
+    _recover_swaps(out_dir)
     _sweep_scratch(out_dir)
 
     def scratch(name: str) -> str:
@@ -370,7 +455,7 @@ def _build_ann_index_locked(
         stale += ["pq_codebooks.parquet", "pq_codes.parquet"]
     for n in stale:
         p = f"{out_dir}/{n}"
-        if os.path.isdir(p):
+        if os.path.exists(p):
             pairs.append((p, f"{out_dir}/.retired.{uuid.uuid4().hex[:8]}.{n}"))
     pairs.append((man_scratch, f"{out_dir}/manifest.json"))
     _commit_renames(out_dir, pairs)
@@ -539,14 +624,20 @@ def add_vectors(
         _refresh_path(spark, out_dir)
         try:
             _recover_commit(out_dir)
+            _recover_swaps(out_dir)
+            _sweep_scratch(out_dir)
             man = _read_manifest(out_dir)
             # pin ONE evaluation of the caller's frame: the batch feeds
             # many independent jobs below (counts, dim probe, dup
             # check, twin encodes, assignment, max-agg) and a
             # nondeterministic or concurrently-mutated input would
             # otherwise tear the append across them — exactly the
-            # orphan/missing-twin corruption the healers exist for
-            new_embeddings = new_embeddings.localCheckpoint(eager=True)
+            # orphan/missing-twin corruption the healers exist for.
+            # The skip_existing path pins AFTER its anti-join instead
+            # (every write reads the post-filter frame; pinning twice
+            # would double-materialize each streaming replay).
+            if not skip_existing:
+                new_embeddings = new_embeddings.localCheckpoint(eager=True)
             n_new = new_embeddings.count()
             if n_new == 0:
                 return man
@@ -575,6 +666,7 @@ def add_vectors(
                             ),
                             "vec_id",
                         )
+                        .join(existing.select("vec_id"), "vec_id")
                         .count()
                     )
                 new_embeddings = new_embeddings.join(
@@ -808,6 +900,7 @@ def repair_ann_index(spark: SparkSession, out_dir: str) -> dict:
         _refresh_path(spark, out_dir)
         try:
             _recover_commit(out_dir)
+            _recover_swaps(out_dir)
             _sweep_scratch(out_dir)
             man = _read_manifest(out_dir)
             dropped = _drop_twin_orphans(spark, out_dir, man)
@@ -838,9 +931,9 @@ def repair_ann_index(spark: SparkSession, out_dir: str) -> dict:
                     # compaction tail) — retire the sidecar outright
                     _remove_dir(tomb_path)
                 elif n_tomb != tomb.count():
-                    staging = f"{tomb_path}.staging.{os.getpid()}"
-                    live.write.mode("overwrite").parquet(staging)
-                    _replace_dir(tomb_path, staging)
+                    _write_tombstones_file(
+                        out_dir, [r["vec_id"] for r in live.collect()]
+                    )
                     _refresh_path(spark, tomb_path)
             counts_path = f"{out_dir}/bucket_counts.parquet"
             staging = f"{counts_path}.staging.{os.getpid()}"
@@ -887,6 +980,8 @@ def delete_vectors(spark: SparkSession, out_dir: str, vec_ids) -> dict:
         _refresh_path(spark, out_dir)
         try:
             _recover_commit(out_dir)
+            _recover_swaps(out_dir)
+            _sweep_scratch(out_dir)
             man = _read_manifest(out_dir)
             req = sorted({int(v) for v in vec_ids})
             prev = _load_tombstones(spark, out_dir)
@@ -908,12 +1003,12 @@ def delete_vectors(spark: SparkSession, out_dir: str, vec_ids) -> dict:
                 if prev is None
                 else prev.select("vec_id").unionByName(present).distinct()
             )
-            tomb_path = f"{out_dir}/tombstones.parquet"
-            staging = f"{tomb_path}.staging.{os.getpid()}"
-            merged.write.mode("overwrite").parquet(staging)
-            _replace_dir(tomb_path, staging)
-            _refresh_path(spark, tomb_path)
-            n_total = spark.read.parquet(tomb_path).count()
+            # the sidecar is the table of RECORD for deletions: one
+            # atomic single-file replace (no directory swap, no absent
+            # window, no aside whose loss could resurrect vectors)
+            merged_ids = [r["vec_id"] for r in merged.collect()]
+            n_total = _write_tombstones_file(out_dir, merged_ids)
+            _refresh_path(spark, f"{out_dir}/tombstones.parquet")
             man["n_tombstones"] = int(n_total)
             _write_manifest_atomic(out_dir, man)
             return {
@@ -946,6 +1041,8 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
         _refresh_path(spark, out_dir)
         try:
             _recover_commit(out_dir)
+            _recover_swaps(out_dir)
+            _sweep_scratch(out_dir)
             return _compact_locked(spark, out_dir)
         finally:
             _refresh_path(spark, out_dir)
@@ -1231,6 +1328,13 @@ def verify_ann_index(spark: SparkSession, out_dir: str) -> dict:
                     a_ids, "vec_id", "left_anti"
                 ).count()
                 == 0
+            )
+            # duplicated subspace rows + a missing subspace can hide
+            # inside "m rows per id" — distinct (vec_id, s) must equal
+            # the row count (with m-per-id this forces all m subspaces)
+            checks["pq_subspace_rows_distinct"] = (
+                codes.select("vec_id", "s").distinct().count()
+                == codes.count()
             )
     tomb = _load_tombstones(spark, out_dir)
     if tomb is not None or man.get("n_tombstones"):

@@ -55,9 +55,22 @@ def start_ann_update_stream(
     src = spark.readStream.schema(ANN_STREAM_SCHEMA).parquet(input_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        add_vectors(
+        res = add_vectors(
             spark, store_dir, batch_df, engine=engine, skip_existing=True
         )
+        n_deferred = int(res.get("skipped_tombstoned", 0))
+        if n_deferred:
+            # a tombstoned id in the batch is a RE-ADD of a deleted
+            # vector: it cannot land while the old row physically
+            # exists, so it is deferred until compaction — surfaced
+            # here instead of silently dropped
+            import sys
+
+            print(
+                f"ann_update batch {batch_id}: {n_deferred} tombstoned "
+                "ids skipped (re-add deferred until compaction)",
+                file=sys.stderr,
+            )
 
     writer = src.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -254,7 +254,7 @@ def test_delete_masks_and_compact_serves_bit_identically(
     n_before = idx.manifest["n_vectors"]
     res = ann_store.compact_ann_index(spark, store_dir)
     assert res["removed"] == len(dead)
-    assert not os.path.isdir(f"{store_dir}/tombstones.parquet")
+    assert not os.path.exists(f"{store_dir}/tombstones.parquet")
     idx2 = ann_store.load_ann_index(spark, store_dir)
     assert idx2.manifest["n_vectors"] == n_before - len(dead)
     assert idx2.tombstones is None
@@ -401,7 +401,7 @@ def test_repair_heals_orphans_stale_counts_and_dead_tombstones(
     assert rep["orphan_twin_ids_dropped"] == {"sq8": 4}
     assert rep["n_vectors"] == embs.count()
     assert rep["n_tombstones"] == 0
-    assert not os.path.isdir(f"{store_dir}/tombstones.parquet")
+    assert not os.path.exists(f"{store_dir}/tombstones.parquet")
     ver = ann_store.verify_ann_index(spark, store_dir)
     assert ver["ok"], ver
     idx = ann_store.load_ann_index(spark, store_dir)
@@ -711,7 +711,7 @@ def test_rebuild_clears_stale_tombstones_and_twins(spark, sf_med, store_dir):
         spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
         engine="np",
     )
-    assert not os.path.isdir(f"{store_dir}/tombstones.parquet")
+    assert not os.path.exists(f"{store_dir}/tombstones.parquet")
     assert not os.path.isdir(f"{store_dir}/sq8.parquet")
     idx = ann_store.load_ann_index(spark, store_dir)
     assert idx.tombstones is None and idx.sq8 is None
@@ -1061,7 +1061,7 @@ def test_rebuild_crash_preserves_old_store_and_tombstones(
     finally:
         ann_store.ann_mod.assign_buckets = real
     # old generation fully intact: sidecar still masks, serving equal
-    assert _os.path.isdir(f"{store_dir}/tombstones.parquet")
+    assert _os.path.exists(f"{store_dir}/tombstones.parquet")
     got = _rows(
         ann_store.load_ann_index(spark, store_dir).query(
             _qv(embs), embs, k=5, nprobe=8
@@ -1082,5 +1082,5 @@ def test_rebuild_crash_preserves_old_store_and_tombstones(
         spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
         engine="np",
     )
-    assert not _os.path.isdir(f"{store_dir}/tombstones.parquet")
+    assert not _os.path.exists(f"{store_dir}/tombstones.parquet")
     assert ann_store.verify_ann_index(spark, store_dir)["ok"]
