@@ -648,7 +648,7 @@ def run_blockmax_docpartitioned(
     if codec.codec_name == "pef":
         raise ValueError("blockmax requires a block-family codec")
     ship_package(spark)
-    codec_bc = spark.sparkContext.broadcast(codec)
+    codec_bc = q.codec_broadcast(spark, codec)
     bs = codec.block_size
 
     qf = query_freqs(queries_df)  # query_id, term, qtf, n_terms

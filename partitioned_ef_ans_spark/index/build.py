@@ -339,6 +339,10 @@ class IndexCodec:
     def __getstate__(self):
         state = dict(self.__dict__)
         state["_seg_cache"] = {}  # rebuilt lazily post-broadcast
+        # the per-context broadcast memo (query.codec_broadcast) is
+        # driver-side state: a Broadcast handle must never ride inside
+        # the broadcast payload itself
+        state.pop("_pefa_bc", None)
         return state
 
     # block-family batch interface (used via blocks.write/decode_lists)
@@ -462,21 +466,39 @@ def build_index(
         corpus_docs, doc_col=doc_col, text_col=text_col, ngram=ngram
     )
     tf = term_frequencies(tokens).cache()  # reused by stats + postings
-    stats = ds_mod.build_doc_stats(
-        corpus_docs.select(F.col(doc_col).alias("doc_id")),
-        tf.select("doc_id", "term", "tf"),
+    # doc lengths: ONE traversal of the tf table, materialized small
+    # (num_docs rows of (doc_id, doc_len)).  The previous shape —
+    # build_doc_stats' crossJoin(broadcast(avg)) — planned the whole
+    # lens+join subtree TWICE (once under the avg aggregate's
+    # broadcast, once for the output rows); localCheckpoint truncates
+    # the plan so the avg aggregate, the norm_len projection and the
+    # parquet write all read the materialized 45k-row frame instead.
+    # Doc stats stay DISTRIBUTED: nothing num_docs-sized ever reaches
+    # the driver — only the 1-row (count, avg, max) aggregate does.
+    lens = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    all_docs = (
+        corpus_docs.select(F.col(doc_col).alias("doc_id"))
+        .join(lens, "doc_id", "left")
+        .fillna({"doc_len": 0})
+        .select("doc_id", F.col("doc_len").cast("long").alias("doc_len"))
+        .localCheckpoint(eager=True)  # tf cache materializes here
     )
-    # doc stats stay DISTRIBUTED: straight to parquet (tf cache
-    # materializes during this first action); the driver only ever
-    # sees the 1-row (num_docs, avg_len) aggregate
-    stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats.parquet")
-    stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
-    agg = stats_df.agg(
+    agg = all_docs.agg(
         F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg"),
         F.max("doc_id").alias("mx"),
     ).collect()[0]
     num_docs = int(agg["n"])
     avg_len = float(agg["avg"] or 0.0)
+    # norm_len = doc_len / avg_len with the SAME double avg the old
+    # broadcast-aggregate produced (integer doc_len sums < 2^53 make
+    # F.avg a deterministic double), so doc_stats.parquet is
+    # value-identical to the build_doc_stats output
+    stats = all_docs.withColumn(
+        "norm_len",
+        F.col("doc_len").cast("double") / F.lit(avg_len),
+    )
+    stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats.parquet")
+    stats_df = spark.read.parquet(f"{out_dir}/doc_stats.parquet")
     # the docID UNIVERSE (EF layout bound + chunk stride) is max_id+1,
     # NOT the doc count — equal for densely-assigned ids, but sparse
     # ids (incremental updates only require freshness) would otherwise

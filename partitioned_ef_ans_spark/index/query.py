@@ -1094,6 +1094,62 @@ def make_bool_kernel(codec_bc, conjunctive, tomb_bc=None):
     return kernel
 
 
+def _query_side(queries_df: DataFrame, term_stats_df: DataFrame) -> DataFrame:
+    """The (tiny) pre-joined query side of the gather join —
+    ``query_freqs ⨝ term-stats slice`` — MATERIALIZED once and memoized
+    on the queries frame.
+
+    Why: the lazy form re-plans and re-executes the whole query-side
+    subtree (explode + two aggregations + a distinct + the semi-join,
+    ~5 exchanges and 5 broadcast builds under AQE) on EVERY serving
+    call; a 13-leg bench batch or a serving loop re-pays ~10 scheduler
+    round-trips per call for a few-KB relation that never changes.
+    ``localCheckpoint`` truncates the plan so each reuse is one
+    broadcast of a materialized handful of rows; the blocks are
+    reclaimed by the ContextCleaner when the frame goes out of scope.
+    The memo keys on the term_stats frame identity + the mutation
+    epoch (see :func:`bump_payload_epoch`), the same invalidation
+    discipline as the payload-total memo."""
+    key = (id(term_stats_df), _PAYLOAD_EPOCH)
+    memo = getattr(queries_df, "_pefa_qside", None)
+    if memo is not None and memo[0] == key:
+        return memo[1]
+    qf = query_freqs(queries_df)  # query_id, term, qtf, n_terms
+    per_term_max = term_stats_df.join(
+        F.broadcast(qf.select("term").distinct()), "term", "left_semi"
+    ).select(
+        "term",
+        F.col("max_term_weight").alias("max_weight"),
+        F.col("df").alias("term_df"),
+    )
+    qside = qf.join(per_term_max, "term").localCheckpoint(eager=True)
+    try:
+        queries_df._pefa_qside = (key, qside)
+    except Exception:
+        pass
+    return qside
+
+
+def codec_broadcast(spark, codec):
+    """Per-(context, codec) broadcast memo.  The ANS codec bundle
+    pickles at ~11 MB (enc/dec tables); a fresh ``sc.broadcast`` per
+    serving call makes every python worker re-fetch and re-unpickle it
+    once per call.  Memoizing on the codec object (keyed by the live
+    SparkContext) gives every call the SAME broadcast id, so workers
+    hit their local broadcast cache.  Excluded from pickling via
+    ``IndexCodec.__getstate__``."""
+    sc = spark.sparkContext
+    memo = getattr(codec, "_pefa_bc", None)
+    if memo is not None and memo[0] is sc:
+        return memo[1]
+    bc = sc.broadcast(codec)
+    try:
+        codec._pefa_bc = (sc, bc)
+    except Exception:
+        pass
+    return bc
+
+
 def query_lists_df(
     index_df: DataFrame,
     queries_df: DataFrame,
@@ -1110,24 +1166,26 @@ def query_lists_df(
     aggregates the index itself.  The ``None`` fallback (full-index
     groupBy) exists only for ad-hoc index DataFrames without a frozen
     sidecar — never the scale path.
+
+    The query side arrives as ONE pre-joined, memoized broadcast
+    (:func:`_query_side`), so a serving call's plan is a single
+    broadcast hash join + the gather exchange.
     """
-    qf = query_freqs(queries_df)  # query_id, term, qtf, n_terms
-    if term_stats_df is not None:
-        per_term_max = term_stats_df.join(
-            F.broadcast(qf.select("term").distinct()), "term", "left_semi"
-        ).select(
-            "term",
-            F.col("max_term_weight").alias("max_weight"),
-            F.col("df").alias("term_df"),
-        )
-    else:
-        per_term_max = index_df.groupBy("term").agg(
-            F.max("chunk_max_weight").alias("max_weight"),
-            F.sum("n").cast("long").alias("term_df"),
-        )
     # the chunk-row df is frozen at its SEGMENT's build and goes stale
     # when a term's list spans base + delta segments — every consumer
     # gets the authoritative term-level df (== list length) instead
+    if term_stats_df is not None:
+        qside = _query_side(queries_df, term_stats_df)
+        return (
+            index_df.drop("df")
+            .join(F.broadcast(qside), "term")
+            .withColumnRenamed("term_df", "df")
+        )
+    qf = query_freqs(queries_df)  # query_id, term, qtf, n_terms
+    per_term_max = index_df.groupBy("term").agg(
+        F.max("chunk_max_weight").alias("max_weight"),
+        F.sum("n").cast("long").alias("term_df"),
+    )
     idx = index_df.drop("df").join(F.broadcast(qf), "term")
     return (
         idx.join(F.broadcast(per_term_max), "term")
@@ -1151,18 +1209,34 @@ def batched_query_lists_df(
     chunk exactly once regardless of batch size: the shape the
     doc-partitioned runners use.
     """
+    if term_stats_df is not None:
+        # same materialize-once-and-broadcast discipline as
+        # :func:`_query_side`, keyed separately (different shape)
+        key = (id(term_stats_df), _PAYLOAD_EPOCH)
+        memo = getattr(queries_df, "_pefa_qside_b", None)
+        if memo is not None and memo[0] == key:
+            qside = memo[1]
+        else:
+            qf = query_freqs(queries_df)
+            per_term = term_stats_df.join(
+                F.broadcast(qf.select("term").distinct()), "term", "left_semi"
+            ).select("term", "df")
+            qlist = qf.groupBy("term").agg(
+                F.collect_list(F.struct("query_id", "qtf", "n_terms")).alias("qs")
+            )
+            qside = qlist.join(per_term, "term").localCheckpoint(eager=True)
+            try:
+                queries_df._pefa_qside_b = (key, qside)
+            except Exception:
+                pass
+        return index_df.drop("df").join(F.broadcast(qside), "term")
     qf = query_freqs(queries_df)
     qterms = qf.select("term").distinct()
-    if term_stats_df is not None:
-        per_term = term_stats_df.join(
-            F.broadcast(qterms), "term", "left_semi"
-        ).select("term", "df")
-    else:
-        per_term = (
-            index_df.join(F.broadcast(qterms), "term", "left_semi")
-            .groupBy("term")
-            .agg(F.sum("n").cast("long").alias("df"))
-        )
+    per_term = (
+        index_df.join(F.broadcast(qterms), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.sum("n").cast("long").alias("df"))
+    )
     qlist = qf.groupBy("term").agg(
         F.collect_list(F.struct("query_id", "qtf", "n_terms")).alias("qs")
     )
@@ -1354,8 +1428,7 @@ def run_ranked(
             )
             return rest.unionByName(routed)
 
-    sc = spark.sparkContext
-    codec_bc = sc.broadcast(codec)
+    codec_bc = codec_broadcast(spark, codec)
     joined = query_lists_df(index_df, queries_df, term_stats_df)
     kernel = make_ranked_kernel(
         codec_bc, num_docs, avg_len, k, mode, dtype, tomb_bc=tomb_bc
@@ -1396,8 +1469,7 @@ def ranked_scores_docpartitioned(
     from pyspark.sql.window import Window
 
     ship_package(spark)
-    sc = spark.sparkContext
-    codec_bc = sc.broadcast(codec)
+    codec_bc = codec_broadcast(spark, codec)
     joined = batched_query_lists_df(index_df, queries_df, term_stats_df)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1711,8 +1783,7 @@ def run_ranked_and_docpartitioned(
     from pyspark.sql.window import Window
 
     ship_package(spark)
-    sc = spark.sparkContext
-    codec_bc = sc.broadcast(codec)
+    codec_bc = codec_broadcast(spark, codec)
     joined = batched_query_lists_df(index_df, queries_df, term_stats_df)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1832,8 +1903,7 @@ def boolean_match_rows_docpartitioned(
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
-    sc = spark.sparkContext
-    codec_bc = sc.broadcast(codec)
+    codec_bc = codec_broadcast(spark, codec)
     qdf = queries_df.select("query_id", F.array_distinct("terms").alias("terms"))
     joined = batched_query_lists_df(index_df, qdf, term_stats_df)
 
@@ -1936,13 +2006,24 @@ def run_boolean(
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
-    sc = spark.sparkContext
-    codec_bc = sc.broadcast(codec)
+    codec_bc = codec_broadcast(spark, codec)
     if allowlist is not None:
         tombstones = make_allowlist(allowlist, tombstones)
     tomb_bc = _as_tomb_bc(spark, tombstones)
-    # boolean ops dedup query terms first (queries.hpp:30-34)
-    qdf = queries_df.select("query_id", F.array_distinct("terms").alias("terms"))
+    # boolean ops dedup query terms first (queries.hpp:30-34).  The
+    # deduped frame is memoized on the input frame so repeated boolean
+    # calls over one batch (bool_and + bool_or legs, serving loops)
+    # share ONE _query_side materialization instead of rebuilding it
+    # per call.
+    qdf = getattr(queries_df, "_pefa_dedup_q", None)
+    if qdf is None:
+        qdf = queries_df.select(
+            "query_id", F.array_distinct("terms").alias("terms")
+        )
+        try:
+            queries_df._pefa_dedup_q = qdf
+        except Exception:
+            pass
     if (
         term_stats_df is not None
         and docpart_budget_bytes is not None

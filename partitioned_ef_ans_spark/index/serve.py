@@ -341,7 +341,7 @@ def run_ranked_direct(
             # parts) froze their bounds at the manifest average
             default_scale = (avg_len / man_avg) * (1.0 + 1e-6)
     sc = spark.sparkContext
-    codec_bc = sc.broadcast(codec)
+    codec_bc = q_mod.codec_broadcast(spark, codec)
     scales_bc = sc.broadcast(scales)
     df_over_bc = (
         sc.broadcast(dict(term_df_override)) if term_df_override else None

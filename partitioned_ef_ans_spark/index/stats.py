@@ -84,7 +84,8 @@ def block_class_stats(spark, index_df: DataFrame, codec) -> pd.DataFrame:
     from partitioned_ef_ans_spark.session import ship_package
 
     ship_package(spark)
-    codec_bc = spark.sparkContext.broadcast(codec)
+    from partitioned_ef_ans_spark.index.query import codec_broadcast
+    codec_bc = codec_broadcast(spark, codec)
     parts = (
         index_df.select("payload")
         .mapInPandas(_stats_factory(codec_bc), schema=STATS_SCHEMA)
@@ -215,7 +216,8 @@ def ans_decode_kind_stats(spark, index_df: DataFrame, codec) -> pd.DataFrame:
         )
 
     ship_package(spark)
-    codec_bc = spark.sparkContext.broadcast(codec)
+    from partitioned_ef_ans_spark.index.query import codec_broadcast
+    codec_bc = codec_broadcast(spark, codec)
     parts = (
         index_df.select("payload")
         .mapInPandas(_kind_factory(codec_bc), schema=KIND_SCHEMA)
