@@ -1556,13 +1556,29 @@ def _collapse_scored(per_doc: DataFrame, groups_df: DataFrame, k: int) -> DataFr
         "grp",
         F.coalesce(F.col("grp"), F.concat(F.lit("\x00doc:"), F.col("doc_id"))),
     )
-    wg = Window.partitionBy("query_id", "grp").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
+    # best-per-(query, group) as a HASH AGGREGATE (map-side partial
+    # combine), not a window: the scored relation is the big side here
+    # (exhaustive fallback = every matching doc of the failing
+    # queries), and a window pays a full shuffle + sort of it, while
+    # max(struct) reduces it to one row per (query, grp) before the
+    # exchange.  max over the lexicographic struct (score, -doc_id)
+    # is exactly the window's (score DESC, doc_id ASC) first row —
+    # deterministic because doc_id is unique within the group.
     best = (
-        grouped.withColumn("_g_rn", F.row_number().over(wg))
-        .where(F.col("_g_rn") == 1)
-        .drop("_g_rn", "grp")
+        grouped.groupBy("query_id", "grp")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"), (-F.col("doc_id")).alias("_nd"),
+                    F.col("doc_id"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "query_id",
+            F.col("_b.doc_id").alias("doc_id"),
+            F.col("_b.score").alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -1701,15 +1717,27 @@ def run_ranked_collapsed(
                 F.col("grp"), F.concat(F.lit("\x00doc:"), F.col("doc_id"))
             ),
         )
-        wg = Window.partitionBy("query_id", "grp").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
         wq = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
+        # best-per-(query, group) via hash aggregate (see
+        # _collapse_scored: max over (score, -doc_id) == the window's
+        # first row, minus a shuffle+sort of the probe relation)
         bestr = (
-            sg.withColumn("_g_rn", F.row_number().over(wg))
-            .where(F.col("_g_rn") == 1)
+            sg.groupBy("query_id", "grp")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("score"), (-F.col("doc_id")).alias("_nd"),
+                        F.col("doc_id"),
+                    )
+                ).alias("_b")
+            )
+            .select(
+                "query_id",
+                F.col("_b.doc_id").alias("doc_id"),
+                F.col("_b.score").alias("score"),
+            )
             .withColumn("g_rank", F.row_number().over(wq))
         ).localCheckpoint(eager=True)
 

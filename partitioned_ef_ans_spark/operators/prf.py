@@ -36,6 +36,45 @@ from pyspark.sql.window import Window
 from partitioned_ef_ans_spark import tokenizer
 
 
+def _fb_term_freqs(fb_docs_tbl: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, term, tf) for the FEEDBACK docs in
+    one Arrow pass.  The feedback set is n_queries x k_fb docs (tiny),
+    so the general tokenizer's explode + hash-agg shuffle costs more
+    in scheduling than the whole computation; a per-doc Counter inside
+    mapInPandas emits the aggregated rows directly, zero shuffles.
+    Token rule identical to tokenizer.tokenize (lowercase, keep runs
+    of [a-z0-9_] — the equivalence the tokenize_arrow tests pin)."""
+    import collections
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    pat = re.compile(tokenizer.TOKEN_KEEP_RE)
+
+    def fn(batches):
+        for pdf in batches:
+            ids: list = []
+            terms: list = []
+            tfs: list = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                c = collections.Counter(pat.findall((text or "").lower()))
+                ids.extend([did] * len(c))
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "term": terms,
+                    "tf": np.asarray(tfs, dtype=np.int32),
+                }
+            )
+
+    return fb_docs_tbl.select("doc_id", "text").mapInPandas(
+        fn, schema="doc_id long, term string, tf int"
+    )
+
+
 def expansion_terms(
     fb_docs: DataFrame,
     fb_tf: DataFrame,
@@ -117,15 +156,22 @@ def run_ranked_prf(
     # cache) so lineage is truncated and the blocks are reclaimed by
     # the ContextCleaner when the frames go out of scope — repeated
     # invocations in one session never accumulate pinned cache entries
+    # stage 1 is an internal FEEDBACK PROBE: its rows never surface,
+    # only the (query, doc) pairs feed expansion, and run_ranked modes
+    # are rank- and value-identical (the gate families' guarantee) —
+    # so it routes through the measured-crossover auto dispatch
+    # exactly like run_ranked_collapsed's probe, regardless of the
+    # caller's stage-2 mode (auto needs term_stats for the crossover
+    # scalar; without it the caller's mode stands).
+    fb_mode = "auto" if term_stats_df is not None else mode
     fb = q_mod.run_ranked(
         spark, index_df, queries_df, codec, num_docs, avg_len,
-        mode=mode, k=int(k_fb), dtype=dtype, term_stats_df=term_stats_df,
+        mode=fb_mode, k=int(k_fb), dtype=dtype, term_stats_df=term_stats_df,
         **kw,
     ).select("query_id", "doc_id").localCheckpoint(eager=True)
     fb_doc_ids = fb.select("doc_id").distinct()
     fb_docs_tbl = docs_df.join(F.broadcast(fb_doc_ids), "doc_id")
-    toks = tokenizer.tokenize(fb_docs_tbl, doc_col="doc_id", text_col="text")
-    fb_tf = tokenizer.term_frequencies(toks)
+    fb_tf = _fb_term_freqs(fb_docs_tbl)
     orig = queries_df.select(
         "query_id", F.explode(F.array_distinct("terms")).alias("term")
     )
