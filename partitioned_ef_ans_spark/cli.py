@@ -983,6 +983,7 @@ def cmd_ann(args) -> int:
                 args.index,
                 spark.read.parquet(args.embeddings),
                 engine=engine,
+                skip_existing=args.skip_existing,
             )
             print(json.dumps(man))
             return 0
@@ -1111,8 +1112,13 @@ def cmd_hybrid(args) -> int:
         return 1
     spark = _spark(args)
     try:
-        idx = ann_store.load_ann_index(spark, args.store)
-        emb_path = args.embeddings or idx.manifest.get("source")
+        # only the manifest's source path is needed here — reading it
+        # directly avoids a full store load (assignments + tombstone
+        # sidecar reads) that hybrid_search_persisted's own
+        # HybridServer immediately repeats
+        emb_path = args.embeddings or ann_store._read_manifest(
+            args.store
+        ).get("source")
         if not emb_path:
             print(
                 "--embeddings required (store manifest carries no source)",
@@ -1429,6 +1435,11 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--engine", choices=["hof", "np"], default=None,
                     help="pair-scoring engine (default: np for build/add, "
                          "hof for query)")
+    an.add_argument("--skip-existing", action="store_true",
+                    dest="skip_existing",
+                    help="action=add: silently drop ids already in the "
+                         "store instead of rejecting the batch — the "
+                         "idempotent retry for a crashed append")
     an.add_argument("--out", default=None,
                     help="write query results to parquet instead of stdout")
     an.set_defaults(fn=cmd_ann)

@@ -76,6 +76,28 @@ MLT_DOC_IDS = (0, 3, 11)
 MLT_M = 5
 
 
+
+_SHM_ARTIFACTS: set = set()
+
+
+def _register_shm_artifact(path: str) -> None:
+    """Gate helpers build PID-keyed artifact trees (text indexes, ANN
+    stores) on /dev/shm — a shared, throttled resource.  The caches
+    are process-local dicts, so without cleanup every gate process
+    leaks its trees until reboot; register each for atexit removal."""
+    import atexit
+    import shutil
+
+    if not _SHM_ARTIFACTS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(d, ignore_errors=True)
+                for d in list(_SHM_ARTIFACTS)
+            ]
+        )
+    _SHM_ARTIFACTS.add(path)
+
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -190,6 +212,7 @@ def _get_index(spark: SparkSession, sf_dir: str, codec: str = "ans"):
     # gate) building the same dir concurrently would corrupt each
     # other's parquet commits.
     out_dir = f"/dev/shm/pefa_index_{os.getpid()}_{tag}"
+    _register_shm_artifact(out_dir)
     docs = load_documents(spark, sf_dir)
     b_mod.build_index(
         spark, docs, out_dir, codec=codec, chunk_postings=256,
@@ -1434,6 +1457,7 @@ def _get_phrase_index(spark: SparkSession, sf_dir: str, n: int = 2):
         return _INDEX_CACHE[key]
     tag = hashlib.sha1(f"{sf_dir}|shingle{n}".encode()).hexdigest()[:12]
     out_dir = f"/dev/shm/pefa_index_{os.getpid()}_{tag}"
+    _register_shm_artifact(out_dir)
     ph_mod.build_phrase_index(
         spark, load_documents(spark, sf_dir), out_dir, codec="ans", n=n,
         chunk_postings=256, doc_col="doc_id", text_col="text",

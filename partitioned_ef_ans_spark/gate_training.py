@@ -1131,6 +1131,8 @@ def _get_ann_store(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _ANN_STORE_CACHE:
         tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
         out_dir = f"/dev/shm/pefa_annstore_{os.getpid()}_{tag}"
+        from partitioned_ef_ans_spark.gate import _register_shm_artifact
+        _register_shm_artifact(out_dir)
         ann_store.build_ann_index(
             spark,
             _embs(spark, sf_dir),
@@ -1285,6 +1287,8 @@ def q_ann_ivf_store_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _ANN_STORE_DEL_CACHE:
         tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
         out_dir = f"/dev/shm/pefa_annstore_del_{os.getpid()}_{tag}"
+        from partitioned_ef_ans_spark.gate import _register_shm_artifact
+        _register_shm_artifact(out_dir)
         ann_store.build_ann_index(
             spark, embs, out_dir, n_centroids=8, trained=False,
             sq8=False, pq=False, engine="np",
@@ -1332,6 +1336,8 @@ def _get_ann_store_shards(spark: SparkSession, sf_dir: str) -> list[str]:
                 f"{sf_dir}|shard{parity}".encode()
             ).hexdigest()[:12]
             out_dir = f"/dev/shm/pefa_annshard_{os.getpid()}_{tag}"
+            from partitioned_ef_ans_spark.gate import _register_shm_artifact
+            _register_shm_artifact(out_dir)
             ann_store.build_ann_index(
                 spark,
                 _embs(spark, sf_dir).where(F.col("vec_id") % 2 == parity),

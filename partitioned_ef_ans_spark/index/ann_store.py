@@ -172,13 +172,23 @@ def _write_tombstones_file(out_dir: str, ids) -> int:
     )
     if os.path.isdir(path):
         # legacy dir form: file<->dir os.replace fails — exchange
-        # atomically, else retire the dir first (one-time migration)
-        if _rename_exchange(tmp, path):
-            import shutil
+        # atomically, else retire via an ``.old.`` aside (one-time
+        # migration).  The aside — NOT _remove_dir's ``.gone.`` — is
+        # what makes the window crash-safe: if we die between the
+        # retire and the replace, the path is absent but
+        # _recover_swaps restores the aside as the live sidecar, so
+        # the store never serves deleted vectors; the aside is only
+        # discarded after the new file has landed.
+        import shutil
 
+        if _rename_exchange(tmp, path):
             shutil.rmtree(tmp, ignore_errors=True)
             return len(uniq)
-        _remove_dir(path)
+        old = f"{path}.old.{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.replace(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return len(uniq)
     os.replace(tmp, path)
     return len(uniq)
 
@@ -305,9 +315,22 @@ def build_ann_index(
     which is why the ASSIGNMENTS are persisted: serving always uses
     the build's own assignment, so any such flip changes bucket
     recall microscopically, never correctness."""
-    n_vec = embeddings.count()
+    row = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("nd"),
+    ).collect()[0]
+    n_vec = int(row["n"])
     if n_vec == 0:
         raise ValueError("empty embeddings table")
+    if int(row["nd"]) != n_vec:
+        # mirrors add_vectors' intra-batch duplicate rejection: dup
+        # ids would write duplicate assignment/twin rows, fail
+        # verify_ann_index's assignment_ids_distinct forever, and
+        # repair cannot clear it (it only drops twin orphans)
+        raise ValueError(
+            f"build_ann_index: {n_vec - int(row['nd'])} duplicate "
+            "vec_ids in input embeddings (ids must be unique)"
+        )
     dim = len(embeddings.select("embedding").first()["embedding"])
     if n_centroids is None:
         n_centroids = ann_mod.auto_n_centroids(n_vec)
@@ -1268,6 +1291,14 @@ def snapshot_ann_index(
     return snapshot_index(out_dir, dest, timeout)
 
 
+#: verify advisory threshold: tombstones / assignments above this flags
+#: broadcast-mask growth and points at compaction (masking stays exact
+#: at any ratio — this is operational pressure, not correctness)
+TOMBSTONE_PRESSURE_RATIO = float(
+    os.environ.get("PEFA_TOMBSTONE_PRESSURE_RATIO", "0.05")
+)
+
+
 def verify_ann_index(spark: SparkSession, out_dir: str) -> dict:
     """Row-accounting invariants across the artifact tables (the ANN
     analogue of the text index's verification pass): assignment rows ==
@@ -1348,4 +1379,21 @@ def verify_ann_index(spark: SparkSession, out_dir: str) -> dict:
         checks["tombstones_accounted"] = n_tomb == int(
             man.get("n_tombstones", 0)
         )
-    return {"ok": all(checks.values()), "checks": checks}
+    out = {"ok": all(checks.values()), "checks": checks}
+    # tombstone-pressure advisory (NOT a failed check — masking stays
+    # exact at any ratio): the query-time mask is a BROADCAST anti-join
+    # by design, so a delete-heavy store that never compacts grows the
+    # broadcast without bound.  Report the ratio and flag past the
+    # threshold, pointing at compaction (measured ~1.3 s).
+    n_tomb_live = tomb.count() if tomb is not None else int(
+        man.get("n_tombstones", 0)
+    )
+    ratio = n_tomb_live / max(n_rows, 1)
+    out["tombstone_ratio"] = round(ratio, 6)
+    if ratio > TOMBSTONE_PRESSURE_RATIO:
+        out["tombstone_pressure"] = (
+            f"{n_tomb_live} tombstones over {n_rows} assignments "
+            f"({ratio:.1%} > {TOMBSTONE_PRESSURE_RATIO:.0%}): the "
+            "broadcast mask is growing — run compact_ann_index"
+        )
+    return out

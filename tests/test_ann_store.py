@@ -1084,3 +1084,41 @@ def test_rebuild_crash_preserves_old_store_and_tombstones(
     )
     assert not _os.path.exists(f"{store_dir}/tombstones.parquet")
     assert ann_store.verify_ann_index(spark, store_dir)["ok"]
+
+
+def test_verify_reports_tombstone_pressure(spark, sf_med, store_dir):
+    """verify_ann_index reports the sidecar/live ratio and flags
+    broadcast-mask growth past TOMBSTONE_PRESSURE_RATIO, pointing at
+    compaction; the flag is an advisory, never a failed check."""
+    embs = _embs(spark, sf_med)
+    ann_store.build_ann_index(
+        spark, embs, store_dir, n_centroids=8, trained=False, sq8=False,
+        engine="np",
+    )
+    res = ann_store.verify_ann_index(spark, store_dir)
+    assert res["ok"] and res["tombstone_ratio"] == 0.0
+    assert "tombstone_pressure" not in res
+    ids = [r["vec_id"] for r in embs.select("vec_id").collect()]
+    dead = ids[::10]  # ~10% of ids > the 5% threshold
+    ann_store.delete_vectors(spark, store_dir, dead)
+    res = ann_store.verify_ann_index(spark, store_dir)
+    assert res["ok"], res
+    assert res["tombstone_ratio"] > ann_store.TOMBSTONE_PRESSURE_RATIO
+    assert "compact_ann_index" in res["tombstone_pressure"]
+    ann_store.compact_ann_index(spark, store_dir)
+    res = ann_store.verify_ann_index(spark, store_dir)
+    assert res["ok"] and res["tombstone_ratio"] == 0.0
+    assert "tombstone_pressure" not in res
+
+
+def test_build_rejects_duplicate_vec_ids(spark, sf_med, store_dir):
+    """Duplicate input ids would write duplicate assignment/twin rows
+    that verify flags forever and repair cannot clear — the build
+    rejects them up front, mirroring add_vectors."""
+    embs = _embs(spark, sf_med)
+    dup = embs.unionByName(embs.limit(3))
+    with pytest.raises(ValueError, match="duplicate"):
+        ann_store.build_ann_index(
+            spark, dup, store_dir, n_centroids=8, trained=False,
+            sq8=False, engine="np",
+        )
