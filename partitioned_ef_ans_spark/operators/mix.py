@@ -133,9 +133,18 @@ def training_mix(
             else base.withColumnRenamed("doc_id", id_col)
         )
 
-    # 3. decontaminate — drop docs overlapping any eval item
+    # 3. decontaminate — drop docs overlapping any eval item.
+    # Contamination is text-pure and PER-DOC (each doc's overlap with
+    # the eval suite depends on nothing but its own text), so the
+    # dirty set derives from the RAW input, not the survivors: deriving
+    # it from ``ded`` made the broadcast-anti subtree recompute the
+    # whole quality+dedup-window pipeline — a SECOND full-row shuffle
+    # of the corpus per action (measured in the BENCH_MIX plan; the
+    # job-boundary constant behind its 0.60 scaling efficiency).
+    # Extra dirty ids that quality/dedup already dropped are no-ops in
+    # the anti-join, so the selected set is identical.
     dirty = dc_mod.contaminated_doc_ids(
-        ded, eval_df, n=n, min_overlap=max_overlap,
+        docs_df, eval_df, n=n, min_overlap=max_overlap,
         doc_col=id_col, text_col=text_col,
     ).withColumnRenamed("doc_id", id_col)
     clean = ded.join(F.broadcast(dirty), id_col, "left_anti")

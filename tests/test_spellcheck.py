@@ -218,3 +218,68 @@ def test_spark_duckdb_levenshtein_agree(spark):
         assert con.sql(
             f"SELECT levenshtein('{a}', '{b}')"
         ).fetchone()[0] == d, (a, b, d)
+
+
+def test_gram_path_equals_scan_path(spark, sp_index, monkeypatch):
+    """Forcing the large-dictionary 3-gram prefilter (scan crossover =
+    0) must reproduce the scan path exactly — the q-gram count bound
+    admits every true correction, Levenshtein removes the rest.  The
+    typo set spans short terms (below the positive-bound length, which
+    keep the scan) and long ones (gram join)."""
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark.operators.ranked import queries_to_df
+    from partitioned_ef_ans_spark.operators import spellcheck as sc
+
+    typos = TYPOS + [(5, ["wwww00x"]), (6, ["w1", "qqqqqqqq"])]
+    qdf = queries_to_df(spark, typos)
+    dic = _dict_df(spark, sp_index)
+    want = sorted(
+        (r["query_id"], tuple(r["terms"]))
+        for r in sc.correct_query_terms(qdf, dic).collect()
+    )
+    monkeypatch.setenv("PEFA_FUZZY_SCAN_VOCAB", "0")
+    dic2 = _dict_df(spark, sp_index)  # fresh frame: no memoized state
+    corrected = sc.correct_query_terms(qdf, dic2)
+    got = sorted(
+        (r["query_id"], tuple(r["terms"])) for r in corrected.collect()
+    )
+    assert got == want
+    # plan shape: the only cartesian left is the short-term fallback —
+    # gram candidates come from the 3-gram equi-join, so the dictionary
+    # is no longer crossJoined against every OOV term
+    plan = corrected._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_gram_bound_admits_all_true_candidates():
+    """Property check of the padded-q-gram count bound on random
+    pairs: dist(s,t) <= d implies shared padded 3-grams (pair count)
+    >= |t| + 2 - 3d."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdef"
+
+    def grams(t):
+        s = "##" + t + "##"
+        return [s[i:i + 3] for i in range(len(s) - 2)]
+
+    for _ in range(300):
+        t = "".join(rng.choice(alpha) for _ in range(rng.randint(4, 10)))
+        s = list(t)
+        d = rng.randint(0, 2)
+        for _e in range(d):
+            op = rng.choice("ids")
+            i = rng.randrange(max(1, len(s)))
+            if op == "i":
+                s.insert(i, rng.choice(alpha))
+            elif s:
+                if op == "d":
+                    del s[i % len(s)]
+                else:
+                    s[i % len(s)] = rng.choice(alpha)
+        cand = "".join(s)
+        gt, gc = grams(t), grams(cand)
+        pairs = sum(min(gt.count(g), gc.count(g)) for g in set(gt))
+        assert pairs >= len(t) + 2 - 3 * d, (t, cand, d, pairs)
