@@ -794,22 +794,28 @@ def run_blockmax_docpartitioned(
                     if not len(docs):
                         continue
                 df_ = int(row.df)
-                for qi, s in enumerate(row.qs):
-                    qmask = masks[qi][sel]
-                    if not qmask.any():
-                        continue
-                    keep = qmask[slot_of_post]
-                    if not keep.any():
-                        continue
-                    qw_np = q._q_weight(
-                        int(s["qtf"]), df_, num_docs, np.float64
-                    )
-                    qids.append(
-                        np.full(int(keep.sum()), int(s["query_id"]),
-                                dtype=np.int64)
-                    )
-                    docs_out.append(docs[keep])
-                    scores.append(dw[keep] * qw_np)
+                # vectorized over the referencing queries: a Zipf head
+                # chunk is referenced by most of the batch, and the
+                # per-query python loop (mask, sum, append per query)
+                # was the partials hot spot — one (nq x nposts) mask +
+                # nonzero emits every (query, posting) pair at once
+                keepmat = masks[:, sel][:, slot_of_post]
+                qi_idx, pi_idx = np.nonzero(keepmat)
+                if not len(qi_idx):
+                    continue
+                qw_arr = np.array(
+                    [
+                        q._q_weight(int(s["qtf"]), df_, num_docs, np.float64)
+                        for s in row.qs
+                    ],
+                    dtype=np.float64,
+                )
+                qid_arr = np.array(
+                    [int(s["query_id"]) for s in row.qs], dtype=np.int64
+                )
+                qids.append(qid_arr[qi_idx])
+                docs_out.append(docs[pi_idx])
+                scores.append(dw[pi_idx] * qw_arr[qi_idx])
             if not qids:
                 continue
             yield pd.DataFrame(
@@ -829,9 +835,8 @@ def run_blockmax_docpartitioned(
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("partial"), bm25.ROUND_DECIMALS).alias("score"))
     )
-    w_top = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w_top))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
-    )
+    # partial per-partition top-k before the exact global window: the
+    # scored relation is the tau-surviving match set (index-sized in
+    # the worst case), and shipping it whole through the window's
+    # shuffle+sort dominated the docpart wall (query.topk_per_query)
+    return q.topk_per_query(per_doc, k)
