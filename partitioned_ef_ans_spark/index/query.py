@@ -1112,8 +1112,19 @@ def _query_side(queries_df: DataFrame, term_stats_df: DataFrame) -> DataFrame:
     discipline as the payload-total memo."""
     key = (id(term_stats_df), _PAYLOAD_EPOCH)
     memo = getattr(queries_df, "_pefa_qside", None)
-    if memo is not None and memo[0] == key:
-        return memo[1]
+    if memo is None:
+        memo = {}
+        try:
+            queries_df._pefa_qside = memo
+        except Exception:
+            pass
+    hit = memo.get(key)
+    # the entry pins the term_stats frame it was built against: id()
+    # alone could be recycled by a NEW frame after GC, silently
+    # serving another index's bounds — the identity check (and the
+    # strong reference keeping the id alive) closes that hole
+    if hit is not None and hit[0] is term_stats_df:
+        return hit[1]
     qf = query_freqs(queries_df)  # query_id, term, qtf, n_terms
     per_term_max = term_stats_df.join(
         F.broadcast(qf.select("term").distinct()), "term", "left_semi"
@@ -1123,10 +1134,9 @@ def _query_side(queries_df: DataFrame, term_stats_df: DataFrame) -> DataFrame:
         F.col("df").alias("term_df"),
     )
     qside = qf.join(per_term_max, "term").localCheckpoint(eager=True)
-    try:
-        queries_df._pefa_qside = (key, qside)
-    except Exception:
-        pass
+    if len(memo) > 16:  # epoch bumps / many shards: don't grow unbounded
+        memo.clear()
+    memo[key] = (term_stats_df, qside)
     return qside
 
 
@@ -1214,8 +1224,15 @@ def batched_query_lists_df(
         # :func:`_query_side`, keyed separately (different shape)
         key = (id(term_stats_df), _PAYLOAD_EPOCH)
         memo = getattr(queries_df, "_pefa_qside_b", None)
-        if memo is not None and memo[0] == key:
-            qside = memo[1]
+        if memo is None:
+            memo = {}
+            try:
+                queries_df._pefa_qside_b = memo
+            except Exception:
+                pass
+        hit = memo.get(key)
+        if hit is not None and hit[0] is term_stats_df:
+            qside = hit[1]
         else:
             qf = query_freqs(queries_df)
             per_term = term_stats_df.join(
@@ -1225,10 +1242,9 @@ def batched_query_lists_df(
                 F.collect_list(F.struct("query_id", "qtf", "n_terms")).alias("qs")
             )
             qside = qlist.join(per_term, "term").localCheckpoint(eager=True)
-            try:
-                queries_df._pefa_qside_b = (key, qside)
-            except Exception:
-                pass
+            if len(memo) > 16:
+                memo.clear()
+            memo[key] = (term_stats_df, qside)
         return index_df.drop("df").join(F.broadcast(qside), "term")
     qf = query_freqs(queries_df)
     qterms = qf.select("term").distinct()

@@ -72,3 +72,31 @@ def test_term_stats_frozen_equals_index_agg(spark, built):
         .collect()
     }
     assert frozen == live
+
+
+def test_qside_memo_pins_term_stats_identity(spark, sf_small):
+    """The memoized query side keys on the term_stats frame IDENTITY
+    (strong ref held): one queries frame served against two different
+    indexes must get each index's own bounds, and a recycled id()
+    can never alias them (the r6 memo hazard)."""
+    from pyspark.sql import functions as F
+
+    from partitioned_ef_ans_spark.gate import _get_index
+    from partitioned_ef_ans_spark.index import query as q_mod
+
+    built = _get_index(spark, sf_small)
+    ts_a = built["term_stats"]
+    # a second "index" whose stats carry shifted bounds/dfs
+    ts_b = ts_a.withColumn("df", F.col("df") + 1)
+    qdf = spark.createDataFrame(
+        [(0, ["dup", "data"])], "query_id long, terms array<string>"
+    )
+    qa = q_mod._query_side(qdf, ts_a)
+    qb = q_mod._query_side(qdf, ts_b)
+    assert qa is not qb
+    da = {r["term"]: r["term_df"] for r in qa.collect()}
+    db = {r["term"]: r["term_df"] for r in qb.collect()}
+    assert all(db[t] == da[t] + 1 for t in da)
+    # repeat lookups hit the memo (same object back)
+    assert q_mod._query_side(qdf, ts_a) is qa
+    assert q_mod._query_side(qdf, ts_b) is qb
